@@ -1,0 +1,392 @@
+"""Offline multi-snapshot orbit tracking — the primary entry point.
+
+TPU-native re-design of the reference driver
+(``/root/reference/orbitanalysis/track_orbits.py:9-244``).  The user-facing
+contract is kept: the same ``regions`` / ``load_snapshot_data`` callback
+pair (``track_orbits.py:27-61``), the same savefile schema, the same
+checkpoint/resume semantics.  What changed is everything between the
+callbacks and the file:
+
+- all halos advance together in one fused jit'd device step
+  (:mod:`orbitanalysis_tpu.ops.apsis`) instead of a per-halo process pool
+  (``track_orbits.py:189-194``);
+- per-particle state (ids, r_hat, v_r, angles — the reference's ``*_prev``
+  arrays, ``track_orbits.py:234-240``) stays resident on device between
+  snapshots; the host only ships the next snapshot in and compact event
+  masks out;
+- ragged regions are capacity-padded to a static ``[n_halos, capacity]``
+  layout (grown and re-jitted on overflow);
+- a device mesh can be supplied to shard the halo axis
+  (:mod:`orbitanalysis_tpu.parallel`).
+
+``npool`` is accepted for drop-in API compatibility and ignored — halo
+parallelism is the device mesh now.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbitanalysis_tpu.engine import io_hdf5
+from orbitanalysis_tpu.engine.packing import (
+    PackedSnapshot,
+    pack_snapshot,
+    required_capacity,
+)
+from orbitanalysis_tpu.ops.apsis import (
+    Carry,
+    SnapshotBatch,
+    init_carry,
+    make_orbit_step,
+)
+from orbitanalysis_tpu.utils.numerics import hubble_parameter
+from orbitanalysis_tpu.utils.padding import (
+    invalid_id_for,
+    pack_ragged,
+    round_up,
+    unpack_mask,
+)
+
+
+def _normalize_inputs(snapshot_numbers, main_branches):
+    main_branches = np.asarray(main_branches)
+    if main_branches.ndim == 1:
+        main_branches = main_branches[:, None]
+    snapshot_numbers = np.asarray(snapshot_numbers)
+    if len(main_branches) != len(snapshot_numbers):
+        raise ValueError(
+            "Number of halo main branch nodes does not equal the number of "
+            "snapshot numbers supplied. Must have len(main_branches) == "
+            "len(snapshot_numbers)."
+        )
+    order = np.argsort(snapshot_numbers)
+    return snapshot_numbers[order], main_branches[order]
+
+
+def _call_regions(regions, snapshot_number, halo_ids):
+    """Accept both 2- and 3-tuple ``regions`` returns (the reference is
+    internally inconsistent here — docstring/example return 2 values,
+    the engine unpacks 3; ``track_orbits.py:27-34`` vs ``:118-119``)."""
+    out = regions(snapshot_number, halo_ids)
+    if len(out) == 3:
+        positions, radii, bulk_vels = out
+    else:
+        positions, radii = out
+        bulk_vels = None
+    return (
+        np.atleast_2d(np.asarray(positions)),
+        np.atleast_1d(np.asarray(radii)),
+        None if bulk_vels is None else np.atleast_2d(np.asarray(bulk_vels)),
+    )
+
+
+class _DeviceEngine:
+    """Owns the device carry + the jitted step instances (one per shape /
+    input-structure combination)."""
+
+    def __init__(self, n_halos, capacity, mode, box_size, id_dtype, angle_dtype,
+                 sharding=None):
+        self.n_halos = n_halos
+        self.capacity = capacity
+        self.mode = mode
+        self.box_size = box_size
+        self.id_dtype = id_dtype
+        self.angle_dtype = angle_dtype
+        self.invalid = invalid_id_for(id_dtype)
+        self.sharding = sharding
+        self._steps = {}
+        self.carry = self._place(init_carry(
+            n_halos, capacity, id_dtype=id_dtype, angle_dtype=angle_dtype
+        ))
+
+    def _place(self, tree):
+        if self.sharding is None:
+            return tree
+        from orbitanalysis_tpu.parallel.sharding import shard_tree
+        return shard_tree(tree, self.sharding)
+
+    def _step_fn(self, has_mass, has_bulk):
+        key = (self.capacity, has_mass, has_bulk)
+        if key not in self._steps:
+            raw = make_orbit_step(
+                mode=self.mode,
+                box_size=self.box_size,
+                id_dtype=self.id_dtype,
+                angle_dtype=self.angle_dtype,
+            )
+            self._steps[key] = jax.jit(raw, donate_argnums=(0,))
+        return self._steps[key]
+
+    def grow(self, new_capacity):
+        """Re-pad the carry's particle axis (rare; triggers a re-jit)."""
+        new_capacity = round_up(new_capacity, 128)
+        pad = new_capacity - self.capacity
+        if pad <= 0:
+            return
+        c = jax.device_get(self.carry)
+        grown = Carry(
+            ids=np.pad(c.ids, ((0, 0), (0, pad)), constant_values=self.invalid),
+            sorted_ids=np.pad(
+                c.sorted_ids, ((0, 0), (0, pad)), constant_values=self.invalid
+            ),
+            order=np.pad(
+                c.order, ((0, 0), (0, pad)),
+                mode="constant",
+                constant_values=0,
+            ),
+            rhat=np.pad(c.rhat, ((0, 0), (0, pad), (0, 0))),
+            vrad=np.pad(c.vrad, ((0, 0), (0, pad))),
+            angles=np.pad(c.angles, ((0, 0), (0, pad))),
+        )
+        # fix the sorted permutation for the appended invalid slots: they
+        # sort after existing entries in ascending id order already (the
+        # sentinel is the dtype max), so append their indices at the end.
+        order = np.concatenate(
+            [c.order, np.broadcast_to(
+                np.arange(self.capacity, new_capacity, dtype=c.order.dtype),
+                (self.n_halos, pad))],
+            axis=1,
+        )
+        grown = grown._replace(order=order)
+        self.capacity = new_capacity
+        self.carry = self._place(grown)
+
+    def step(self, packed: PackedSnapshot, hubble_drag: float):
+        batch = SnapshotBatch(
+            ids=packed.ids,
+            pos=packed.pos,
+            vel=packed.vel,
+            center=packed.center,
+            mass=packed.mass,
+            bulk_vel=packed.bulk_vel,
+            hubble_drag=jnp.float32(hubble_drag),
+        )
+        batch = self._place(batch)
+        fn = self._step_fn(packed.mass is not None, packed.bulk_vel is not None)
+        self.carry, events = fn(self.carry, batch)
+        return events
+
+    def set_angles(self, angles_padded: np.ndarray):
+        self.carry = self.carry._replace(
+            angles=self._place(
+                jnp.asarray(angles_padded, dtype=self.angle_dtype))
+        )
+
+
+def track_orbits(
+    snapshot_numbers,
+    main_branches,
+    regions,
+    load_snapshot_data,
+    savefile,
+    mode: str = "pericentric",
+    checkpoint: bool = False,
+    resume: bool = False,
+    verbose: bool = True,
+    capacity: Optional[int] = None,
+    headroom: float = 1.3,
+    id_dtype=np.int32,
+    angle_dtype=np.float32,
+    mesh=None,
+    npool=None,  # noqa: ARG001 — accepted for reference API compat, unused
+):
+    """Track pericentric/apocentric passages over a snapshot sequence.
+
+    Parameters mirror the reference driver (``track_orbits.py:9-71``);
+    see that docstring's data contract.  TPU-specific additions:
+
+    capacity : int, optional
+        Particle-axis capacity per halo row. Default: sized from the first
+        snapshot with ``headroom``, rounded up to a multiple of 128.
+    headroom : float
+        Over-allocation factor for region growth across snapshots.
+    id_dtype, angle_dtype
+        Device dtypes for particle IDs and the cumulative angle state.
+        ``angle_dtype=np.float16`` reproduces the reference's float16 angle
+        carry (``track_orbits.py:351``) bit-for-bit at the cost of
+        accumulated rounding error; the default float32 is more accurate.
+    mesh : jax.sharding.Mesh, optional
+        Shard the halo axis over this mesh (axis name 'halos').
+    """
+    if mode not in ("pericentric", "apocentric"):
+        raise ValueError(
+            "Orbit detection mode not recognized. Please specify either "
+            "'pericentric' or 'apocentric'."
+        )
+    snapshot_numbers, main_branches = _normalize_inputs(
+        snapshot_numbers, main_branches
+    )
+    n_halos = main_branches.shape[1]
+    final_branch = main_branches[-1]
+    final_snapshot = snapshot_numbers[-1]
+
+    if resume:
+        if verbose:
+            print("Resuming from file...\n")
+        resume_snap = io_hdf5.last_snapshot_number(savefile)
+        sind = int(np.argwhere(snapshot_numbers == resume_snap).flatten()[0])
+        snapshot_numbers = snapshot_numbers[sind:]
+        main_branches = main_branches[sind:]
+
+    sharding = None
+    n_rows = n_halos
+    if mesh is not None:
+        from orbitanalysis_tpu.parallel.sharding import halo_sharding
+        sharding = halo_sharding(mesh)
+        # pad the halo axis so it divides evenly over the mesh
+        n_rows = round_up(n_halos, int(mesh.shape["halos"]))
+
+    tstart = time.time()
+    engine: Optional[_DeviceEngine] = None
+    box_size = None
+    prev_ids_host = None       # [H, P] packed ids of last processed snapshot
+    prev_rows = None           # active halo rows of last processed snapshot
+    started = False
+    first_processed = True
+
+    for i, (halo_ids, snapshot_number) in enumerate(
+        zip(main_branches, snapshot_numbers)
+    ):
+        if verbose:
+            print("-" * 30, "\n")
+            print("Snapshot {}\n".format("%03d" % snapshot_number))
+
+        rows = np.argwhere(halo_ids != -1).flatten()
+        if len(rows) == 0:
+            continue
+        halo_ids_active = halo_ids[rows]
+
+        region_positions, region_radii, region_bulk_vels = _call_regions(
+            regions, snapshot_number, halo_ids_active
+        )
+        snapshot = load_snapshot_data(
+            snapshot_number, region_positions, region_radii
+        )
+        if len(snapshot["coordinates"]) == 0:
+            continue
+
+        if "redshift" in snapshot:
+            Hz = hubble_parameter(
+                snapshot["redshift"],
+                snapshot["H0"],
+                snapshot["Omega_m"],
+                snapshot["Omega_L"],
+                snapshot.get("Omega_k", 0),
+            )
+            hubble_drag = float(Hz / (1.0 + snapshot["redshift"]))
+        else:
+            hubble_drag = 0.0
+
+        offsets = np.asarray(snapshot["region_offsets"], dtype=np.int64)
+        lengths = np.diff(np.concatenate((offsets, [len(snapshot["ids"])])))
+
+        if engine is None:
+            box_size = snapshot.get("box_size")
+            cap = capacity or required_capacity(lengths, headroom)
+            engine = _DeviceEngine(
+                n_rows, cap, mode, box_size, id_dtype, angle_dtype,
+                sharding=sharding,
+            )
+            if not resume:
+                io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
+        if lengths.size and int(lengths.max()) > engine.capacity:
+            new_cap = required_capacity(lengths, headroom)
+            if verbose:
+                print(
+                    f"Growing particle capacity {engine.capacity} -> {new_cap} "
+                    "(recompiles the step)\n"
+                )
+            engine.grow(new_cap)
+            if prev_ids_host is not None:
+                prev_ids_host = np.pad(
+                    prev_ids_host,
+                    ((0, 0), (0, engine.capacity - prev_ids_host.shape[1])),
+                    constant_values=engine.invalid,
+                )
+
+        packed = pack_snapshot(
+            snapshot, rows, n_rows, engine.capacity,
+            region_positions, region_bulk_vels, id_dtype=id_dtype,
+        )
+
+        t0 = time.time()
+        events = engine.step(packed, hubble_drag)
+
+        if not started:
+            # First processed snapshot: seeds the carry; nothing to save
+            # (reference: `i > istart` gate, track_orbits.py:160,212).
+            if resume:
+                ck_angles, _ = io_hdf5.read_checkpoint(savefile)
+                angles_padded = pack_ragged(
+                    np.asarray(ck_angles, dtype=angle_dtype),
+                    offsets, n_rows, engine.capacity, rows=rows, fill=0.0,
+                )
+                engine.set_angles(angles_padded)
+            started = True
+        else:
+            apsis = np.asarray(events.apsis)
+            apsis_angle = np.asarray(events.apsis_angle)
+            bulk_vel = np.asarray(events.bulk_vel)
+            if verbose:
+                print(
+                    "Finished {} detection for snapshot {} in {} s\n".format(
+                        io_hdf5.apsis_tag(mode),
+                        "%03d" % snapshot_number,
+                        time.time() - t0,
+                    )
+                )
+
+            saved_rows = np.intersect1d(rows, prev_rows)
+            apsis_offsets, apsis_ids_flat, apsis_angles_flat = unpack_mask(
+                apsis, prev_ids_host, apsis_angle, rows=saved_rows
+            )
+
+            radii_full = np.zeros(n_rows, dtype=np.asarray(region_radii).dtype)
+            radii_full[rows] = region_radii
+            pos_full = np.zeros((n_rows, 3), dtype=region_positions.dtype)
+            pos_full[rows] = region_positions
+
+            final_desc = (
+                final_branch[saved_rows]
+                if snapshot_number != final_snapshot
+                else None
+            )
+            io_hdf5.append_snapshot(
+                savefile,
+                snapshot_number,
+                mode,
+                apsis_ids=apsis_ids_flat,
+                apsis_offsets=apsis_offsets,
+                apsis_angles=apsis_angles_flat,
+                halo_ids=halo_ids[saved_rows],
+                final_descendant_ids=final_desc,
+                region_radii=radii_full[saved_rows],
+                region_positions=pos_full[saved_rows],
+                bulk_velocities=bulk_vel[saved_rows],
+                verbose=verbose,
+            )
+
+        if checkpoint:
+            angles_dev = np.asarray(jax.device_get(engine.carry.angles))
+            valid = packed.ids != engine.invalid
+            _, angles_flat = unpack_mask(valid, angles_dev, rows=rows)
+            io_hdf5.write_checkpoint(
+                savefile, angles_flat, snapshot_number,
+                angle_store_dtype=angles_flat.dtype,
+            )
+
+        prev_ids_host = packed.ids
+        prev_rows = rows
+        first_processed = False  # noqa: F841
+
+    if verbose:
+        print(
+            "Finished {} detection for all snapshots in {} s\n".format(
+                io_hdf5.apsis_tag(mode), time.time() - tstart
+            )
+        )

@@ -1,0 +1,21 @@
+from orbitanalysis_tpu.ops.geometry import region_frame
+from orbitanalysis_tpu.ops.join import match_ids, sort_rows, two_way_match
+from orbitanalysis_tpu.ops.apsis import (
+    Carry,
+    SnapshotBatch,
+    StepEvents,
+    init_carry,
+    make_orbit_step,
+)
+
+__all__ = [
+    "region_frame",
+    "match_ids",
+    "sort_rows",
+    "two_way_match",
+    "Carry",
+    "SnapshotBatch",
+    "StepEvents",
+    "init_carry",
+    "make_orbit_step",
+]

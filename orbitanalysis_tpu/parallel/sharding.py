@@ -1,0 +1,50 @@
+"""Sharding specs for the tracker state over a device mesh.
+
+Strategy (SURVEY.md §2 "Parallelism inventory"): the leading axis of every
+state/batch tensor is the halo axis — shard it over the mesh's 'halos'
+axis; if the mesh also has a 'particles' axis, shard the second (particle
+capacity) axis across it.  Everything else (centers' coordinate dim,
+scalars) is replicated.  The step function is then simply jit'd with these
+shardings; XLA's SPMD partitioner inserts any needed collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def tree_sharding_specs(tree, mesh: Mesh):
+    """A matching PyTree of PartitionSpecs for a state/batch PyTree.
+
+    Rank-1+: axis 0 -> 'halos'; axis 1 -> 'particles' if that mesh axis
+    exists and the dim is the (large) particle capacity; scalars replicated.
+    """
+    has_particles = "particles" in mesh.axis_names
+
+    def spec(leaf):
+        ndim = np.ndim(leaf)
+        if ndim == 0:
+            return P()
+        parts = ["halos"] + [None] * (ndim - 1)
+        if ndim >= 2 and has_particles and np.shape(leaf)[1] > 4:
+            parts[1] = "particles"
+        return P(*parts)
+
+    return jax.tree.map(spec, tree)
+
+
+def halo_sharding(mesh: Mesh):
+    """Return a closure bundle used by the engine: mesh + spec builder."""
+    return mesh
+
+
+def shard_tree(tree, mesh: Mesh):
+    """device_put a PyTree with per-leaf NamedShardings for ``mesh``."""
+    specs = tree_sharding_specs(tree, mesh)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        tree,
+        specs,
+    )

@@ -1,0 +1,441 @@
+"""Postprocessing: apsis collation, orbit decomposition, plotting.
+
+Two classes:
+
+- :class:`Apsides` — reference-compatible collation of the tracking
+  savefile into per-snapshot orbit-count catalogs
+  (``/root/reference/orbitanalysis/postprocessing.py:8-240``).
+- :class:`OrbitDecomposition` — the per-halo decomposition + plotting API
+  that the reference's ``example_script.py:76-95`` *uses* but whose
+  implementation is absent from the reference package (SURVEY.md
+  "Inconsistencies" #1).  Implemented here for real: per-particle orbit
+  counts for one halo at one snapshot, matched onto snapshot particle
+  data, with position-space and phase-space scatter plots.
+
+Deviations from the reference (documented improvements):
+
+- collation iterates requested halos in their given order and writes
+  blocks only for halos present at each snapshot, which matches the
+  reference output whenever the requested IDs are sorted (the reference's
+  offset bookkeeping silently assumes this; ``postprocessing.py:133-142``);
+- ``save_final_apsis_counts`` stores integer counts (the reference
+  allocates float64, ``postprocessing.py:224``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import h5py
+import numpy as np
+
+from orbitanalysis_tpu.utils.numerics import (
+    periodic_displacement,
+)
+
+
+def _match_order(a, b):
+    """Indices into ``a`` of the values of ``b`` (all assumed present),
+    in b's order — the reference's ``myin1d`` (``utils.py:4-11``), done as
+    a single sort + binary search."""
+    order = np.argsort(a, kind="stable")
+    pos = np.searchsorted(a, b, sorter=order)
+    return order[pos]
+
+
+class Apsides:
+    """Index and collate a tracking savefile (``postprocessing.py:8-28``)."""
+
+    def __init__(self, filename):
+        self.filename = filename
+        with h5py.File(filename, "r") as hf:
+            skeys = sorted(k for k in hf.keys() if k.startswith("snapshot_"))
+            self.snapshot_numbers = np.array(
+                [int(k.split("_")[1]) for k in skeys]
+            )
+            self.final_halo_ids = hf[skeys[-1]]["halo_IDs"][:]
+            self.mode = hf.attrs["mode"]
+            if isinstance(self.mode, bytes):
+                self.mode = self.mode.decode()
+            if "box_size" in hf.attrs:
+                self.box_size = hf.attrs["box_size"]
+
+    @property
+    def _tag(self):
+        return self.mode[:-3] + "er"
+
+    def collate_apsides(
+        self,
+        halo_ids=None,
+        snapshot_number=None,
+        angle_cut=np.pi / 4,
+        save_final_counts=False,
+        data_type=None,
+        savefile=None,
+        verbose=True,
+    ):
+        """Accumulate apsis IDs per halo across snapshots (with the
+        subhalo-rejecting ``angle_cut``, ``postprocessing.py:121-128``) and
+        write per-snapshot unique-ID + orbit-count catalogs
+        (``postprocessing.py:133-162``)."""
+        t_start = time.time()
+
+        if halo_ids is None:
+            halo_ids = self.final_halo_ids
+        else:
+            halo_ids = np.asarray(halo_ids)
+            missing = np.setdiff1d(halo_ids, self.final_halo_ids)
+            if len(missing):
+                self.missing_halo_ids = missing
+                raise ValueError(
+                    "The input halo ID list contains IDs of halos (at z=0) "
+                    "that have not been processed."
+                )
+
+        if snapshot_number is None:
+            sind = len(self.snapshot_numbers) - 1
+        else:
+            sind = int(
+                np.argwhere(self.snapshot_numbers == snapshot_number).flatten()[0]
+            )
+
+        n_req = len(halo_ids)
+        accumulated = [None] * n_req  # lazily-typed per-halo ID accumulators
+
+        for s in self.snapshot_numbers[: sind + 1]:
+            with h5py.File(self.filename, "r") as hf:
+                g = hf["snapshot_%03d" % s]
+                region_positions = g["region_positions"][:]
+                region_radii = g["region_radii"][:]
+                bulk_velocities = g["bulk_velocities"][:]
+                halo_ids_current = g["halo_IDs"][:]
+                if s != self.snapshot_numbers[-1]:
+                    halo_ids_final = g["final_descendant_IDs"][:]
+                else:
+                    halo_ids_final = halo_ids_current
+
+                apsis_ids = g[self._tag + "_IDs"][:]
+                angles = g["angles"][:]
+                offsets = g["region_offsets"][:]
+
+            if len(apsis_ids) == 0:
+                continue
+            if data_type is None:
+                orbtype = apsis_ids.dtype
+            else:
+                orbtype = data_type
+            for k in range(n_req):
+                if accumulated[k] is None:
+                    accumulated[k] = np.array([], dtype=orbtype)
+
+            # requested halos present at this snapshot, in requested order
+            present = np.isin(halo_ids, halo_ids_final)
+            req_inds = np.where(present)[0]
+            file_inds = _match_order(halo_ids_final, halo_ids[req_inds])
+
+            for k, fi in zip(req_inds, file_inds):
+                sl = slice(offsets[fi], offsets[fi + 1])
+                ids_h = apsis_ids[sl]
+                ang_h = angles[sl]
+                accumulated[k] = np.append(
+                    accumulated[k], ids_h[ang_h > angle_cut]
+                )
+
+            ids_unique, counts, lens = [], [], []
+            for k in req_inds:
+                u, c = np.unique(accumulated[k], return_counts=True)
+                ids_unique.append(u)
+                counts.append(c)
+                lens.append(len(u))
+            ids_unique = (
+                np.concatenate(ids_unique) if ids_unique else
+                np.array([], dtype=orbtype)
+            )
+            counts = (
+                np.concatenate(counts) if counts else np.array([], dtype=np.int64)
+            )
+            halo_offsets = np.cumsum([0] + lens)[:-1]
+
+            with h5py.File(savefile, "a") as hf:
+                g = hf.create_group("snapshot_%03d" % s)
+                g.create_dataset("particle_IDs", data=ids_unique)
+                g.create_dataset(self._tag + "_counts", data=counts)
+                g.create_dataset("halo_offsets", data=halo_offsets)
+                if s != self.snapshot_numbers[-1]:
+                    g.create_dataset(
+                        "final_descendant_IDs", data=halo_ids_final[file_inds]
+                    )
+                g.create_dataset("halo_IDs", data=halo_ids_current[file_inds])
+                g.create_dataset(
+                    "halo_positions", data=region_positions[file_inds]
+                )
+                g.create_dataset(
+                    "halo_velocities", data=bulk_velocities[file_inds]
+                )
+                g.create_dataset("region_radii", data=region_radii[file_inds])
+
+            if verbose:
+                print("Snapshot {} collated".format("%03d" % s))
+
+        if save_final_counts:
+            self.save_final_apsis_counts(savefile, verbose=verbose)
+
+        if verbose:
+            print(
+                "{}s collated in {} s".format(
+                    self._tag, round(time.time() - t_start, 3)
+                )
+            )
+
+    def save_final_apsis_counts(
+        self, collated_file, snapshot_numbers=None, verbose=True
+    ):
+        """Retroactively attach each particle's *final* orbit count to every
+        earlier snapshot's catalog (``postprocessing.py:176-240``)."""
+        with h5py.File(collated_file, "r+") as hf:
+            skeys = np.array(sorted(hf.keys()))
+            gfin = hf[skeys[-1]]
+            ids_final = gfin["particle_IDs"][:]
+            counts_final = gfin[self._tag + "_counts"][:]
+            halo_ids = gfin["halo_IDs"][:]
+            offsets_final = np.concatenate(
+                (gfin["halo_offsets"][:], [len(ids_final)])
+            )
+
+            if snapshot_numbers is None:
+                skeys_ = skeys[:-1]
+            else:
+                nums = np.array([int(k.split("_")[-1]) for k in skeys])
+                skeys_ = skeys[np.isin(nums, snapshot_numbers)]
+
+            for skey in skeys_:
+                g = hf[skey]
+                ids = g["particle_IDs"][:]
+                desc_ids = g["final_descendant_IDs"][:]
+                offsets = np.concatenate((g["halo_offsets"][:], [len(ids)]))
+                hinds = _match_order(halo_ids, desc_ids)
+
+                counts_retro = np.zeros(len(ids), dtype=counts_final.dtype)
+                for h2, h1 in enumerate(hinds):
+                    fsl = slice(offsets_final[h1], offsets_final[h1 + 1])
+                    sl = slice(offsets[h2], offsets[h2 + 1])
+                    fidx = _match_order(ids_final[fsl], ids[sl])
+                    counts_retro[sl] = counts_final[fsl][fidx]
+
+                g.create_dataset(self._tag + "_counts_final", data=counts_retro)
+                if verbose:
+                    print("Final counts saved for {} {}".format(*skey.split("_")))
+
+
+class OrbitDecomposition:
+    """Per-halo orbit decomposition with plotting.
+
+    The working implementation of the API consumed by the reference's
+    ``example_script.py:76-95``: collate one halo's apsis events up to a
+    snapshot, attach orbit counts to the particles of a supplied snapshot
+    region, and visualize in position and phase space.
+    """
+
+    def __init__(self, filename):
+        self.filename = filename
+        self.apsides = Apsides(filename)
+        self.mode = self.apsides.mode
+        # set by get_halo_decomposition_at_snapshot:
+        self.particle_ids = None
+        self.counts = None
+        self.coordinates = None
+        self.velocities = None
+        self.radii = None
+        self.radial_velocities = None
+        self.region_radius = None
+        self.halo_position = None
+        self.halo_velocity = None
+
+    @property
+    def _tag(self):
+        return self.mode[:-3] + "er"
+
+    def get_halo_decomposition_at_snapshot(
+        self,
+        halo_id,
+        snapshot_number=None,
+        snapshot_data=None,
+        angle_cut=np.pi / 4,
+    ):
+        """Collate apsis counts for ``halo_id`` at ``snapshot_number``.
+
+        If ``snapshot_data`` (the loader dict for this halo's region) is
+        given, orbit counts are matched onto its particles — particles
+        with no recorded apsis get count 0 — and region-frame radii and
+        radial velocities are computed for phase-space plotting.
+        """
+        snaps = self.apsides.snapshot_numbers
+        if snapshot_number is None:
+            snapshot_number = snaps[-1]
+        sind = int(np.argwhere(snaps == snapshot_number).flatten()[0])
+
+        acc = []
+        with h5py.File(self.filename, "r") as hf:
+            for s in snaps[: sind + 1]:
+                g = hf["snapshot_%03d" % s]
+                hids_final = (
+                    g["final_descendant_IDs"][:]
+                    if s != snaps[-1]
+                    else g["halo_IDs"][:]
+                )
+                loc = np.argwhere(hids_final == halo_id).flatten()
+                if len(loc) == 0:
+                    continue
+                fi = int(loc[0])
+                offsets = g["region_offsets"][:]
+                sl = slice(offsets[fi], offsets[fi + 1])
+                ids_h = g[self._tag + "_IDs"][sl]
+                ang_h = g["angles"][sl]
+                acc.append(ids_h[ang_h > angle_cut])
+
+            g = hf["snapshot_%03d" % snapshot_number]
+            hids_final = (
+                g["final_descendant_IDs"][:]
+                if snapshot_number != snaps[-1]
+                else g["halo_IDs"][:]
+            )
+            fi = int(np.argwhere(hids_final == halo_id).flatten()[0])
+            self.halo_position = g["region_positions"][fi]
+            self.halo_velocity = g["bulk_velocities"][fi]
+            self.region_radius = g["region_radii"][fi]
+            box_size = hf.attrs.get("box_size")
+
+        acc = (
+            np.concatenate(acc) if acc else np.array([], dtype=np.int64)
+        )
+        ids_u, counts = np.unique(acc, return_counts=True)
+        self.particle_ids = ids_u
+        self.counts = counts
+
+        if snapshot_data is not None:
+            ids = np.asarray(snapshot_data["ids"])
+            counts_all = np.zeros(len(ids), dtype=np.int64)
+            present = np.isin(ids, ids_u)
+            counts_all[present] = counts[_match_order(ids_u, ids[present])]
+            self.particle_ids = ids
+            self.counts = counts_all
+
+            pos = np.asarray(snapshot_data["coordinates"], dtype=np.float64)
+            vel = np.asarray(snapshot_data["velocities"], dtype=np.float64)
+            rel = pos - self.halo_position
+            if box_size is not None:
+                rel = np.asarray(periodic_displacement(rel, box_size))
+            vrel = vel - self.halo_velocity
+            r = np.sqrt((rel**2).sum(-1))
+            with np.errstate(invalid="ignore"):
+                rhat = np.where(
+                    r[:, None] > 0, rel / np.maximum(r, 1e-300)[:, None], 0.0
+                )
+            self.coordinates = rel
+            self.velocities = vrel
+            self.radii = r
+            self.radial_velocities = (vrel * rhat).sum(-1)
+        return self
+
+    def _select_counts(self, counts_to_plot):
+        if counts_to_plot == "all":
+            return np.unique(self.counts)
+        return np.atleast_1d(np.asarray(counts_to_plot))
+
+    def plot_position_space(
+        self,
+        projection="xy",
+        colormap="rainbow_r",
+        counts_to_plot="all",
+        xlabel=None,
+        ylabel=None,
+        display=False,
+        savefile=None,
+        point_size=1.0,
+    ):
+        """Scatter the halo's particles in a 2D projection, colored by
+        orbit count (the plot intended by ``example_script.py:88-91``)."""
+        import matplotlib
+        if not display:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if self.coordinates is None:
+            raise RuntimeError(
+                "call get_halo_decomposition_at_snapshot(..., snapshot_data=...) first"
+            )
+        axes = {"x": 0, "y": 1, "z": 2}
+        ax0, ax1 = axes[projection[0]], axes[projection[1]]
+        scale = self.region_radius
+        cvals = self._select_counts(counts_to_plot)
+
+        fig, ax = plt.subplots(figsize=(6, 6))
+        cmap = plt.get_cmap(colormap)
+        for k, c in enumerate(cvals):
+            sel = self.counts == c
+            ax.scatter(
+                self.coordinates[sel, ax0] / scale,
+                self.coordinates[sel, ax1] / scale,
+                s=point_size,
+                color=cmap(k / max(len(cvals) - 1, 1)),
+                label=f"n={c}",
+            )
+        ax.set_xlabel(xlabel or f"${projection[0]}/R$")
+        ax.set_ylabel(ylabel or f"${projection[1]}/R$")
+        ax.set_aspect("equal")
+        ax.legend(markerscale=8, fontsize=8, loc="upper right")
+        if savefile:
+            fig.savefig(savefile, dpi=150, bbox_inches="tight")
+        if display:
+            plt.show()
+        else:
+            plt.close(fig)
+        return fig
+
+    def plot_phase_space(
+        self,
+        colormap="rainbow_r",
+        counts_to_plot="all",
+        radius_label=None,
+        radial_velocity_label=None,
+        logr=False,
+        display=False,
+        savefile=None,
+        point_size=1.0,
+    ):
+        """r – v_r phase-space scatter colored by orbit count
+        (``example_script.py:92-95``)."""
+        import matplotlib
+        if not display:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if self.radii is None:
+            raise RuntimeError(
+                "call get_halo_decomposition_at_snapshot(..., snapshot_data=...) first"
+            )
+        cvals = self._select_counts(counts_to_plot)
+        fig, ax = plt.subplots(figsize=(7, 5))
+        cmap = plt.get_cmap(colormap)
+        r = self.radii / self.region_radius
+        for k, c in enumerate(cvals):
+            sel = self.counts == c
+            ax.scatter(
+                r[sel],
+                self.radial_velocities[sel],
+                s=point_size,
+                color=cmap(k / max(len(cvals) - 1, 1)),
+                label=f"n={c}",
+            )
+        if logr:
+            ax.set_xscale("log")
+        ax.set_xlabel(radius_label or "$r/R$")
+        ax.set_ylabel(radial_velocity_label or "$v_r$")
+        ax.legend(markerscale=8, fontsize=8, loc="upper right")
+        if savefile:
+            fig.savefig(savefile, dpi=150, bbox_inches="tight")
+        if display:
+            plt.show()
+        else:
+            plt.close(fig)
+        return fig

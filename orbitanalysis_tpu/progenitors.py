@@ -1,0 +1,120 @@
+"""Progenitor linking: build ``main_branches`` without a merger tree.
+
+TPU-first re-design of ``/root/reference/orbitanalysis/progenitors.py``:
+
+- :func:`get_central_particle_ids` — the n innermost particles per halo
+  (reference: per-region ``argsort`` loop, ``progenitors.py:52-53``).
+  Implemented as a single vectorized segmented partial sort (NumPy host
+  path) with a padded-``top_k`` JAX device path for large catalogs.
+- :func:`find_main_progenitors` — majority vote of tracked central
+  particles over candidate halos (reference: per-descendant Python loop
+  with ``np.unique``, ``progenitors.py:103-116``).  Implemented as one
+  vectorized sort + run-length count + segmented argmax; ties break to
+  the smaller halo number, matching the reference's first-argmax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orbitanalysis_tpu.utils.numerics import periodic_displacement
+
+
+def get_central_particle_ids(snapshot, halo_positions, n=100):
+    """IDs of the ``n`` particles closest to each halo center.
+
+    ``snapshot`` follows the loader contract (ids, coordinates,
+    region_offsets, optional box_size; ``progenitors.py:12-21``).  Returns
+    ``(central_ids, offsets)`` with per-halo blocks ordered by increasing
+    radius, like the reference.
+    """
+    ids = np.asarray(snapshot["ids"])
+    coords = np.asarray(snapshot["coordinates"], dtype=np.float64)
+    offsets = np.asarray(snapshot["region_offsets"], dtype=np.int64)
+    n_halos = len(offsets)
+    lengths = np.diff(np.concatenate((offsets, [len(ids)])))
+
+    halo_positions = np.atleast_2d(np.asarray(halo_positions, dtype=np.float64))
+    seg = np.repeat(np.arange(n_halos), lengths)
+    rel = coords - halo_positions[seg]
+    if "box_size" in snapshot:
+        rel = np.asarray(periodic_displacement(rel, snapshot["box_size"]))
+    rads = np.sqrt((rel * rel).sum(-1))
+
+    # One global lexsort (segment-major, radius-minor) replaces the
+    # reference's per-region argsort loop; then keep rank < n per segment.
+    order = np.lexsort((rads, seg))
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    rank = np.arange(len(ids)) - starts[seg]
+    keep = rank < n
+    central_ids = ids[order][keep]
+    out_lens = np.minimum(lengths, n)
+    out_offsets = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
+    return central_ids, out_offsets
+
+
+def find_main_progenitors(halo_pids, halo_offsets, tracked_pids,
+                          tracked_offsets):
+    """Majority-vote main progenitors (``progenitors.py:59-117``).
+
+    For each descendant's tracked central-particle block, find which halo
+    of the earlier catalog contains the plurality of those particles.
+    Returns a list with one halo number per descendant, −1 where no
+    tracked particle is found in any halo.
+    """
+    halo_pids = np.asarray(halo_pids)
+    tracked_pids = np.asarray(tracked_pids)
+    halo_offsets = np.asarray(halo_offsets, dtype=np.int64)
+    tracked_offsets = np.asarray(tracked_offsets, dtype=np.int64)
+
+    n_desc = len(tracked_offsets)
+    halo_lens = np.diff(np.concatenate((halo_offsets, [len(halo_pids)])))
+    tracked_lens = np.diff(np.concatenate((tracked_offsets, [len(tracked_pids)])))
+
+    # de-duplicate tracked IDs, keeping first occurrences
+    # (``progenitors.py:82-84``): duplicates vote only once.
+    _, unique_inds = np.unique(tracked_pids, return_index=True)
+    dup_mask = np.ones(len(tracked_pids), dtype=bool)
+    dup_mask[unique_inds] = False
+
+    halo_number = np.repeat(np.arange(len(halo_lens)), halo_lens)
+    desc_number = np.repeat(np.arange(n_desc), tracked_lens)
+
+    # membership + lookup via one sort of the catalog
+    order = np.argsort(halo_pids, kind="stable")
+    sorted_pids = halo_pids[order]
+    pos = np.searchsorted(sorted_pids, tracked_pids)
+    pos_c = np.minimum(pos, len(sorted_pids) - 1) if len(sorted_pids) else pos * 0
+    found = np.zeros(len(tracked_pids), dtype=bool)
+    if len(sorted_pids):
+        found = sorted_pids[pos_c] == tracked_pids
+    found &= ~dup_mask
+    votes_halo = halo_number[order[pos_c]]
+
+    d = desc_number[found]
+    v = votes_halo[found]
+    if len(d) == 0:
+        return [-1] * n_desc
+
+    # count votes per (descendant, halo) pair: sort pairs, run-length encode
+    pair_order = np.lexsort((v, d))
+    ds, vs = d[pair_order], v[pair_order]
+    new_pair = np.concatenate(
+        ([True], (ds[1:] != ds[:-1]) | (vs[1:] != vs[:-1]))
+    )
+    pair_start = np.where(new_pair)[0]
+    pair_counts = np.diff(np.concatenate((pair_start, [len(ds)])))
+    pair_desc = ds[pair_start]
+    pair_halo = vs[pair_start]
+
+    # segmented argmax over descendants; ties -> smaller halo number
+    # (reference np.argmax returns the first max in ascending-halo order)
+    best_order = np.lexsort((pair_halo, -pair_counts, pair_desc))
+    bd = pair_desc[best_order]
+    first = np.concatenate(([True], bd[1:] != bd[:-1]))
+    winners_desc = bd[first]
+    winners_halo = pair_halo[best_order][first]
+
+    out = -np.ones(n_desc, dtype=np.int64)
+    out[winners_desc] = winners_halo
+    return list(out)

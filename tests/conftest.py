@@ -1,0 +1,30 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU pods per SURVEY.md §4
+("Distributed tier"): force the host platform and 8 virtual devices
+*before* jax initializes.
+"""
+
+import os
+
+# force CPU even when the session environment pins a TPU platform:
+# some TPU plugins (e.g. 'axon') override JAX_PLATFORMS at import time,
+# so set the config explicitly as well
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
