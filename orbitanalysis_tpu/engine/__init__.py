@@ -1,3 +1,15 @@
 from orbitanalysis_tpu.engine.tracker import track_orbits  # noqa: F401
+from orbitanalysis_tpu.engine.scan import (  # noqa: F401
+    CountingCarry,
+    scan_counts,
+    scan_events,
+    stack_batches,
+)
 
-__all__ = ["track_orbits"]
+__all__ = [
+    "track_orbits",
+    "CountingCarry",
+    "scan_counts",
+    "scan_events",
+    "stack_batches",
+]

@@ -1,0 +1,108 @@
+"""Device-resident snapshot-sequence driver via ``lax.scan``.
+
+The reference walks the snapshot axis with a host Python loop, reloading
+state each iteration (``/root/reference/orbitanalysis/track_orbits.py:104``).
+The time axis is a true dependency chain (each step consumes the previous
+step's per-particle state, ``track_orbits.py:234-240``), so the TPU-native
+formulation is a ``lax.scan`` with the per-particle carry resident in HBM
+and the snapshot stack either pre-staged in HBM or fed per-step by the
+host pipeline in :mod:`orbitanalysis_tpu.engine.tracker`.
+
+Two variants:
+
+- :func:`scan_events` — emits the per-step apsis event tensors needed by
+  the savefile writer (apsis mask + angle at apsis, prev-snapshot layout);
+- :func:`scan_counts` — accumulates per-particle apsis counts in the carry
+  and emits nothing per step: the pure-throughput configuration used for
+  benchmarking and for on-device orbit-count censuses
+  (the device-side equivalent of ``postprocessing.py:133-142``'s
+  per-halo counting, without materializing intermediate catalogs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbitanalysis_tpu.ops.apsis import Carry, SnapshotBatch, make_orbit_step
+
+
+class CountingCarry(NamedTuple):
+    """Carry for the count-accumulating scan: the tracking carry plus a
+    per-slot apsis counter aligned with the *current* snapshot layout."""
+
+    track: Carry
+    counts: jnp.ndarray  # [H, P] int32, current-snapshot slot layout
+
+
+def scan_events(
+    carry: Carry,
+    snaps: SnapshotBatch,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+):
+    """Run the fused orbit step over a stacked snapshot sequence.
+
+    ``snaps`` is a :class:`SnapshotBatch` whose leaves carry a leading
+    snapshot axis ``[S, ...]`` (``mass``/``bulk_vel`` may be ``None``;
+    ``hubble_drag`` may be scalar or ``[S]``).  Returns
+    ``(final_carry, (apsis [S,H,P] bool, apsis_angle [S,H,P]))`` with the
+    event tensors in previous-snapshot slot layout, exactly what the
+    savefile writer compacts (``track_orbits.py:199-217``).
+    """
+    step = make_orbit_step(mode=mode, box_size=box_size, id_dtype=id_dtype)
+
+    def body(c, s):
+        c, ev = step(c, s)
+        return c, (ev.apsis, ev.apsis_angle)
+
+    return jax.lax.scan(body, carry, snaps)
+
+
+def scan_counts(
+    carry: CountingCarry,
+    snaps: SnapshotBatch,
+    mode: str = "pericentric",
+    box_size=None,
+    angle_cut: float = 0.0,
+    id_dtype=jnp.int32,
+):
+    """Scan that keeps cumulative per-particle apsis counts on device.
+
+    Counts ride the ID-matched slot permutation each step (entered
+    particles restart at 0, matching region-entry semantics at
+    ``track_orbits.py:180-183``).  ``angle_cut`` filters spurious
+    in-subhalo passages exactly like collation does
+    (``postprocessing.py:121-128``) but on device, fused into the scan.
+
+    Returns ``(final CountingCarry, total apsis events per step [S])``.
+    """
+    from orbitanalysis_tpu.ops.join import gather_rows
+
+    step = make_orbit_step(
+        mode=mode, box_size=box_size, id_dtype=id_dtype, with_prev_slot=True
+    )
+
+    def body(c: CountingCarry, s):
+        track, ev = step(c.track, s)
+        hit = ev.apsis & (ev.apsis_angle > angle_cut)
+        counts_prev = c.counts + hit.astype(c.counts.dtype)
+        # re-index counts from prev layout to the new snapshot's layout
+        # via the slot map the step already computed; entered / padding
+        # slots reset to zero (region-entry semantics).
+        counts_new = gather_rows(counts_prev, ev.prev_slot, fill=0)
+        return (
+            CountingCarry(track=track, counts=counts_new),
+            jnp.sum(hit, dtype=jnp.int32),
+        )
+
+    return jax.lax.scan(body, carry, snaps)
+
+
+def stack_batches(batches):
+    """Stack per-snapshot :class:`SnapshotBatch` pytrees along a new
+    leading snapshot axis (host-side helper for pre-staging sequences)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)

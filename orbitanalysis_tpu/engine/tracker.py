@@ -131,28 +131,10 @@ class _DeviceEngine:
         c = jax.device_get(self.carry)
         grown = Carry(
             ids=np.pad(c.ids, ((0, 0), (0, pad)), constant_values=self.invalid),
-            sorted_ids=np.pad(
-                c.sorted_ids, ((0, 0), (0, pad)), constant_values=self.invalid
-            ),
-            order=np.pad(
-                c.order, ((0, 0), (0, pad)),
-                mode="constant",
-                constant_values=0,
-            ),
-            rhat=np.pad(c.rhat, ((0, 0), (0, pad), (0, 0))),
+            rhat=np.pad(c.rhat, ((0, 0), (0, 0), (0, pad))),
             vrad=np.pad(c.vrad, ((0, 0), (0, pad))),
             angles=np.pad(c.angles, ((0, 0), (0, pad))),
         )
-        # fix the sorted permutation for the appended invalid slots: they
-        # sort after existing entries in ascending id order already (the
-        # sentinel is the dtype max), so append their indices at the end.
-        order = np.concatenate(
-            [c.order, np.broadcast_to(
-                np.arange(self.capacity, new_capacity, dtype=c.order.dtype),
-                (self.n_halos, pad))],
-            axis=1,
-        )
-        grown = grown._replace(order=order)
         self.capacity = new_capacity
         self.carry = self._place(grown)
 

@@ -6,8 +6,9 @@ fuses what the reference spreads across ``region_frame``,
 (``/root/reference/orbitanalysis/track_orbits.py:247-351``) and runs it for
 *all* halos at once on the padded ``[n_halos, capacity]`` state:
 
-  gather/pack -> periodic recenter -> bulk velocity -> radial velocity
-  -> sorted-join ID match -> sign-flip apsis flag -> angle accumulate/reset
+  pack -> periodic recenter -> bulk velocity -> radial velocity
+  -> gather-free sort-merge ID join -> sign-flip apsis flag
+  -> angle accumulate/reset
 
 Carried state (the reference's ``*_prev`` arrays at
 ``track_orbits.py:234-240``) lives in HBM between steps; the host only
@@ -16,6 +17,15 @@ can be driven by a Python loop (host-fed snapshots), ``lax.scan``
 (HBM-resident snapshots), or sharded over a device mesh along the halo
 axis (the TPU-native replacement for the reference's per-halo process
 pool, ``track_orbits.py:189-194``).
+
+TPU performance design (measured on v5e): ``searchsorted`` /
+``take_along_axis`` lower to binary-search loops and gathers that run
+~100x slower than ``lax.sort``, so the ID cross-match and all payload
+movement between the previous and current particle layouts go through
+:func:`orbitanalysis_tpu.ops.join.merge_join` — two variadic sorts and
+neighbor shifts, zero gathers.  Unit vectors are carried in
+structure-of-arrays ``[3, H, P]`` layout so the minor axis fills the
+128-wide lanes (a ``[..., 3]`` minor axis wastes 125/128 of each tile).
 
 Semantics notes (kept deliberately identical to the reference):
 
@@ -43,24 +53,17 @@ import jax
 import jax.numpy as jnp
 
 from orbitanalysis_tpu.ops.geometry import region_frame
-from orbitanalysis_tpu.ops.join import (
-    SortedRows,
-    gather_rows,
-    match_ids,
-    sort_rows,
-)
+from orbitanalysis_tpu.ops.join import merge_join
 from orbitanalysis_tpu.utils.padding import invalid_id_for
 
 
 class Carry(NamedTuple):
     """Per-particle state carried across the snapshot scan."""
 
-    ids: jnp.ndarray         # [H, P] particle IDs, load order, sentinel-padded
-    sorted_ids: jnp.ndarray  # [H, P] sorted row form (reused next step)
-    order: jnp.ndarray       # [H, P] argsort permutation of ``ids``
-    rhat: jnp.ndarray        # [H, P, 3]
-    vrad: jnp.ndarray        # [H, P]
-    angles: jnp.ndarray      # [H, P] cumulative angle since last apsis/entry
+    ids: jnp.ndarray     # [H, P] particle IDs, load order, sentinel-padded
+    rhat: jnp.ndarray    # [3, H, P] radial unit vectors (SoA layout)
+    vrad: jnp.ndarray    # [H, P]
+    angles: jnp.ndarray  # [H, P] cumulative angle since last apsis/entry
 
 
 class SnapshotBatch(NamedTuple):
@@ -87,6 +90,8 @@ class StepEvents(NamedTuple):
     entered: jnp.ndarray      # [H, P] bool, cur layout
     radius: jnp.ndarray       # [H, P], cur layout
     bulk_vel: jnp.ndarray     # [H, 3]
+    prev_slot: jnp.ndarray    # [H, P] int32, cur layout: prev slot of each
+    #                           current particle, -1 = entered/padding
 
 
 def init_carry(
@@ -98,15 +103,9 @@ def init_carry(
 ) -> Carry:
     """All-invalid carry: every halo behaves as 'no progenitor yet'."""
     invalid = invalid_id_for(id_dtype)
-    ids = jnp.full((n_halos, capacity), invalid, dtype=id_dtype)
-    order = jnp.tile(jnp.arange(capacity, dtype=jnp.int32)[None, :], (n_halos, 1))
     return Carry(
-        ids=ids,
-        # distinct buffer from ``ids``: the two leaves must not alias, or
-        # argument donation would donate the same buffer twice
-        sorted_ids=jnp.full((n_halos, capacity), invalid, dtype=id_dtype),
-        order=order,
-        rhat=jnp.zeros((n_halos, capacity, 3), dtype=pos_dtype),
+        ids=jnp.full((n_halos, capacity), invalid, dtype=id_dtype),
+        rhat=jnp.zeros((3, n_halos, capacity), dtype=pos_dtype),
         vrad=jnp.zeros((n_halos, capacity), dtype=pos_dtype),
         angles=jnp.zeros((n_halos, capacity), dtype=angle_dtype),
     )
@@ -117,11 +116,16 @@ def make_orbit_step(
     box_size=None,
     id_dtype=jnp.int32,
     angle_dtype=jnp.float32,
+    with_prev_slot: bool = False,
 ):
     """Build the fused per-snapshot step for a fixed configuration.
 
     Returns ``step(carry, snap) -> (carry, StepEvents)`` — a pure function
     suitable for ``jax.jit``, ``lax.scan`` and mesh sharding.
+
+    ``with_prev_slot=True`` additionally emits the cur->prev slot map
+    (``StepEvents.prev_slot``, used by the on-device count accumulator);
+    off by default to save a restore-sort channel.
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -146,57 +150,69 @@ def make_orbit_step(
             hubble_drag=snap.hubble_drag,
         )
 
-        cur_sorted = sort_rows(snap.ids)
-        prev_sorted = SortedRows(ids=carry.sorted_ids, order=carry.order)
-        prev_slot_of_cur = match_ids(snap.ids, prev_sorted, invalid)
-        cur_slot_of_prev = match_ids(carry.ids, cur_sorted, invalid)
+        def compute(left_vals, this_vals, matched):
+            """Apsis detection at the merged (matched-pair) positions.
 
-        matched_prev = cur_slot_of_prev >= 0
-        departed = valid_prev & ~matched_prev
-        entered = valid_cur & (prev_slot_of_cur < 0)
+            At a matched cur entry, ``left_vals`` are its prev partner's
+            payloads (garbage elsewhere — everything is masked by
+            ``matched``).
+            """
+            vr0, rx0, ry0, rz0, ang0 = left_vals
+            vr1, rx1, ry1, rz1, _ = this_vals
+            cosang = jnp.clip(rx0 * rx1 + ry0 * ry1 + rz0 * rz1, -1.0, 1.0)
+            dtheta = jnp.where(matched, jnp.arccos(cosang), 0.0)
+            if pericentric:
+                flip = (vr0 < 0) & (vr1 > 0)
+            else:
+                flip = (vr0 > 0) & (vr1 < 0)
+            apsis = matched & flip
+            angle_acc = (ang0 + dtheta.astype(angle_dtype)).astype(
+                angle_dtype
+            )
+            apsis_angle = jnp.where(apsis, angle_acc, 0).astype(angle_dtype)
+            angle_new = jnp.where(apsis, 0, angle_acc).astype(angle_dtype)
+            # (to_prev, to_cur) pairs; apsis_angle and angle_new share a
+            # channel (prev/cur destinations are disjoint)
+            return (
+                (apsis, None),
+                (apsis_angle, angle_new),
+                (dtheta, None),
+            )
 
-        # --- prev-layout: apsis detection + angle accumulation ---------
-        vr_now = gather_rows(frame.vrad, cur_slot_of_prev)
-        rhat_now = gather_rows(frame.rhat, cur_slot_of_prev)
-        cosang = jnp.clip(
-            jnp.sum(carry.rhat * rhat_now, axis=-1), -1.0, 1.0
+        mj = merge_join(
+            carry.ids,
+            snap.ids,
+            invalid,
+            values=(
+                (carry.vrad, frame.vrad),
+                (carry.rhat[0], frame.rhat[0]),
+                (carry.rhat[1], frame.rhat[1]),
+                (carry.rhat[2], frame.rhat[2]),
+                (carry.angles, None),
+            ),
+            compute=compute,
+            with_prev_slot=with_prev_slot,
         )
-        dtheta = jnp.where(matched_prev, jnp.arccos(cosang), 0.0)
-
-        if pericentric:
-            flip = (carry.vrad < 0) & (vr_now > 0)
-        else:
-            flip = (carry.vrad > 0) & (vr_now < 0)
-        apsis = matched_prev & flip
-
-        angle_acc = (carry.angles + dtheta.astype(angle_dtype)).astype(
-            angle_dtype
-        )
-        apsis_angle = jnp.where(apsis, angle_acc, 0).astype(angle_dtype)
-        angle_after = jnp.where(apsis, 0, angle_acc).astype(angle_dtype)
-
-        # --- cur-layout: new carried angles -----------------------------
-        angles_new = gather_rows(angle_after, prev_slot_of_cur).astype(
-            angle_dtype
-        )
+        apsis, _ = mj.to_prev[0], mj.to_cur[0]
+        apsis_angle, angles_new = mj.to_prev[1], mj.to_cur[1]
+        dtheta = mj.to_prev[2]
 
         new_carry = Carry(
             ids=snap.ids,
-            sorted_ids=cur_sorted.ids,
-            order=cur_sorted.order,
             rhat=frame.rhat,
             vrad=frame.vrad,
-            angles=angles_new,
+            angles=angles_new.astype(angle_dtype),
         )
         events = StepEvents(
             apsis=apsis,
             apsis_angle=apsis_angle,
             dtheta=dtheta,
-            matched_prev=matched_prev,
-            departed=departed,
-            entered=entered,
+            matched_prev=mj.matched_prev,
+            departed=valid_prev & ~mj.matched_prev,
+            entered=valid_cur & ~mj.matched_cur,
             radius=frame.radius,
             bulk_vel=frame.bulk_vel,
+            prev_slot=mj.prev_slot_of_cur,
         )
         return new_carry, events
 

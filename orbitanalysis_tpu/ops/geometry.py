@@ -9,6 +9,13 @@ whole padded ``[n_halos, capacity]`` batch in one fused XLA region: the
 periodic wrap, bulk-velocity reduction, Hubble term, radii, unit vectors
 and radial velocities all fuse into a single pass over HBM.
 
+Layout note: coordinates arrive in the host-natural ``[H, P, 3]`` layout
+but are immediately transposed to structure-of-arrays ``[3, H, P]``.  On
+TPU the last dimension maps to the 128-wide lane dimension; keeping a
+size-3 minor axis would waste 125/128 of every vector register and memory
+tile, so all per-component math runs on ``[H, P]`` planes and the unit
+vectors are returned as ``[3, H, P]``.
+
 All reductions are masked: padding slots (``valid == False``) contribute
 zero weight to the bulk velocity and produce benign values elsewhere.
 """
@@ -28,7 +35,7 @@ class RegionFrame(NamedTuple):
     """Per-particle quantities in each halo's rest frame."""
 
     radius: jnp.ndarray  # [H, P]    distance from halo center
-    rhat: jnp.ndarray    # [H, P, 3] radial unit vector
+    rhat: jnp.ndarray    # [3, H, P] radial unit vector (SoA layout)
     vrad: jnp.ndarray    # [H, P]    radial velocity (frame-corrected)
     bulk_vel: jnp.ndarray  # [H, 3]  bulk velocity used for each region
 
@@ -62,34 +69,40 @@ def region_frame(
     the division so a particle exactly at the center yields 0 instead of NaN.
     """
     w = valid.astype(pos.dtype)
-    rel = pos - center[:, None, :]
+    pos3 = jnp.moveaxis(pos, -1, 0)    # [3, H, P]
+    vel3 = jnp.moveaxis(vel, -1, 0)
+    rel = pos3 - center.T[:, :, None]
     if box_size is not None:
         rel = periodic_displacement(rel, box_size)
     # Zero out padding so garbage slots can't produce inf/nan that would
     # propagate through reductions.
-    rel = rel * w[..., None]
+    rel = rel * w[None]
 
     if bulk_vel is None:
         if mass is not None:
             wm = w * mass
         else:
             wm = w
-        denom = jnp.maximum(jnp.sum(wm, axis=1), _EPS)
-        bulk_vel = jnp.sum(wm[..., None] * vel, axis=1) / denom[:, None]
-    bulk_vel = bulk_vel.astype(vel.dtype)
+        denom = jnp.maximum(jnp.sum(wm, axis=-1), _EPS)   # [H]
+        bulk3 = jnp.sum(wm[None] * vel3, axis=-1) / denom[None]  # [3, H]
+    else:
+        bulk3 = bulk_vel.T
+    bulk3 = bulk3.astype(vel.dtype)
 
     # hubble_drag may be a traced scalar; adding the (possibly zero) term
     # unconditionally keeps the step retrace-free across snapshots.
     vrel = (
-        vel
-        - bulk_vel[:, None, :]
+        vel3
+        - bulk3[:, :, None]
         + jnp.asarray(hubble_drag, dtype=vel.dtype) * rel
     )
 
-    r2 = jnp.sum(rel * rel, axis=-1)
+    r2 = rel[0] * rel[0] + rel[1] * rel[1] + rel[2] * rel[2]
     radius = jnp.sqrt(r2)
     inv_r = jnp.where(radius > 0, 1.0 / jnp.maximum(radius, _EPS), 0.0)
-    rhat = rel * inv_r[..., None]
-    vrad = jnp.sum(vrel * rhat, axis=-1) * w
+    rhat = rel * inv_r[None]
+    vrad = (
+        vrel[0] * rhat[0] + vrel[1] * rhat[1] + vrel[2] * rhat[2]
+    ) * w
 
-    return RegionFrame(radius=radius, rhat=rhat, vrad=vrad, bulk_vel=bulk_vel)
+    return RegionFrame(radius=radius, rhat=rhat, vrad=vrad, bulk_vel=bulk3.T)

@@ -3,18 +3,25 @@
 This replaces the reference's irregular set machinery — ``myin1d``'s
 double-argsort (``/root/reference/orbitanalysis/utils.py:4-11``) and the
 ``setdiff1d``/``in1d``/``delete`` dance in ``compare_radial_velocities``
-(``track_orbits.py:300-309``) — with a TPU-native sort-merge join:
+(``track_orbits.py:300-309``) — with TPU-native joins.
 
-1. each halo row's IDs are sorted once (``lax.sort`` batches over the halo
-   axis natively; padding uses the dtype-max sentinel so it sorts to the
-   end);
-2. membership and position lookups are vmapped binary searches
-   (``searchsorted``) into the sorted row;
-3. departed/entered/matched sets become boolean masks — no dynamic shapes.
+Two implementations:
 
-A row's sorted form is computed once per snapshot and carried to the next
-step, so the steady-state cost is one argsort + two batched binary
-searches per snapshot.
+1. :func:`merge_join` — the hot path.  A *gather-free* sort-merge join:
+   concatenate the previous and current ID rows, one variadic
+   ``lax.sort`` with the value payloads riding the keys, neighbor-shift
+   comparison to pair matching prev/cur entries, then one restore sort
+   back to slot order.  On TPU, ``lax.sort`` is a native fast op while
+   ``searchsorted``'s binary-search loop and ``take_along_axis``'s
+   gathers are catastrophically slow (measured ~350 ms vs ~2 ms for the
+   sort at [64, 32768] on v5e) — so everything irregular is expressed as
+   sorts of key+payload tuples and element shifts, never as gathers.
+
+2. :func:`match_ids` / :func:`sort_rows` / :func:`gather_rows` — the
+   simple searchsorted-based formulation, kept for small/host-side uses
+   (progenitor linking, tests) where clarity beats lane efficiency.
+
+Departed/entered/matched sets are boolean masks — no dynamic shapes.
 
 Assumption (inherited from the reference): particle IDs are unique within
 a single halo region.  The same ID may appear in multiple regions.
@@ -82,6 +89,192 @@ def two_way_match(
     return TwoWayMatch(
         prev_slot_of_cur=match_ids(cur_ids, prev_sorted, invalid_id),
         cur_slot_of_prev=match_ids(prev_ids, cur_sorted, invalid_id),
+    )
+
+
+class MergeJoin(NamedTuple):
+    """Outputs of the gather-free sort-merge join between two ID rows.
+
+    "prev layout" = slot order of the previous row, "cur layout" = slot
+    order of the current row (the reference's within-halo output order).
+    """
+
+    matched_prev: jnp.ndarray   # [H, P] bool, prev layout
+    matched_cur: jnp.ndarray    # [H, P] bool, cur layout
+    prev_slot_of_cur: jnp.ndarray  # [H, P] int32, cur layout, -1 = none
+    to_prev: tuple              # computed channels, prev layout
+    to_cur: tuple               # computed channels, cur layout
+
+
+def _shift_right(x, fill):
+    """Value at the left neighbor (index i-1) along the last axis."""
+    return jnp.concatenate(
+        [jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1
+    )
+
+
+def _shift_left(x, fill):
+    """Value at the right neighbor (index i+1) along the last axis."""
+    return jnp.concatenate(
+        [x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1
+    )
+
+
+def merge_join(
+    prev_ids: jnp.ndarray,   # [H, P]
+    cur_ids: jnp.ndarray,    # [H, P]
+    invalid_id,
+    values: tuple = (),      # ((prev_arr|None, cur_arr|None), ...) pairs
+    compute=None,
+    with_prev_slot: bool = True,
+) -> MergeJoin:
+    """Match IDs between two rows, exchanging/transforming payloads —
+    with zero gather ops.
+
+    Both rows are concatenated to ``[H, 2P]`` and sorted by ``(id, side)``
+    with all payloads riding the sort (``lax.sort`` is variadic and
+    TPU-native); matched pairs are then *adjacent* (prev first), so the
+    pairing is a neighbor-shift comparison; a second sort keyed by the
+    original position restores slot order.
+
+    Channel economy: since every merged position holds *either* a prev
+    *or* a cur entry, each value channel is a pair ``(prev_arr, cur_arr)``
+    sharing one ``[H, 2P]`` sort operand (pass ``None`` for a missing
+    half).  For 32-bit IDs, the side bit is packed into the key
+    (``key = id << 1 | side`` as uint32) so the merge sort runs with a
+    single comparator key.
+
+    ``compute(left_vals, this_vals, matched) -> outputs`` runs at the
+    merged positions: for each channel, ``this_vals`` is the value at the
+    position and ``left_vals`` the left neighbor's (for a matched cur
+    entry: its prev partner's value; garbage elsewhere — mask with
+    ``matched``).  ``outputs`` is a tuple of ``(to_prev, to_cur)`` pairs
+    (either half may be ``None``; both halves of a pair must share a
+    dtype): ``to_prev`` is routed to the prev partner's slot, ``to_cur``
+    stays at the current entry's slot; unmatched slots receive zeros.
+    With ``compute=None`` the raw payloads are exchanged (each channel's
+    prev half lands in cur layout and vice versa).
+    """
+    h, p = prev_ids.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
+    sp = jnp.concatenate([iota, iota + p], axis=1)  # position key
+
+    def cat(a, b):
+        return jnp.concatenate([a, b], axis=1)
+
+    id_bits = jnp.dtype(prev_ids.dtype).itemsize * 8
+    pack_key = id_bits <= 32
+    if pack_key:
+        # single-key path: key = id << 1 | side (uint32).  Safe because
+        # the invalid sentinel is the dtype max, so id < 2^31 always.
+        keys = (cat(prev_ids, cur_ids).astype(jnp.uint32) << 1) | (
+            sp >= p
+        ).astype(jnp.uint32)
+        invalid_key = jnp.uint32(int(invalid_id)) << 1
+        sort_keys, num_keys = (keys,), 1
+    else:
+        keys = cat(prev_ids, cur_ids)
+        sort_keys, num_keys = (keys, sp), 2
+
+    channels = tuple(
+        cat(
+            pv if pv is not None else jnp.zeros_like(cv),
+            cv if cv is not None else jnp.zeros_like(pv),
+        )
+        for pv, cv in values
+    )
+
+    sorted_ops = jax.lax.sort(
+        sort_keys + (sp,) * (1 if pack_key else 0) + channels,
+        dimension=-1,
+        num_keys=num_keys,
+    )
+    if pack_key:
+        k_s, sp_s = sorted_ops[0], sorted_ops[1]
+        chan_s = sorted_ops[2:]
+        is_cur = (k_s & 1) == 1
+        ids_s = k_s >> 1
+        valid_key = ids_s != (invalid_key >> 1)
+    else:
+        k_s, sp_s = sorted_ops[0], sorted_ops[1]
+        chan_s = sorted_ops[2:]
+        is_cur = sp_s >= p
+        ids_s = k_s
+        valid_key = k_s != invalid_id
+
+    left_is_prev = ~_shift_right(is_cur, True)
+    # a cur entry matches when its left neighbor is the prev entry with
+    # the same (valid) ID; the (id, side) ordering puts prev first
+    match_cur_m = (
+        is_cur
+        & left_is_prev
+        & valid_key
+        & (ids_s == _shift_right(ids_s, jnp.asarray(invalid_id, ids_s.dtype)))
+    )
+    match_prev_m = _shift_left(match_cur_m, False)
+
+    left_vals = tuple(_shift_right(c, 0) for c in chan_s)
+
+    if compute is None:
+        # raw exchange: prev half -> cur layout, cur half -> prev layout
+        outputs = tuple((c, l) for l, c in zip(left_vals, chan_s))
+    else:
+        outputs = compute(left_vals, chan_s, match_cur_m)
+
+    # fold each (to_prev, to_cur) pair into one restore channel:
+    # to_prev moves one slot left (to the prev partner), to_cur stays;
+    # the two position sets are disjoint, unmatched slots get zeros
+    def fold(tp, tc):
+        if tp is None and tc is None:
+            raise ValueError("output pair with both halves None")
+        if tp is None:
+            z = jnp.zeros_like(tc)
+            return jnp.where(match_cur_m, tc, z)
+        moved = jnp.where(
+            match_prev_m, _shift_left(tp, 0), jnp.zeros_like(tp)
+        )
+        if tc is None:
+            return moved
+        return jnp.where(
+            is_cur, jnp.where(match_cur_m, tc, jnp.zeros_like(tc)), moved
+        )
+
+    out_chans = tuple(fold(tp, tc) for tp, tc in outputs)
+    flags = match_cur_m.astype(jnp.int32) + 2 * match_prev_m.astype(
+        jnp.int32
+    )
+    slot_chan = ()
+    if with_prev_slot:
+        slot_chan = (
+            jnp.where(match_cur_m, _shift_right(sp_s, 0), jnp.int32(-1)),
+        )
+
+    # restore to slot order: position key is unique in [0, 2P)
+    restore_ops = jax.lax.sort(
+        (sp_s, flags) + slot_chan + out_chans, dimension=-1, num_keys=1
+    )
+    flags_r = restore_ops[1]
+    k = 2
+    prev_slot = None
+    if with_prev_slot:
+        prev_slot = restore_ops[k][:, p:]
+        k += 1
+    out_r = restore_ops[k:]
+
+    def split(chan, tp, tc):
+        return (
+            chan[:, :p] if tp is not None else None,
+            chan[:, p:] if tc is not None else None,
+        )
+
+    halves = tuple(split(c, tp, tc) for c, (tp, tc) in zip(out_r, outputs))
+
+    return MergeJoin(
+        matched_prev=(flags_r[:, :p] & 2) > 0,
+        matched_cur=(flags_r[:, p:] & 1) > 0,
+        prev_slot_of_cur=prev_slot,
+        to_prev=tuple(hp for hp, _ in halves),
+        to_cur=tuple(hc for _, hc in halves),
     )
 
 

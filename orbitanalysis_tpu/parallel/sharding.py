@@ -27,9 +27,16 @@ def tree_sharding_specs(tree, mesh: Mesh):
         ndim = np.ndim(leaf)
         if ndim == 0:
             return P()
-        parts = ["halos"] + [None] * (ndim - 1)
-        if ndim >= 2 and has_particles and np.shape(leaf)[1] > 4:
-            parts[1] = "particles"
+        shape = np.shape(leaf)
+        if ndim >= 2 and shape[0] == 3:
+            # SoA vector leaf [3, H, P]: axis 0 is the component axis
+            parts = [None, "halos"] + [None] * (ndim - 2)
+            if ndim >= 3 and has_particles and shape[2] > 4:
+                parts[2] = "particles"
+        else:
+            parts = ["halos"] + [None] * (ndim - 1)
+            if ndim >= 2 and has_particles and shape[1] > 4:
+                parts[1] = "particles"
         return P(*parts)
 
     return jax.tree.map(spec, tree)
