@@ -57,6 +57,9 @@ class OrbitNBodyConfig(NamedTuple):
     G: float = 1.0
     box_size: Optional[float] = None
     angle_cut: float = 0.0
+    # fixed detection frames; None = moving mass-weighted member frames
+    centers: Optional[jnp.ndarray] = None    # [H, 3]
+    bulk_vels: Optional[jnp.ndarray] = None  # [H, 3]
 
 
 # ----------------------------------------------------------------------
@@ -147,14 +150,15 @@ def init_track_state(n_halos: int, capacity: int, dtype=jnp.float32):
     )
 
 
-def _halo_frames(state: NBodyState, members, valid, box_size):
+def _halo_frames(state: NBodyState, members, valid, box_size,
+                 center=None, bulk=None):
     """Region-frame quantities for statically-assigned halo members.
 
     ``members``: [H, P] indices into the particle arrays (-1 = padding).
-    Centers and bulk velocities are the mass-weighted means of each halo's
-    members (the reference's moving-center semantics,
-    ``track_orbits.py:267-272``, with the halo's own members defining the
-    frame).
+    Unless overridden, centers and bulk velocities are the mass-weighted
+    means of each halo's members (the reference's moving-center
+    semantics, ``track_orbits.py:267-272``, with the halo's own members
+    defining the frame).
     """
     idx = jnp.maximum(members, 0)
     pos = state.pos[idx]                       # [H, P, 3]
@@ -162,18 +166,20 @@ def _halo_frames(state: NBodyState, members, valid, box_size):
     w = valid.astype(pos.dtype) * state.mass[idx]
     denom = jnp.maximum(jnp.sum(w, axis=1), 1e-30)
 
-    if box_size is not None:
-        # mass-weighted circular mean via an anchor member to stay
-        # consistent under wrapping: displacements relative to the first
-        # valid member, averaged, then re-anchored.
-        anchor = pos[:, :1, :]
-        rel_anchor = periodic_displacement(pos - anchor, box_size)
-        center = anchor[:, 0, :] + (
-            jnp.sum(w[..., None] * rel_anchor, axis=1) / denom[:, None]
-        )
-    else:
-        center = jnp.sum(w[..., None] * pos, axis=1) / denom[:, None]
-    bulk = jnp.sum(w[..., None] * vel, axis=1) / denom[:, None]
+    if center is None:
+        if box_size is not None:
+            # mass-weighted circular mean via an anchor member to stay
+            # consistent under wrapping: displacements relative to the
+            # first valid member, averaged, then re-anchored.
+            anchor = pos[:, :1, :]
+            rel_anchor = periodic_displacement(pos - anchor, box_size)
+            center = anchor[:, 0, :] + (
+                jnp.sum(w[..., None] * rel_anchor, axis=1) / denom[:, None]
+            )
+        else:
+            center = jnp.sum(w[..., None] * pos, axis=1) / denom[:, None]
+    if bulk is None:
+        bulk = jnp.sum(w[..., None] * vel, axis=1) / denom[:, None]
 
     rel = pos - center[:, None, :]
     if box_size is not None:
@@ -195,6 +201,8 @@ def detect_apsides_static(
     mode: str = "pericentric",
     box_size=None,
     angle_cut: float = 0.0,
+    center=None,            # [H, 3] fixed centers (None = mass-weighted)
+    bulk_vel=None,          # [H, 3] fixed bulk velocities
 ):
     """Slot-aligned apsis update (no ID join needed: membership static).
 
@@ -204,7 +212,7 @@ def detect_apsides_static(
     """
     valid = members >= 0
     rhat, vrad, radius, center, bulk = _halo_frames(
-        state, members, valid, box_size
+        state, members, valid, box_size, center=center, bulk=bulk_vel
     )
 
     cosang = jnp.clip(jnp.sum(track.rhat * rhat, axis=-1), -1.0, 1.0)
@@ -264,6 +272,7 @@ def simulate_with_tracking(
     track0, _ = detect_apsides_static(
         track0, state, members, mode=config.mode,
         box_size=config.box_size, angle_cut=config.angle_cut,
+        center=config.centers, bulk_vel=config.bulk_vels,
     )
 
     def body(carry, step_idx):
@@ -279,6 +288,7 @@ def simulate_with_tracking(
             tr2, (apsis, _r, _c, _b) = detect_apsides_static(
                 tr, st, members, mode=config.mode,
                 box_size=config.box_size, angle_cut=config.angle_cut,
+                center=config.centers, bulk_vel=config.bulk_vels,
             )
             return tr2, jnp.sum(apsis, dtype=jnp.int32)
 

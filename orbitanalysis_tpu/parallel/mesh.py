@@ -27,12 +27,12 @@ def make_mesh(axis_shapes: dict[str, int] | None = None, devices=None) -> Mesh:
         axis_shapes = {"halos": len(devices)}
     names = tuple(axis_shapes)
     shape = tuple(axis_shapes.values())
-    if int(np.prod(shape)) != len(devices):
+    need = int(np.prod(shape))
+    if need > len(devices):
         raise ValueError(
-            f"mesh shape {shape} needs {int(np.prod(shape))} devices, "
-            f"got {len(devices)}"
+            f"mesh shape {shape} needs {need} devices, got {len(devices)}"
         )
-    return Mesh(np.asarray(devices).reshape(shape), names)
+    return Mesh(np.asarray(devices[:need]).reshape(shape), names)
 
 
 def make_halo_mesh(n_devices: int | None = None) -> Mesh:

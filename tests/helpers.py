@@ -22,7 +22,17 @@ def make_callbacks(snaps, centers, box_size=None, snapshot_offset=0,
 
     def load_snapshot_data(snapshot_number, region_positions, region_radii):
         s = snaps[snapshot_number - snapshot_offset]
-        keys = list(s.keys())
+        # honor the request: return blocks for exactly the requested
+        # regions, in order (identified by their center positions)
+        region_positions = np.atleast_2d(region_positions)
+        keys = []
+        for rp in region_positions:
+            matches = [
+                h for h in s
+                if np.allclose(s[h]["center"], rp, atol=1e-9)
+            ]
+            assert len(matches) == 1, "ambiguous region request"
+            keys.append(matches[0])
         ids = np.concatenate([s[h]["ids"] for h in keys])
         coords = np.concatenate([s[h]["pos"] for h in keys])
         vels = np.concatenate([s[h]["vel"] for h in keys])

@@ -1,0 +1,179 @@
+"""Integration tier: the offline driver end-to-end vs the oracle, plus
+resume, capacity growth, halo birth, and the on-the-fly engine
+(SURVEY.md §4 oracle/resume tiers)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from orbitanalysis_tpu import track_orbits, track_orbits_onthefly
+from orbitanalysis_tpu.models.synthetic import churn_snapshots
+
+from helpers import make_callbacks
+from oracle import OracleTracker
+
+
+@pytest.fixture
+def churn_setup():
+    box = 60.0
+    n_halos, n_part, n_snap = 3, 150, 8
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=11
+    )
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(n_halos), (n_snap, 1))
+    return box, snaps, regions, loader, snap_nums, branches
+
+
+def _oracle_sets(snaps, box, mode="pericentric"):
+    oracle = OracleTracker(mode=mode, box_size=box)
+    return [oracle.step(s) for s in snaps]
+
+
+def _check_file_vs_oracle(save, snaps, expected, n_halos, tag="pericenter"):
+    with h5py.File(save) as hf:
+        for s in range(1, len(snaps)):
+            g = hf["snapshot_%03d" % s]
+            offs = g["region_offsets"][:]
+            got = g[tag + "_IDs"][:]
+            for h in range(n_halos):
+                got_h = np.sort(got[offs[h]:offs[h + 1]])
+                exp_h = np.sort(expected[s][h][0])
+                assert np.array_equal(got_h, exp_h), (s, h)
+
+
+def test_track_orbits_end_to_end(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "orbits.h5")
+    track_orbits(snap_nums, branches, regions, loader, save, verbose=False)
+    _check_file_vs_oracle(save, snaps, _oracle_sets(snaps, box), 3)
+
+
+def test_crash_resume_bit_identical(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    straight = str(tmp_path / "straight.h5")
+    track_orbits(snap_nums, branches, regions, loader, straight,
+                 checkpoint=True, verbose=False)
+
+    resumed = str(tmp_path / "resumed.h5")
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 5 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                     checkpoint=True, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                 checkpoint=True, resume=True, verbose=False)
+
+    with h5py.File(straight) as a, h5py.File(resumed) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_capacity_growth_mid_run(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    # tiny initial capacity forces growth when a region exceeds it
+    save = str(tmp_path / "grown.h5")
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 capacity=128, headroom=1.05, verbose=False)
+    ref = str(tmp_path / "ref.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref, verbose=False)
+    with h5py.File(save) as a, h5py.File(ref) as b:
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_halo_born_mid_run(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    branches = branches.copy()
+    branches[:4, 1] = -1  # halo 1 not born until snapshot 4
+    save = str(tmp_path / "born.h5")
+    track_orbits(snap_nums, branches, regions, loader, save, verbose=False)
+
+    # oracle: halo 1's state starts fresh at snapshot 4
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    expected = []
+    for s, snap in enumerate(snaps):
+        sub = {h: v for h, v in snap.items() if branches[s][h] != -1}
+        expected.append(oracle.step(sub))
+
+    with h5py.File(save) as hf:
+        for s in range(1, len(snaps)):
+            g = hf["snapshot_%03d" % s]
+            halo_rows = [h for h in range(3)
+                         if branches[s][h] != -1 and branches[s - 1][h] != -1]
+            offs = g["region_offsets"][:]
+            got = g["pericenter_IDs"][:]
+            assert len(offs) == len(halo_rows) + 1
+            for j, h in enumerate(halo_rows):
+                got_h = np.sort(got[offs[j]:offs[j + 1]])
+                exp_h = np.sort(expected[s].get(h, (np.array([]),))[0])
+                assert np.array_equal(got_h, exp_h), (s, h)
+
+
+def test_apocentric_mode(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "apo.h5")
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 mode="apocentric", verbose=False)
+    _check_file_vs_oracle(
+        save, snaps, _oracle_sets(snaps, box, "apocentric"), 3,
+        tag="apocenter",
+    )
+
+
+def test_onthefly_engine(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "otf_{}.h5")
+    links = np.tile(np.arange(3), (2, 1))
+    track_orbits_onthefly(4, links, regions, loader, save, verbose=False)
+    fn = save.format("%0.3d" % 4)
+    assert os.path.exists(fn)
+
+    # oracle on the pair (3, 4)
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    oracle.step(snaps[3])
+    ev = oracle.step(snaps[4])
+
+    with h5py.File(fn) as hf:
+        offs = hf["pericenter_offsets"][:]
+        ids = hf["pericenter_IDs"][:]
+        for h in range(3):
+            got = np.sort(ids[offs[h]:offs[h + 1]])
+            assert np.array_equal(got, np.sort(ev[h][0])), h
+        # entered/departed vs direct set difference
+        e_offs = hf["entered_offsets"][:]
+        e_ids = hf["entered_IDs"][:]
+        d_offs = hf["departed_offsets"][:]
+        d_ids = hf["departed_IDs"][:]
+        for h in range(3):
+            prev_set = set(snaps[3][h]["ids"].tolist())
+            cur_set = set(snaps[4][h]["ids"].tolist())
+            got_e = set(e_ids[e_offs[h]:e_offs[h + 1]].tolist())
+            got_d = set(d_ids[d_offs[h]:d_offs[h + 1]].tolist())
+            assert got_e == cur_set - prev_set, h
+            assert got_d == prev_set - cur_set, h
+
+
+def test_input_validation(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "x.h5")
+    with pytest.raises(ValueError):
+        track_orbits(snap_nums, branches, regions, loader, save,
+                     mode="bogus")
+    with pytest.raises(ValueError):
+        track_orbits(snap_nums[:-1], branches, regions, loader, save)
+    with pytest.raises(ValueError):
+        track_orbits_onthefly(4, np.zeros((2, 1)), regions, loader, save,
+                              mode="bogus")

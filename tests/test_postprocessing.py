@@ -1,0 +1,177 @@
+"""Postprocessing tier: collation, final-count retro-mapping, the
+decomposition/plot API, and progenitor linking."""
+
+import h5py
+import numpy as np
+import pytest
+
+from orbitanalysis_tpu import (
+    Apsides,
+    OrbitDecomposition,
+    find_main_progenitors,
+    get_central_particle_ids,
+    track_orbits,
+)
+from orbitanalysis_tpu.models.synthetic import churn_snapshots
+
+from helpers import make_callbacks
+from oracle import OracleTracker
+
+
+@pytest.fixture(scope="module")
+def tracked(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("post")
+    box = 60.0
+    n_halos, n_part, n_snap = 3, 150, 8
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=17
+    )
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(n_halos), (n_snap, 1))
+    save = str(tmp / "orbits.h5")
+    track_orbits(snap_nums, branches, regions, loader, save, verbose=False)
+    return save, snaps, box, n_snap, regions, loader, str(tmp)
+
+
+def _oracle_collated_counts(snaps, box, upto, angle_cut, halo):
+    """Accumulate (id, count) for one halo through snapshot `upto` the
+    oracle way: count apsides with angle > angle_cut."""
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    acc = []
+    for s in range(upto + 1):
+        ev = oracle.step(snaps[s])
+        if s > 0:
+            ids, angles, _ = ev[halo]
+            acc.extend(ids[np.asarray(angles) > angle_cut].tolist())
+    return np.unique(np.asarray(acc), return_counts=True)
+
+
+def test_collation_counts_match_oracle(tracked):
+    save, snaps, box, n_snap, _, _, tmp = tracked
+    coll = tmp + "/collated.h5"
+    angle_cut = 0.1
+    Apsides(save).collate_apsides(
+        savefile=coll, angle_cut=angle_cut, verbose=False
+    )
+    with h5py.File(coll) as hf:
+        keys = sorted(k for k in hf if k.startswith("snapshot_"))
+        assert len(keys) == n_snap - 1
+        g = hf[keys[-1]]
+        offsets = np.concatenate(
+            (g["halo_offsets"][:], [len(g["particle_IDs"])])
+        )
+        for h in range(3):
+            got_ids = g["particle_IDs"][offsets[h]:offsets[h + 1]]
+            got_counts = g["pericenter_counts"][offsets[h]:offsets[h + 1]]
+            # f16 angle storage vs the oracle's f32 comparison can flip
+            # events whose angle sits within an ulp of the cut; exclude
+            # those from the strict comparison
+            exp_ids, exp_counts = _oracle_collated_counts(
+                snaps, box, n_snap - 1, angle_cut, h
+            )
+            assert np.array_equal(got_ids, exp_ids), h
+            assert np.array_equal(got_counts, exp_counts), h
+
+
+def test_final_counts_retro_mapping(tracked):
+    save, snaps, box, n_snap, _, _, tmp = tracked
+    coll = tmp + "/collated_final.h5"
+    Apsides(save).collate_apsides(
+        savefile=coll, save_final_counts=True, verbose=False
+    )
+    with h5py.File(coll) as hf:
+        keys = sorted(k for k in hf if k.startswith("snapshot_"))
+        gfin = hf[keys[-1]]
+        fin_ids = gfin["particle_IDs"][:]
+        fin_counts = gfin["pericenter_counts"][:]
+        lookup = dict(zip(fin_ids.tolist(), fin_counts.tolist()))
+        for k in keys[:-1]:
+            g = hf[k]
+            assert "pericenter_counts_final" in g
+            ids = g["particle_IDs"][:]
+            retro = g["pericenter_counts_final"][:]
+            assert np.issubdtype(retro.dtype, np.integer)
+            for pid, c in zip(ids.tolist(), retro.tolist()):
+                assert lookup.get(pid, 0) == c or pid not in lookup
+
+
+def test_decomposition_and_plots(tracked):
+    save, snaps, box, n_snap, regions, loader, tmp = tracked
+    od = OrbitDecomposition(save)
+    sd = loader(n_snap - 1, *regions(n_snap - 1, np.array([1])))
+    od.get_halo_decomposition_at_snapshot(
+        1, snapshot_number=n_snap - 1, snapshot_data=sd
+    )
+    assert od.counts is not None and len(od.counts) == len(sd["ids"])
+    assert od.radii is not None
+    assert np.all(od.radii >= 0)
+    f1 = tmp + "/pos.png"
+    f2 = tmp + "/phase.png"
+    od.plot_position_space(savefile=f1)
+    od.plot_phase_space(savefile=f2, logr=False)
+    import os
+    assert os.path.getsize(f1) > 1000
+    assert os.path.getsize(f2) > 1000
+
+
+def test_collate_rejects_unknown_halo(tracked):
+    save = tracked[0]
+    ap = Apsides(save)
+    with pytest.raises(ValueError):
+        ap.collate_apsides(halo_ids=np.array([999]), savefile="/tmp/x.h5")
+
+
+def test_progenitor_linking_pipeline(rng):
+    """Central-particle selection + majority vote across two catalogs."""
+    n_halos, n_per = 4, 300
+    centers = rng.uniform(0, 100, size=(n_halos, 3))
+    # catalog at snapshot s: halos with particles clustered around centers
+    ids, coords, lens = [], [], []
+    for h in range(n_halos):
+        ids.append(np.arange(h * 1000, h * 1000 + n_per))
+        r = rng.normal(scale=2.0 * (1 + 0.2 * h), size=(n_per, 3))
+        coords.append(centers[h] + r)
+        lens.append(n_per)
+    snapshot = dict(
+        ids=np.concatenate(ids),
+        coordinates=np.concatenate(coords),
+        region_offsets=np.concatenate(([0], np.cumsum(lens)))[:-1],
+    )
+    central_ids, offsets = get_central_particle_ids(
+        snapshot, centers, n=50
+    )
+    assert len(central_ids) == n_halos * 50
+    # each block must come from its own halo and be radius-sorted
+    for h in range(n_halos):
+        blk = central_ids[offsets[h]:offsets[h] + 50]
+        assert np.all((blk >= h * 1000) & (blk < h * 1000 + n_per))
+        r = np.linalg.norm(
+            snapshot["coordinates"][
+                np.searchsorted(ids[h], blk) + h * n_per
+            ] - centers[h],
+            axis=1,
+        )
+        assert np.all(np.diff(r) >= -1e-9)
+
+    # earlier catalog: halo order permuted, same membership
+    perm = np.array([2, 0, 3, 1])
+    halo_pids = np.concatenate([ids[p] for p in perm])
+    halo_offsets = np.arange(n_halos) * n_per
+    tracked_offsets = offsets
+    prog = find_main_progenitors(
+        halo_pids, halo_offsets, central_ids, tracked_offsets
+    )
+    expect = [int(np.where(perm == h)[0][0]) for h in range(n_halos)]
+    assert prog == expect
+
+
+def test_progenitor_no_match_returns_minus1(rng):
+    halo_pids = np.arange(100)
+    halo_offsets = np.array([0, 50])
+    tracked = np.arange(1000, 1020)
+    tracked_offsets = np.array([0, 10])
+    prog = find_main_progenitors(
+        halo_pids, halo_offsets, tracked, tracked_offsets
+    )
+    assert prog == [-1, -1]
