@@ -1,3 +1,26 @@
-from orbitanalysis_tpu.models import synthetic  # noqa: F401
+from orbitanalysis_tpu.models import nbody, pm, synthetic  # noqa: F401
+from orbitanalysis_tpu.models.nbody import (  # noqa: F401
+    NBodyState,
+    OrbitNBodyConfig,
+    direct_forces,
+    kdk_step,
+    make_direct_force_fn,
+    point_mass_forces,
+    simulate_with_tracking,
+)
+from orbitanalysis_tpu.models.pm import make_pm_force_fn, pm_forces  # noqa: F401
 
-__all__ = ["synthetic"]
+__all__ = [
+    "nbody",
+    "pm",
+    "synthetic",
+    "NBodyState",
+    "OrbitNBodyConfig",
+    "direct_forces",
+    "kdk_step",
+    "make_direct_force_fn",
+    "point_mass_forces",
+    "simulate_with_tracking",
+    "make_pm_force_fn",
+    "pm_forces",
+]

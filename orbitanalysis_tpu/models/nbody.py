@@ -84,18 +84,54 @@ def direct_forces(
     eps2 = jnp.asarray(softening * softening, pos.dtype)
     if box_size is None:
         sq = jnp.sum(pos * pos, axis=-1)                      # [N]
-        gram = pos @ pos.T                                     # MXU [N,N]
-        d2 = sq[:, None] + sq[None, :] - 2.0 * gram + eps2
+        # HIGHEST precision: the TPU MXU's default (bf16-pass) matmul
+        # rounding can drive the diagonal d2 slightly negative, which
+        # rsqrt turns into NaN
+        gram = jnp.matmul(
+            pos, pos.T, precision=jax.lax.Precision.HIGHEST
+        )                                                      # MXU [N,N]
+        d2 = (
+            jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0) + eps2
+        )
+        d2 = jnp.maximum(d2, jnp.asarray(1e-18, pos.dtype))
         inv_d3 = jax.lax.rsqrt(d2) / d2                        # 1/d^3
         w = inv_d3 * mass[None, :]                             # [N,N]
         # a_i = G * (sum_j w_ij x_j  -  x_i sum_j w_ij)
-        acc = G * (w @ pos - pos * jnp.sum(w, axis=1, keepdims=True))
+        acc = G * (
+            jnp.matmul(w, pos, precision=jax.lax.Precision.HIGHEST)
+            - pos * jnp.sum(w, axis=1, keepdims=True)
+        )
         return acc
     dx = periodic_displacement(pos[None, :, :] - pos[:, None, :], box_size)
     d2 = jnp.sum(dx * dx, axis=-1) + eps2
     inv_d3 = jax.lax.rsqrt(d2) / d2
     w = inv_d3 * mass[None, :]
     return G * jnp.sum(w[..., None] * dx, axis=1)
+
+
+def make_direct_force_fn(use_pallas: bool = False):
+    """A ``force_fn`` for :func:`simulate_with_tracking`.
+
+    ``use_pallas=True`` selects the blocked Pallas kernel
+    (:mod:`orbitanalysis_tpu.ops.pallas_nbody`): O(N) memory instead of
+    the O(N^2) pair matrix, required beyond a few 10^4 particles.
+    Non-periodic only — periodic boxes at scale use the PM solver
+    (:func:`orbitanalysis_tpu.models.pm.make_pm_force_fn`).
+    """
+    if not use_pallas:
+        return direct_forces
+
+    from orbitanalysis_tpu.ops.pallas_nbody import direct_forces_pallas
+
+    def force(pos, mass, softening=0.05, G=1.0, box_size=None, **_):
+        if box_size is not None:
+            raise ValueError(
+                "the blocked direct kernel is non-periodic; use the PM "
+                "solver for periodic boxes"
+            )
+        return direct_forces_pallas(pos, mass, softening=softening, G=G)
+
+    return force
 
 
 def point_mass_forces(GM: float = 1.0, softening: float = 0.0):

