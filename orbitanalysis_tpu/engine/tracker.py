@@ -44,6 +44,7 @@ from orbitanalysis_tpu.ops.apsis import (
     init_carry,
     make_orbit_step,
 )
+from orbitanalysis_tpu.utils.metrics import Metrics, phase_timer, trace
 from orbitanalysis_tpu.utils.numerics import hubble_parameter
 from orbitanalysis_tpu.utils.padding import (
     invalid_id_for,
@@ -175,6 +176,8 @@ def track_orbits(
     id_dtype=np.int32,
     angle_dtype=np.float32,
     mesh=None,
+    metrics: Optional[Metrics] = None,
+    profile_dir: Optional[str] = None,
     npool=None,  # noqa: ARG001 — accepted for reference API compat, unused
 ):
     """Track pericentric/apocentric passages over a snapshot sequence.
@@ -194,6 +197,11 @@ def track_orbits(
         accumulated rounding error; the default float32 is more accurate.
     mesh : jax.sharding.Mesh, optional
         Shard the halo axis over this mesh (axis name 'halos').
+    metrics : Metrics, optional
+        Structured per-snapshot records (phase timings, event counts).
+    profile_dir : str, optional
+        Capture a ``jax.profiler`` trace of the whole run into this
+        directory (view in TensorBoard/Perfetto).
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -231,24 +239,27 @@ def track_orbits(
     started = False
     first_processed = True
 
-    for i, (halo_ids, snapshot_number) in enumerate(
+    with trace(profile_dir):
+      for i, (halo_ids, snapshot_number) in enumerate(
         zip(main_branches, snapshot_numbers)
-    ):
+      ):
         if verbose:
             print("-" * 30, "\n")
             print("Snapshot {}\n".format("%03d" % snapshot_number))
+        phases = {}
 
         rows = np.argwhere(halo_ids != -1).flatten()
         if len(rows) == 0:
             continue
         halo_ids_active = halo_ids[rows]
 
-        region_positions, region_radii, region_bulk_vels = _call_regions(
-            regions, snapshot_number, halo_ids_active
-        )
-        snapshot = load_snapshot_data(
-            snapshot_number, region_positions, region_radii
-        )
+        with phase_timer(phases, "load"):
+            region_positions, region_radii, region_bulk_vels = _call_regions(
+                regions, snapshot_number, halo_ids_active
+            )
+            snapshot = load_snapshot_data(
+                snapshot_number, region_positions, region_radii
+            )
         if len(snapshot["coordinates"]) == 0:
             continue
 
@@ -291,13 +302,15 @@ def track_orbits(
                     constant_values=engine.invalid,
                 )
 
-        packed = pack_snapshot(
-            snapshot, rows, n_rows, engine.capacity,
-            region_positions, region_bulk_vels, id_dtype=id_dtype,
-        )
+        with phase_timer(phases, "pack"):
+            packed = pack_snapshot(
+                snapshot, rows, n_rows, engine.capacity,
+                region_positions, region_bulk_vels, id_dtype=id_dtype,
+            )
 
         t0 = time.time()
-        events = engine.step(packed, hubble_drag)
+        with phase_timer(phases, "step"):
+            events = engine.step(packed, hubble_drag)
 
         if not started:
             # First processed snapshot: seeds the carry; nothing to save
@@ -311,9 +324,10 @@ def track_orbits(
                 engine.set_angles(angles_padded)
             started = True
         else:
-            apsis = np.asarray(events.apsis)
-            apsis_angle = np.asarray(events.apsis_angle)
-            bulk_vel = np.asarray(events.bulk_vel)
+            with phase_timer(phases, "fetch"):
+                apsis = np.asarray(events.apsis)
+                apsis_angle = np.asarray(events.apsis_angle)
+                bulk_vel = np.asarray(events.bulk_vel)
             if verbose:
                 print(
                     "Finished {} detection for snapshot {} in {} s\n".format(
@@ -338,20 +352,30 @@ def track_orbits(
                 if snapshot_number != final_snapshot
                 else None
             )
-            io_hdf5.append_snapshot(
-                savefile,
-                snapshot_number,
-                mode,
-                apsis_ids=apsis_ids_flat,
-                apsis_offsets=apsis_offsets,
-                apsis_angles=apsis_angles_flat,
-                halo_ids=halo_ids[saved_rows],
-                final_descendant_ids=final_desc,
-                region_radii=radii_full[saved_rows],
-                region_positions=pos_full[saved_rows],
-                bulk_velocities=bulk_vel[saved_rows],
-                verbose=verbose,
-            )
+            with phase_timer(phases, "save"):
+                io_hdf5.append_snapshot(
+                    savefile,
+                    snapshot_number,
+                    mode,
+                    apsis_ids=apsis_ids_flat,
+                    apsis_offsets=apsis_offsets,
+                    apsis_angles=apsis_angles_flat,
+                    halo_ids=halo_ids[saved_rows],
+                    final_descendant_ids=final_desc,
+                    region_radii=radii_full[saved_rows],
+                    region_positions=pos_full[saved_rows],
+                    bulk_velocities=bulk_vel[saved_rows],
+                    verbose=verbose,
+                )
+            if metrics is not None:
+                metrics.log(
+                    snapshot=int(snapshot_number),
+                    n_halos_active=int(len(rows)),
+                    n_particles=int(len(snapshot["ids"])),
+                    n_events=int(len(apsis_ids_flat)),
+                    capacity=int(engine.capacity),
+                    **phases,
+                )
 
         if checkpoint:
             angles_dev = np.asarray(jax.device_get(engine.carry.angles))

@@ -4,6 +4,10 @@ from orbitanalysis_tpu.parallel.sharding import (
     shard_tree,
     tree_sharding_specs,
 )
+from orbitanalysis_tpu.parallel.nbody_sharded import (
+    direct_forces_rect,
+    make_sharded_direct_force_fn,
+)
 
 __all__ = [
     "make_mesh",
@@ -11,4 +15,6 @@ __all__ = [
     "halo_sharding",
     "shard_tree",
     "tree_sharding_specs",
+    "direct_forces_rect",
+    "make_sharded_direct_force_fn",
 ]

@@ -177,3 +177,25 @@ def test_input_validation(tmp_path, churn_setup):
     with pytest.raises(ValueError):
         track_orbits_onthefly(4, np.zeros((2, 1)), regions, loader, save,
                               mode="bogus")
+
+
+def test_metrics_and_phase_timers(tmp_path, churn_setup):
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    jl = str(tmp_path / "metrics.jsonl")
+    m = Metrics(jsonl_path=jl)
+    save = str(tmp_path / "m.h5")
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 metrics=m, verbose=False)
+    assert len(m.records) == len(snap_nums) - 1
+    r = m.records[0]
+    for key in ("snapshot", "n_halos_active", "n_particles", "n_events",
+                "load_s", "pack_s", "step_s", "save_s"):
+        assert key in r, key
+    summ = m.summary()
+    assert summ["step_s"]["n"] == len(m.records)
+    import json
+    with open(jl) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == len(m.records)
