@@ -91,9 +91,17 @@ class _DeviceEngine:
     input-structure combination)."""
 
     def __init__(self, n_halos, capacity, mode, box_size, id_dtype, angle_dtype,
-                 sharding=None):
+                 sharding=None, event_capacity=None):
         self.n_halos = n_halos
         self.capacity = capacity
+        # on-device event compaction: hosts fetch [H, K] event lists
+        # instead of [H, P] masks; K sized for the rare-event regime with
+        # a full-mask fallback on overflow
+        self.event_capacity = (
+            event_capacity
+            if event_capacity is not None
+            else max(128, round_up(capacity // 16, 128))
+        )
         self.mode = mode
         self.box_size = box_size
         self.id_dtype = id_dtype
@@ -119,6 +127,7 @@ class _DeviceEngine:
                 box_size=self.box_size,
                 id_dtype=self.id_dtype,
                 angle_dtype=self.angle_dtype,
+                event_capacity=min(self.event_capacity, self.capacity),
             )
             self._steps[key] = jax.jit(raw, donate_argnums=(0,))
         return self._steps[key]
@@ -176,6 +185,7 @@ def track_orbits(
     id_dtype=np.int32,
     angle_dtype=np.float32,
     mesh=None,
+    event_capacity: Optional[int] = None,
     metrics: Optional[Metrics] = None,
     profile_dir: Optional[str] = None,
     npool=None,  # noqa: ARG001 — accepted for reference API compat, unused
@@ -197,6 +207,10 @@ def track_orbits(
         accumulated rounding error; the default float32 is more accurate.
     mesh : jax.sharding.Mesh, optional
         Shard the halo axis over this mesh (axis name 'halos').
+    event_capacity : int, optional
+        Per-halo on-device event-compaction width (default: capacity/16,
+        min 128).  Hosts fetch [n_halos, event_capacity] event lists per
+        snapshot instead of full masks; overflow falls back to the mask.
     metrics : Metrics, optional
         Structured per-snapshot records (phase timings, event counts).
     profile_dir : str, optional
@@ -283,7 +297,7 @@ def track_orbits(
             cap = capacity or required_capacity(lengths, headroom)
             engine = _DeviceEngine(
                 n_rows, cap, mode, box_size, id_dtype, angle_dtype,
-                sharding=sharding,
+                sharding=sharding, event_capacity=event_capacity,
             )
             if not resume:
                 io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
@@ -325,8 +339,7 @@ def track_orbits(
             started = True
         else:
             with phase_timer(phases, "fetch"):
-                apsis = np.asarray(events.apsis)
-                apsis_angle = np.asarray(events.apsis_angle)
+                ev_count = np.asarray(events.ev_count)
                 bulk_vel = np.asarray(events.bulk_vel)
             if verbose:
                 print(
@@ -338,9 +351,26 @@ def track_orbits(
                 )
 
             saved_rows = np.intersect1d(rows, prev_rows)
-            apsis_offsets, apsis_ids_flat, apsis_angles_flat = unpack_mask(
-                apsis, prev_ids_host, apsis_angle, rows=saved_rows
-            )
+            K = engine.event_capacity
+            if int(ev_count[saved_rows].max(initial=0)) > K:
+                # event-capacity overflow: fetch the full masks (rare)
+                with phase_timer(phases, "fetch"):
+                    apsis = np.asarray(events.apsis)
+                    apsis_angle = np.asarray(events.apsis_angle)
+                apsis_offsets, apsis_ids_flat, apsis_angles_flat = (
+                    unpack_mask(
+                        apsis, prev_ids_host, apsis_angle, rows=saved_rows
+                    )
+                )
+            else:
+                with phase_timer(phases, "fetch"):
+                    ev_ids = np.asarray(events.ev_ids)[saved_rows]
+                    ev_angles = np.asarray(events.ev_angles)[saved_rows]
+                counts = ev_count[saved_rows]
+                sel = np.arange(K)[None, :] < counts[:, None]
+                apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
+                apsis_ids_flat = ev_ids[sel]
+                apsis_angles_flat = ev_angles[sel]
 
             radii_full = np.zeros(n_rows, dtype=np.asarray(region_radii).dtype)
             radii_full[rows] = region_radii

@@ -92,6 +92,12 @@ class StepEvents(NamedTuple):
     bulk_vel: jnp.ndarray     # [H, 3]
     prev_slot: jnp.ndarray    # [H, P] int32, cur layout: prev slot of each
     #                           current particle, -1 = entered/padding
+    # on-device event compaction (None unless event_capacity was set):
+    # events gathered to the front of each row in slot order, so the host
+    # fetches [H, K] instead of [H, P] — the fetch-bandwidth optimization
+    ev_count: jnp.ndarray | None = None   # [H] int32 apsides per halo
+    ev_ids: jnp.ndarray | None = None     # [H, K] event particle IDs
+    ev_angles: jnp.ndarray | None = None  # [H, K] angle at each apsis
 
 
 def init_carry(
@@ -117,6 +123,7 @@ def make_orbit_step(
     id_dtype=jnp.int32,
     angle_dtype=jnp.float32,
     with_prev_slot: bool = False,
+    event_capacity: int | None = None,
 ):
     """Build the fused per-snapshot step for a fixed configuration.
 
@@ -126,6 +133,12 @@ def make_orbit_step(
     ``with_prev_slot=True`` additionally emits the cur->prev slot map
     (``StepEvents.prev_slot``, used by the on-device count accumulator);
     off by default to save a restore-sort channel.
+
+    ``event_capacity=K`` additionally compacts the apsis events to the
+    front of each halo row (slot order preserved) so hosts fetch
+    ``[H, K]`` event IDs/angles plus per-halo counts instead of the full
+    ``[H, P]`` masks.  Rows with more than ``K`` events are detectable
+    via ``ev_count > K``; the caller falls back to the full mask then.
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -197,6 +210,21 @@ def make_orbit_step(
         apsis_angle, angles_new = mj.to_prev[1], mj.to_cur[1]
         dtheta = mj.to_prev[2]
 
+        ev_count = ev_ids = ev_angles = None
+        if event_capacity is not None:
+            cap = snap.ids.shape[-1]
+            slot = jax.lax.broadcasted_iota(
+                jnp.int32, apsis.shape, dimension=1
+            )
+            # events sort to the front of the row, in slot order
+            sort_key = jnp.where(apsis, slot, slot + cap)
+            _, ids_c, ang_c = jax.lax.sort(
+                (sort_key, carry.ids, apsis_angle), dimension=-1, num_keys=1
+            )
+            ev_count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+            ev_ids = ids_c[:, :event_capacity]
+            ev_angles = ang_c[:, :event_capacity]
+
         new_carry = Carry(
             ids=snap.ids,
             rhat=frame.rhat,
@@ -213,6 +241,9 @@ def make_orbit_step(
             radius=frame.radius,
             bulk_vel=frame.bulk_vel,
             prev_slot=mj.prev_slot_of_cur,
+            ev_count=ev_count,
+            ev_ids=ev_ids,
+            ev_angles=ev_angles,
         )
         return new_carry, events
 

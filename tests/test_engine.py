@@ -199,3 +199,44 @@ def test_metrics_and_phase_timers(tmp_path, churn_setup):
     with open(jl) as f:
         lines = [json.loads(l) for l in f]
     assert len(lines) == len(m.records)
+
+
+def test_event_capacity_overflow_fallback(tmp_path):
+    """All particles flip sign simultaneously -> per-halo events exceed
+    the compaction width -> full-mask fallback must stay correct."""
+    n_part = 300
+    ids = np.arange(n_part)
+
+    def make_snap(vr_sign, phi):
+        # particles on a ring, purely radial velocity of given sign plus
+        # a rotation so angles accumulate
+        r = 5.0
+        ang = phi + np.linspace(0, 2 * np.pi, n_part, endpoint=False)
+        pos = np.stack(
+            [r * np.cos(ang), r * np.sin(ang), np.zeros(n_part)], axis=1
+        )
+        rhat = pos / r
+        vel = vr_sign * rhat
+        return dict(ids=ids, pos=pos, vel=vel, center=np.zeros(3))
+
+    snaps = [
+        {0: make_snap(-1.0, 0.0)},
+        {0: make_snap(-1.0, 0.4)},
+        {0: make_snap(+1.0, 0.8)},   # every particle flips here
+        {0: make_snap(+1.0, 1.2)},
+    ]
+    centers = np.zeros((1, 3))
+    regions, loader = make_callbacks(snaps, centers, mass=False)
+    snap_nums = np.arange(4)
+    branches = np.zeros((4, 1), dtype=np.int64)
+
+    for ecap, name in ((128, "overflow"), (512, "compact")):
+        save = str(tmp_path / f"{name}.h5")
+        track_orbits(snap_nums, branches, regions, loader, save,
+                     event_capacity=ecap, verbose=False)
+        with h5py.File(save) as hf:
+            g = hf["snapshot_002"]
+            got = np.sort(g["pericenter_IDs"][:])
+            assert np.array_equal(got, ids), name  # all 300 flipped
+            assert len(hf["snapshot_001"]["pericenter_IDs"]) == 0
+            assert len(hf["snapshot_003"]["pericenter_IDs"]) == 0
