@@ -1,0 +1,50 @@
+// Native host-side ragged packing for the snapshot ingestion path.
+//
+// The loader returns concatenated per-region blocks (the reference's
+// region_offsets convention, /root/reference/orbitanalysis/
+// track_orbits.py:52-54); the device engine wants a padded
+// [n_rows, capacity] layout.  At 1e8-particle scale this scatter is the
+// host-side bottleneck (BASELINE.json configs[4]); NumPy's fancy-index
+// scatter is single-threaded, so this OpenMP version parallelizes over
+// blocks.  Loaded via ctypes (no pybind11 in the image); the Python
+// fallback in utils/padding.py is semantically identical.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC packing.cpp -o _packing.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Pack ragged blocks into out[n_rows * capacity * elem] (pre-filled by
+// the caller).  values: [total, elem] row-major; offsets[i] = start of
+// block i (ascending); block i lands at row rows[i], columns 0..len-1.
+// elem_bytes = bytes per element*elem (the innermost copy unit).
+void pack_ragged_bytes(
+    const uint8_t* values,
+    const int64_t* offsets,   // n_blocks entries
+    int64_t n_blocks,
+    int64_t total,            // total rows in `values`
+    const int64_t* rows,      // n_blocks target rows
+    uint8_t* out,
+    int64_t capacity,
+    int64_t elem_bytes) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t start = offsets[b];
+    const int64_t end = (b + 1 < n_blocks) ? offsets[b + 1] : total;
+    const int64_t len = end - start;
+    if (len <= 0) continue;
+    std::memcpy(out + (rows[b] * capacity) * elem_bytes,
+                values + start * elem_bytes,
+                static_cast<size_t>(len) * elem_bytes);
+  }
+}
+
+// Fill out[n] with the 4-byte pattern `fill` (sentinel init), parallel.
+void fill_i32(int32_t* out, int64_t n, int32_t fill) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) out[i] = fill;
+}
+
+}  // extern "C"

@@ -71,6 +71,19 @@ def pack_ragged(
             f"region of {int(lengths.max())} particles exceeds capacity "
             f"{capacity}; increase capacity/headroom"
         )
+    if (dtype is None or np.dtype(dtype) == values.dtype) and (
+        values.nbytes >= (1 << 20)
+    ):
+        # large snapshots: the multithreaded native packer (g++/OpenMP,
+        # built on first use; see orbitanalysis_tpu/native)
+        from orbitanalysis_tpu import native
+
+        if native.ensure() is not None:
+            out = native.pack_ragged_native(
+                values, offsets, n_rows, capacity, rows, fill
+            )
+            if out is not None:
+                return out
     out_shape = (n_rows, capacity) + values.shape[1:]
     out = np.full(out_shape, fill, dtype=dtype or values.dtype)
     reprow, col = _row_col(lengths, rows)
