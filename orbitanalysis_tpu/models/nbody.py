@@ -284,6 +284,8 @@ def simulate_with_tracking(
     members: jnp.ndarray,
     config: OrbitNBodyConfig,
     force_fn: Callable = direct_forces,
+    track: Optional[TrackState] = None,
+    step_offset: int = 0,
 ):
     """Run ``n_steps`` of KDK with apsis detection every ``detect_every``
     steps — one jit'd ``lax.scan``, zero host round-trips.
@@ -291,6 +293,11 @@ def simulate_with_tracking(
     Returns ``(final NBodyState, final TrackState, aux)`` where ``aux``
     holds per-detection total event counts (``[n_detections]``) for
     monitoring.  Per-particle counts live in ``TrackState.counts``.
+
+    ``track``/``step_offset`` resume a previous run mid-stream (see
+    :func:`run_tracked_simulation` for the checkpointing wrapper):
+    ``step_offset`` keeps the detection cadence phase-correct across
+    chunks.
     """
     if config.mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -298,18 +305,21 @@ def simulate_with_tracking(
             "'pericentric' or 'apocentric'."
         )
     n_halos, capacity = members.shape
-    track0 = init_track_state(n_halos, capacity, dtype=state.pos.dtype)
     acc0 = force_fn(
         state.pos, state.mass, softening=config.softening, G=config.G,
         box_size=config.box_size,
     )
-    # seed the detector from the initial conditions so the first
-    # detection interval can already catch a sign flip
-    track0, _ = detect_apsides_static(
-        track0, state, members, mode=config.mode,
-        box_size=config.box_size, angle_cut=config.angle_cut,
-        center=config.centers, bulk_vel=config.bulk_vels,
-    )
+    if track is None:
+        track0 = init_track_state(n_halos, capacity, dtype=state.pos.dtype)
+        # seed the detector from the initial conditions so the first
+        # detection interval can already catch a sign flip
+        track0, _ = detect_apsides_static(
+            track0, state, members, mode=config.mode,
+            box_size=config.box_size, angle_cut=config.angle_cut,
+            center=config.centers, bulk_vel=config.bulk_vels,
+        )
+    else:
+        track0 = track
 
     def body(carry, step_idx):
         st, tr, acc = carry
@@ -337,9 +347,83 @@ def simulate_with_tracking(
         return (st, tr, acc), n_events
 
     (state_f, track_f, _), events_per_step = jax.lax.scan(
-        body, (state, track0, acc0), jnp.arange(config.n_steps)
+        body, (state, track0, acc0),
+        step_offset + jnp.arange(config.n_steps),
     )
     return state_f, track_f, events_per_step
+
+
+def run_tracked_simulation(
+    state: NBodyState,
+    members: jnp.ndarray,
+    config: OrbitNBodyConfig,
+    force_fn: Callable = direct_forces,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
+):
+    """Chunked driver around :func:`simulate_with_tracking` with durable
+    checkpointing — the integrator analogue of the offline tracker's
+    checkpoint/resume (reference semantics at ``track_orbits.py:93-101``).
+
+    The run is split into chunks of ``checkpoint_every`` steps; after
+    each chunk the full resumable state (particles, detector, step
+    counter, accumulated per-detection event counts) is written to
+    ``checkpoint_dir`` with orbax.  ``resume=True`` continues from the
+    latest saved step.
+    """
+    import numpy as _np
+
+    if checkpoint_dir is None or checkpoint_every is None:
+        return simulate_with_tracking(state, members, config, force_fn)
+
+    import os
+
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+
+    step_done = 0
+    track = None
+    events_acc = []
+    if resume:
+        latest = mngr.latest_step()
+        if latest is not None:
+            n_halos, capacity = members.shape
+            template = {
+                "state": state,
+                "track": init_track_state(
+                    n_halos, capacity, dtype=state.pos.dtype
+                )._replace(primed=jnp.asarray(True)),
+                "events": jnp.zeros((latest,), jnp.int32),
+            }
+            restored = mngr.restore(
+                latest, args=ocp.args.StandardRestore(template)
+            )
+            state = restored["state"]
+            track = restored["track"]
+            events_acc = [_np.asarray(restored["events"])]
+            step_done = latest
+
+    while step_done < config.n_steps:
+        n = min(checkpoint_every, config.n_steps - step_done)
+        chunk_cfg = config._replace(n_steps=n)
+        state, track, ev = simulate_with_tracking(
+            state, members, chunk_cfg, force_fn,
+            track=track, step_offset=step_done,
+        )
+        events_acc.append(_np.asarray(ev))
+        step_done += n
+        mngr.save(
+            step_done,
+            args=ocp.args.StandardSave({
+                "state": state,
+                "track": track,
+                "events": jnp.asarray(_np.concatenate(events_acc)),
+            }),
+        )
+    mngr.wait_until_finished()
+    return state, track, jnp.asarray(_np.concatenate(events_acc))
 
 
 def total_energy(state: NBodyState, softening=0.05, G=1.0, box_size=None):

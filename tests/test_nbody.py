@@ -179,3 +179,39 @@ def test_bad_mode_raises():
     cfg = OrbitNBodyConfig(dt=0.1, n_steps=1, mode="bogus")
     with pytest.raises(ValueError):
         simulate_with_tracking(state, members, cfg)
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """Chunked orbax checkpointing + resume reproduces the straight-
+    through run exactly (counts and per-detection events)."""
+    from orbitanalysis_tpu.models.nbody import run_tracked_simulation
+
+    n = 32
+    ens = kepler_ensemble(n, 2, seed=5)
+    st = NBodyState(
+        jnp.asarray(ens.positions[0].astype(np.float32)),
+        jnp.asarray(ens.velocities[0].astype(np.float32)),
+        jnp.full((n,), 1e-12, jnp.float32),
+    )
+    members = jnp.arange(n, dtype=jnp.int32).reshape(1, n)
+    cfg = OrbitNBodyConfig(
+        dt=0.01 * float(ens.period.min()), n_steps=160, detect_every=4,
+        softening=0.0,
+        centers=jnp.zeros((1, 3), jnp.float32),
+        bulk_vels=jnp.zeros((1, 3), jnp.float32),
+    )
+    force = point_mass_forces(GM=1.0)
+    _, tr_ref, ev_ref = simulate_with_tracking(st, members, cfg, force)
+
+    # "crash" after 96 steps, then resume to the full length
+    run_tracked_simulation(
+        st, members, cfg._replace(n_steps=96), force,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=48,
+    )
+    _, tr, ev = run_tracked_simulation(
+        st, members, cfg, force,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=48,
+        resume=True,
+    )
+    assert np.array_equal(np.asarray(tr.counts), np.asarray(tr_ref.counts))
+    assert np.array_equal(np.asarray(ev), np.asarray(ev_ref))
