@@ -31,6 +31,7 @@ from orbitanalysis_tpu.postprocessing import Apsides, OrbitDecomposition
 from orbitanalysis_tpu.progenitors import (
     find_main_progenitors,
     get_central_particle_ids,
+    get_central_particle_ids_device,
 )
 
 __all__ = [
@@ -39,6 +40,7 @@ __all__ = [
     "Apsides",
     "OrbitDecomposition",
     "get_central_particle_ids",
+    "get_central_particle_ids_device",
     "find_main_progenitors",
     "__version__",
 ]

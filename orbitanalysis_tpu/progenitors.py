@@ -53,6 +53,58 @@ def get_central_particle_ids(snapshot, halo_positions, n=100):
     return central_ids, out_offsets
 
 
+def get_central_particle_ids_device(snapshot, halo_positions, n=100):
+    """Device-path variant of :func:`get_central_particle_ids` for large
+    catalogs: pad regions to ``[n_halos, capacity]`` and run a batched
+    ``lax.top_k`` on negated radii on the accelerator.
+
+    Returns the same ``(central_ids, offsets)`` contract, with per-halo
+    blocks ordered by increasing radius.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.utils.padding import (
+        invalid_id_for,
+        pack_ragged,
+        round_up,
+    )
+
+    ids = np.asarray(snapshot["ids"])
+    coords = np.asarray(snapshot["coordinates"], dtype=np.float32)
+    offsets = np.asarray(snapshot["region_offsets"], dtype=np.int64)
+    n_halos = len(offsets)
+    lengths = np.diff(np.concatenate((offsets, [len(ids)])))
+    capacity = round_up(int(lengths.max(initial=1)))
+    invalid = invalid_id_for(np.int32)
+
+    ids_p = pack_ragged(
+        ids.astype(np.int32), offsets, n_halos, capacity, fill=invalid
+    )
+    pos_p = pack_ragged(coords, offsets, n_halos, capacity, fill=0.0)
+    centers = np.atleast_2d(np.asarray(halo_positions, dtype=np.float32))
+
+    @jax.jit
+    def topk(ids_p, pos_p, centers):
+        rel = pos_p - centers[:, None, :]
+        if "box_size" in snapshot:
+            rel = periodic_displacement(rel, snapshot["box_size"])
+        r2 = jnp.sum(rel * rel, axis=-1)
+        r2 = jnp.where(ids_p != invalid, r2, jnp.inf)  # padding last
+        # top_k of -r2 = the n smallest radii; top_k returns values in
+        # descending order, i.e. radii ascending — the reference's order
+        neg, idx = jax.lax.top_k(-r2, min(n, capacity))
+        return jnp.take_along_axis(ids_p, idx, axis=-1), neg
+
+    ids_k, neg = jax.device_get(topk(ids_p, pos_p, centers))
+    k = ids_k.shape[1]
+    counts = np.minimum(lengths, n)
+    sel = np.arange(k)[None, :] < counts[:, None]
+    central_ids = ids_k[sel]
+    out_offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return central_ids.astype(ids.dtype), out_offsets
+
+
 def find_main_progenitors(halo_pids, halo_offsets, tracked_pids,
                           tracked_offsets):
     """Majority-vote main progenitors (``progenitors.py:59-117``).

@@ -175,3 +175,38 @@ def test_progenitor_no_match_returns_minus1(rng):
         halo_pids, halo_offsets, tracked, tracked_offsets
     )
     assert prog == [-1, -1]
+
+
+def test_central_ids_device_matches_host(rng):
+    """lax.top_k device path == NumPy host path (set-wise per halo; ties
+    at equal radius may order differently)."""
+    from orbitanalysis_tpu.progenitors import (
+        get_central_particle_ids,
+        get_central_particle_ids_device,
+    )
+
+    n_halos, n_per = 3, 400
+    centers = rng.uniform(0, 100, size=(n_halos, 3))
+    ids, coords, lens = [], [], []
+    for h in range(n_halos):
+        m = n_per - 30 * h
+        ids.append(np.arange(h * 10000, h * 10000 + m))
+        coords.append(centers[h] + rng.normal(scale=3.0, size=(m, 3)))
+        lens.append(m)
+    snapshot = dict(
+        ids=np.concatenate(ids),
+        coordinates=np.concatenate(coords),
+        region_offsets=np.concatenate(([0], np.cumsum(lens)))[:-1],
+        box_size=200.0,
+    )
+    a_ids, a_off = get_central_particle_ids(snapshot, centers, n=64)
+    b_ids, b_off = get_central_particle_ids_device(snapshot, centers, n=64)
+    assert np.array_equal(a_off, b_off)
+    offs = np.concatenate((a_off, [len(a_ids)]))
+    for h in range(n_halos):
+        assert np.array_equal(
+            np.sort(a_ids[offs[h]:offs[h + 1]]),
+            np.sort(b_ids[offs[h]:offs[h + 1]]),
+        ), h
+        # both radius-ordered: first entries identical
+        assert a_ids[offs[h]] == b_ids[offs[h]]
