@@ -3,6 +3,7 @@ from orbitanalysis_tpu.engine.scan import (  # noqa: F401
     CountingCarry,
     scan_counts,
     scan_events,
+    scan_events_compact,
     stack_batches,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "CountingCarry",
     "scan_counts",
     "scan_events",
+    "scan_events_compact",
     "stack_batches",
 ]

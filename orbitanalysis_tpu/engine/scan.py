@@ -62,6 +62,33 @@ def scan_events(
     return jax.lax.scan(body, carry, snaps)
 
 
+def scan_events_compact(
+    carry: Carry,
+    snaps: SnapshotBatch,
+    event_capacity: int,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+):
+    """Like :func:`scan_events` but with on-device event compaction: per
+    step the events are sorted to the front of each halo row so the
+    output is ``(ev_count [S,H], ev_ids [S,H,K], ev_angles [S,H,K])`` —
+    an ~P/K cut in HBM event traffic and host transfer.  Rows where
+    ``ev_count > K`` overflowed; re-run those snapshots through
+    :func:`scan_events` (or raise ``event_capacity``).
+    """
+    step = make_orbit_step(
+        mode=mode, box_size=box_size, id_dtype=id_dtype,
+        event_capacity=event_capacity,
+    )
+
+    def body(c, s):
+        c, ev = step(c, s)
+        return c, (ev.ev_count, ev.ev_ids, ev.ev_angles)
+
+    return jax.lax.scan(body, carry, snaps)
+
+
 def scan_counts(
     carry: CountingCarry,
     snaps: SnapshotBatch,

@@ -8,6 +8,7 @@ from orbitanalysis_tpu.parallel.nbody_sharded import (
     direct_forces_rect,
     make_sharded_direct_force_fn,
 )
+from orbitanalysis_tpu.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -17,4 +18,5 @@ __all__ = [
     "tree_sharding_specs",
     "direct_forces_rect",
     "make_sharded_direct_force_fn",
+    "multihost",
 ]

@@ -126,3 +126,38 @@ def test_scan_counts_equals_host_accumulation():
                     h, pid,
                 )
     assert int(np.asarray(per_step).sum()) >= final_counts.sum()
+
+
+def test_scan_events_compact_matches_full():
+    from orbitanalysis_tpu.engine.scan import scan_events_compact
+
+    batches, cap, box = _batches_from_churn(seed=31)
+    n_halos = 3
+    stacked = stack_batches(batches)
+    K = 128
+
+    carry0 = init_carry(n_halos, cap)
+    _, (apsis_seq, angle_seq) = jax.jit(
+        lambda c, s: scan_events(c, s, mode="pericentric", box_size=box)
+    )(carry0, stacked)
+    _, (cnt, ids_c, ang_c) = jax.jit(
+        lambda c, s: scan_events_compact(
+            c, s, K, mode="pericentric", box_size=box
+        )
+    )(init_carry(n_halos, cap), stacked)
+
+    apsis_seq = np.asarray(apsis_seq)
+    angle_seq = np.asarray(angle_seq)
+    cnt, ids_c, ang_c = map(np.asarray, (cnt, ids_c, ang_c))
+    for s in range(len(batches)):
+        prev_ids = np.asarray(batches[s - 1].ids) if s else None
+        for h in range(n_halos):
+            n_ev = int(apsis_seq[s, h].sum())
+            assert cnt[s, h] == n_ev
+            if s == 0 or n_ev == 0:
+                continue
+            slots = np.nonzero(apsis_seq[s, h])[0]
+            assert np.array_equal(ids_c[s, h, :n_ev], prev_ids[h, slots])
+            assert np.allclose(
+                ang_c[s, h, :n_ev], angle_seq[s, h, slots], atol=2e-3
+            )
