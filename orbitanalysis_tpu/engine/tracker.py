@@ -43,6 +43,7 @@ from orbitanalysis_tpu.ops.apsis import (
     SnapshotBatch,
     init_carry,
     make_orbit_step,
+    make_static_orbit_step,
 )
 from orbitanalysis_tpu.utils.metrics import Metrics, phase_timer, trace
 from orbitanalysis_tpu.utils.numerics import hubble_parameter
@@ -119,10 +120,11 @@ class _DeviceEngine:
         from orbitanalysis_tpu.parallel.sharding import shard_tree
         return shard_tree(tree, self.sharding)
 
-    def _step_fn(self, has_mass, has_bulk):
-        key = (self.capacity, has_mass, has_bulk)
+    def _step_fn(self, has_mass, has_bulk, static=False):
+        key = (self.capacity, has_mass, has_bulk, static)
         if key not in self._steps:
-            raw = make_orbit_step(
+            make = make_static_orbit_step if static else make_orbit_step
+            raw = make(
                 mode=self.mode,
                 box_size=self.box_size,
                 id_dtype=self.id_dtype,
@@ -148,7 +150,8 @@ class _DeviceEngine:
         self.capacity = new_capacity
         self.carry = self._place(grown)
 
-    def step(self, packed: PackedSnapshot, hubble_drag: float):
+    def step(self, packed: PackedSnapshot, hubble_drag: float,
+             static: bool = False):
         batch = SnapshotBatch(
             ids=packed.ids,
             pos=packed.pos,
@@ -159,7 +162,11 @@ class _DeviceEngine:
             hubble_drag=jnp.float32(hubble_drag),
         )
         batch = self._place(batch)
-        fn = self._step_fn(packed.mass is not None, packed.bulk_vel is not None)
+        fn = self._step_fn(
+            packed.mass is not None,
+            packed.bulk_vel is not None,
+            static=static,
+        )
         self.carry, events = fn(self.carry, batch)
         return events
 
@@ -323,8 +330,13 @@ def track_orbits(
             )
 
         t0 = time.time()
+        # static-membership fast path: identical ID layout to the previous
+        # snapshot means the sort-merge join is unnecessary
+        static = prev_ids_host is not None and bool(
+            np.array_equal(packed.ids, prev_ids_host)
+        )
         with phase_timer(phases, "step"):
-            events = engine.step(packed, hubble_drag)
+            events = engine.step(packed, hubble_drag, static=static)
 
         if not started:
             # First processed snapshot: seeds the carry; nothing to save

@@ -184,3 +184,54 @@ def test_angle_accumulates_and_resets():
     assert float(np.asarray(ev.apsis_angle)[0, 0]) == pytest.approx(
         3 * dphi, rel=1e-4
     )
+
+
+def test_static_step_equals_general_on_fixed_membership(rng):
+    """With identical ID layouts, the join-free static step must produce
+    the same carry and events as the general sort-merge step."""
+    from orbitanalysis_tpu.ops.apsis import make_static_orbit_step
+
+    n_halos, cap, n_valid = 3, 256, 200
+    ids = np.full((n_halos, cap), INVALID_ID, np.int32)
+    for h in range(n_halos):
+        ids[h, :n_valid] = rng.choice(10 * cap, n_valid, replace=False)
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        return SnapshotBatch(
+            ids=ids,
+            pos=r.normal(size=(n_halos, cap, 3)).astype(np.float32),
+            vel=r.normal(size=(n_halos, cap, 3)).astype(np.float32),
+            center=r.normal(size=(n_halos, 3)).astype(np.float32),
+            mass=None, bulk_vel=None, hubble_drag=np.float32(0.0),
+        )
+
+    import jax
+
+    gen = jax.jit(make_orbit_step(mode="pericentric", box_size=100.0,
+                                  event_capacity=64))
+    sta = jax.jit(make_static_orbit_step(mode="pericentric", box_size=100.0,
+                                         event_capacity=64))
+
+    # seed BOTH with the general step: the static step assumes an
+    # already-populated carry (the all-invalid seed carry would feed
+    # arccos(0) = pi/2 into the angle accumulator), exactly mirroring the
+    # tracker, which only selects the static path when the previous
+    # snapshot's ID layout matches
+    c_g = init_carry(n_halos, cap)
+    c_s = init_carry(n_halos, cap)
+    c_g, _ = gen(c_g, batch(0))
+    c_s, _ = gen(c_s, batch(0))
+    for k in (1, 2, 3):
+        b = batch(k)
+        c_g, ev_g = gen(c_g, b)
+        c_s, ev_s = sta(c_s, b)
+        assert np.array_equal(np.asarray(ev_g.apsis), np.asarray(ev_s.apsis)), k
+        assert np.allclose(np.asarray(ev_g.apsis_angle),
+                           np.asarray(ev_s.apsis_angle), atol=2e-3), k
+        assert np.array_equal(np.asarray(ev_g.ev_count),
+                              np.asarray(ev_s.ev_count)), k
+        assert np.array_equal(np.asarray(ev_g.ev_ids),
+                              np.asarray(ev_s.ev_ids)), k
+        assert np.allclose(np.asarray(c_g.angles), np.asarray(c_s.angles),
+                           atol=2e-3), k
