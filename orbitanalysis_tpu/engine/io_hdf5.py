@@ -93,7 +93,11 @@ def last_snapshot_number(savefile) -> int:
     """Resume anchor: number of the last written snapshot group
     (``track_orbits.py:93-99``)."""
     with h5py.File(savefile, "r") as hf:
-        keys = sorted(k for k in hf.keys() if k.startswith("snapshot_"))
-        if not keys:
+        nums = sorted(
+            int(k.split("_")[1])
+            for k in hf.keys()
+            if k.startswith("snapshot_")
+        )
+        if not nums:
             raise ValueError(f"no snapshot groups in {savefile}; cannot resume")
-        return int(keys[-1].split("_")[1])
+        return nums[-1]

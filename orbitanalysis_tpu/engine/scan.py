@@ -29,6 +29,17 @@ import jax.numpy as jnp
 from orbitanalysis_tpu.ops.apsis import Carry, SnapshotBatch, make_orbit_step
 
 
+def _with_drag_axis(snaps: SnapshotBatch) -> SnapshotBatch:
+    """Broadcast a scalar ``hubble_drag`` to the snapshot axis so every
+    leaf scans (lax.scan rejects axis-less leaves)."""
+    drag = snaps.hubble_drag
+    if jnp.ndim(drag) == 0:
+        n = snaps.ids.shape[0]
+        drag = jnp.broadcast_to(jnp.asarray(drag, jnp.float32), (n,))
+        return snaps._replace(hubble_drag=drag)
+    return snaps
+
+
 class CountingCarry(NamedTuple):
     """Carry for the count-accumulating scan: the tracking carry plus a
     per-slot apsis counter aligned with the *current* snapshot layout."""
@@ -59,7 +70,7 @@ def scan_events(
         c, ev = step(c, s)
         return c, (ev.apsis, ev.apsis_angle)
 
-    return jax.lax.scan(body, carry, snaps)
+    return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
 
 def scan_events_compact(
@@ -86,7 +97,7 @@ def scan_events_compact(
         c, ev = step(c, s)
         return c, (ev.ev_count, ev.ev_ids, ev.ev_angles)
 
-    return jax.lax.scan(body, carry, snaps)
+    return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
 
 def scan_counts(
@@ -126,7 +137,7 @@ def scan_counts(
             jnp.sum(hit, dtype=jnp.int32),
         )
 
-    return jax.lax.scan(body, carry, snaps)
+    return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
 
 def stack_batches(batches):

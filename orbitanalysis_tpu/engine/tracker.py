@@ -98,10 +98,11 @@ class _DeviceEngine:
         # on-device event compaction: hosts fetch [H, K] event lists
         # instead of [H, P] masks; K sized for the rare-event regime with
         # a full-mask fallback on overflow
-        self.event_capacity = (
+        self.event_capacity = min(
             event_capacity
             if event_capacity is not None
-            else max(128, round_up(capacity // 16, 128))
+            else max(128, round_up(capacity // 16, 128)),
+            capacity,
         )
         self.mode = mode
         self.box_size = box_size
@@ -129,7 +130,7 @@ class _DeviceEngine:
                 box_size=self.box_size,
                 id_dtype=self.id_dtype,
                 angle_dtype=self.angle_dtype,
-                event_capacity=min(self.event_capacity, self.capacity),
+                event_capacity=self.event_capacity,
             )
             self._steps[key] = jax.jit(raw, donate_argnums=(0,))
         return self._steps[key]
@@ -342,7 +343,16 @@ def track_orbits(
             # First processed snapshot: seeds the carry; nothing to save
             # (reference: `i > istart` gate, track_orbits.py:160,212).
             if resume:
-                ck_angles, _ = io_hdf5.read_checkpoint(savefile)
+                ck_angles, ck_snap = io_hdf5.read_checkpoint(savefile)
+                if ck_snap >= 0 and ck_snap != snapshot_number:
+                    raise ValueError(
+                        f"checkpoint sidecar holds angles for snapshot "
+                        f"{ck_snap} but the savefile resumes at snapshot "
+                        f"{snapshot_number}; the run likely crashed "
+                        "between the savefile append and the checkpoint "
+                        "write — delete the last savefile group or the "
+                        "checkpoint and re-run"
+                    )
                 angles_padded = pack_ragged(
                     np.asarray(ck_angles, dtype=angle_dtype),
                     offsets, n_rows, engine.capacity, rows=rows, fill=0.0,

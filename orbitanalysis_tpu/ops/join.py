@@ -162,11 +162,15 @@ def merge_join(
     def cat(a, b):
         return jnp.concatenate([a, b], axis=1)
 
-    id_bits = jnp.dtype(prev_ids.dtype).itemsize * 8
-    pack_key = id_bits <= 32
+    id_dt = jnp.dtype(prev_ids.dtype)
+    # single-key packing requires ids < 2^31 so that (id << 1 | side)
+    # fits in uint32 without aliasing — guaranteed for *signed* <=32-bit
+    # dtypes (the invalid sentinel is the dtype max), but NOT for uint32,
+    # whose ids may reach 2^32-2 and would collide after the shift
+    pack_key = (
+        id_dt.itemsize * 8 <= 32 and jnp.issubdtype(id_dt, jnp.signedinteger)
+    )
     if pack_key:
-        # single-key path: key = id << 1 | side (uint32).  Safe because
-        # the invalid sentinel is the dtype max, so id < 2^31 always.
         keys = (cat(prev_ids, cur_ids).astype(jnp.uint32) << 1) | (
             sp >= p
         ).astype(jnp.uint32)

@@ -28,8 +28,10 @@ def tree_sharding_specs(tree, mesh: Mesh):
         if ndim == 0:
             return P()
         shape = np.shape(leaf)
-        if ndim >= 2 and shape[0] == 3:
-            # SoA vector leaf [3, H, P]: axis 0 is the component axis
+        if ndim >= 3 and shape[0] == 3 and shape[-1] != 3:
+            # SoA vector leaf [3, H, P]: axis 0 is the component axis.
+            # AoS leaves ([H, P, 3] and [H, 3]) are excluded by the
+            # trailing-axis test even when n_halos happens to equal 3.
             parts = [None, "halos"] + [None] * (ndim - 2)
             if ndim >= 3 and has_particles and shape[2] > 4:
                 parts[2] = "particles"

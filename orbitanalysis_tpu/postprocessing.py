@@ -49,11 +49,17 @@ class Apsides:
     def __init__(self, filename):
         self.filename = filename
         with h5py.File(filename, "r") as hf:
-            skeys = sorted(k for k in hf.keys() if k.startswith("snapshot_"))
-            self.snapshot_numbers = np.array(
-                [int(k.split("_")[1]) for k in skeys]
-            )
-            self.final_halo_ids = hf[skeys[-1]]["halo_IDs"][:]
+            # sort numerically, not lexicographically: %03d group names
+            # widen to 4+ digits at snapshot 1000+
+            self.snapshot_numbers = np.sort(np.array(
+                [
+                    int(k.split("_")[1])
+                    for k in hf.keys()
+                    if k.startswith("snapshot_")
+                ]
+            ))
+            final_key = "snapshot_%03d" % self.snapshot_numbers[-1]
+            self.final_halo_ids = hf[final_key]["halo_IDs"][:]
             self.mode = hf.attrs["mode"]
             if isinstance(self.mode, bytes):
                 self.mode = self.mode.decode()
@@ -193,7 +199,10 @@ class Apsides:
         """Retroactively attach each particle's *final* orbit count to every
         earlier snapshot's catalog (``postprocessing.py:176-240``)."""
         with h5py.File(collated_file, "r+") as hf:
-            skeys = np.array(sorted(hf.keys()))
+            nums_all = np.sort(np.array(
+                [int(k.split("_")[-1]) for k in hf.keys()]
+            ))
+            skeys = np.array(["snapshot_%03d" % n for n in nums_all])
             gfin = hf[skeys[-1]]
             ids_final = gfin["particle_IDs"][:]
             counts_final = gfin[self._tag + "_counts"][:]

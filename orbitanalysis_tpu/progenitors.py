@@ -120,6 +120,8 @@ def find_main_progenitors(halo_pids, halo_offsets, tracked_pids,
     tracked_offsets = np.asarray(tracked_offsets, dtype=np.int64)
 
     n_desc = len(tracked_offsets)
+    if len(halo_pids) == 0 or len(tracked_pids) == 0:
+        return [-1] * n_desc
     halo_lens = np.diff(np.concatenate((halo_offsets, [len(halo_pids)])))
     tracked_lens = np.diff(np.concatenate((tracked_offsets, [len(tracked_pids)])))
 

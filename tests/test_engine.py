@@ -240,3 +240,69 @@ def test_event_capacity_overflow_fallback(tmp_path):
             assert np.array_equal(got, ids), name  # all 300 flipped
             assert len(hf["snapshot_001"]["pericenter_IDs"]) == 0
             assert len(hf["snapshot_003"]["pericenter_IDs"]) == 0
+
+
+def test_snapshot_numbers_above_1000(tmp_path):
+    """Group names widen past %03d at snapshot 1000; ordering must stay
+    numeric (lexicographic would put snapshot_999 after snapshot_1000)."""
+    from orbitanalysis_tpu import Apsides
+    from orbitanalysis_tpu.engine.io_hdf5 import last_snapshot_number
+
+    box = 60.0
+    n_snap = 6
+    snaps, centers = churn_snapshots(2, 80, n_snap, box_size=box, seed=41)
+    regions, loader = make_callbacks(snaps, centers, box_size=box,
+                                     snapshot_offset=997)
+    snap_nums = np.arange(997, 997 + n_snap)  # straddles 999 -> 1000
+    branches = np.tile(np.arange(2), (n_snap, 1))
+    save = str(tmp_path / "wide.h5")
+    track_orbits(snap_nums, branches, regions, loader, save, verbose=False)
+    assert last_snapshot_number(save) == 1002
+    ap = Apsides(save)
+    assert np.array_equal(ap.snapshot_numbers, np.arange(998, 1003))
+    coll = str(tmp_path / "wide_coll.h5")
+    ap.collate_apsides(savefile=coll, save_final_counts=True, verbose=False)
+    with h5py.File(coll) as hf:
+        assert "snapshot_1002" in hf
+
+
+def test_event_capacity_larger_than_capacity(tmp_path, churn_setup):
+    """Explicit event_capacity > capacity must clamp, not crash."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "clamp.h5")
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 capacity=256, event_capacity=4096, verbose=False)
+    ref = str(tmp_path / "clamp_ref.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref, verbose=False)
+    with h5py.File(save) as a, h5py.File(ref) as b:
+        for k in a:
+            assert np.array_equal(
+                a[k]["pericenter_IDs"][:], b[k]["pericenter_IDs"][:]
+            ), k
+
+
+def test_scan_accepts_scalar_hubble_drag():
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.engine.scan import scan_events, stack_batches
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch, init_carry
+    from orbitanalysis_tpu.utils import INVALID_ID
+
+    H, P, S = 2, 128, 3
+    rng = np.random.default_rng(0)
+    ids = np.broadcast_to(
+        np.arange(P, dtype=np.int32), (S, H, P)
+    ).copy()
+    snaps = SnapshotBatch(
+        ids=jnp.asarray(ids),
+        pos=jnp.asarray(rng.normal(size=(S, H, P, 3)).astype(np.float32)),
+        vel=jnp.asarray(rng.normal(size=(S, H, P, 3)).astype(np.float32)),
+        center=jnp.zeros((S, H, 3), jnp.float32),
+        mass=None, bulk_vel=None,
+        hubble_drag=0.0,  # scalar: previously broke lax.scan
+    )
+    carry, (apsis, ang) = jax.jit(
+        lambda c, s: scan_events(c, s, mode="pericentric")
+    )(init_carry(H, P), snaps)
+    assert np.asarray(apsis).shape == (S, H, P)
