@@ -259,7 +259,91 @@ def track_orbits(
     prev_ids_host = None       # [H, P] packed ids of last processed snapshot
     prev_rows = None           # active halo rows of last processed snapshot
     started = False
-    first_processed = True
+
+    # Software pipeline: the step for snapshot s is *dispatched* (JAX
+    # dispatch is async) and its event fetch + HDF5 write deferred into a
+    # ``pending`` record flushed while snapshot s+1 is loading/packing/
+    # computing — host I/O overlaps device compute.
+    pending = None
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        p, phases = pending, pending["phases"]
+        pending = None
+        if p["save"]:
+            events = p["events"]
+            with phase_timer(phases, "fetch"):
+                ev_count = np.asarray(events.ev_count)
+                bulk_vel = np.asarray(events.bulk_vel)
+            if verbose:
+                print(
+                    "Finished {} detection for snapshot {} in {} s\n".format(
+                        io_hdf5.apsis_tag(mode),
+                        "%03d" % p["snapshot_number"],
+                        time.time() - p["t0"],
+                    )
+                )
+
+            saved_rows = p["saved_rows"]
+            K = engine.event_capacity
+            if int(ev_count[saved_rows].max(initial=0)) > K:
+                # event-capacity overflow: fetch the full masks (rare)
+                with phase_timer(phases, "fetch"):
+                    apsis = np.asarray(events.apsis)
+                    apsis_angle = np.asarray(events.apsis_angle)
+                apsis_offsets, apsis_ids_flat, apsis_angles_flat = (
+                    unpack_mask(
+                        apsis, p["layout_ids"], apsis_angle, rows=saved_rows
+                    )
+                )
+            else:
+                with phase_timer(phases, "fetch"):
+                    ev_ids = np.asarray(events.ev_ids)[saved_rows]
+                    ev_angles = np.asarray(events.ev_angles)[saved_rows]
+                counts = ev_count[saved_rows]
+                sel = np.arange(K)[None, :] < counts[:, None]
+                apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
+                apsis_ids_flat = ev_ids[sel]
+                apsis_angles_flat = ev_angles[sel]
+
+            with phase_timer(phases, "save"):
+                io_hdf5.append_snapshot(
+                    savefile,
+                    p["snapshot_number"],
+                    mode,
+                    apsis_ids=apsis_ids_flat,
+                    apsis_offsets=apsis_offsets,
+                    apsis_angles=apsis_angles_flat,
+                    halo_ids=p["halo_ids_saved"],
+                    final_descendant_ids=p["final_desc"],
+                    region_radii=p["region_radii_saved"],
+                    region_positions=p["region_positions_saved"],
+                    bulk_velocities=bulk_vel[saved_rows],
+                    verbose=verbose,
+                )
+            if metrics is not None:
+                metrics.log(
+                    snapshot=int(p["snapshot_number"]),
+                    n_halos_active=int(len(p["rows"])),
+                    n_particles=int(p["n_particles"]),
+                    n_events=int(len(apsis_ids_flat)),
+                    capacity=int(engine.capacity),
+                    **phases,
+                )
+        if checkpoint:
+            # carry angles were fetched before the *next* dispatch could
+            # donate them (see angles_host below); final drain fetches here
+            angles_dev = p.get("angles_host")
+            if angles_dev is None:
+                angles_dev = np.asarray(jax.device_get(engine.carry.angles))
+            valid = p["packed_ids"] != engine.invalid
+            _, angles_flat = unpack_mask(valid, angles_dev, rows=p["rows"])
+            io_hdf5.write_checkpoint(
+                savefile, angles_flat, p["snapshot_number"],
+                angle_store_dtype=angles_flat.dtype,
+            )
 
     with trace(profile_dir):
       for i, (halo_ids, snapshot_number) in enumerate(
@@ -310,6 +394,9 @@ def track_orbits(
             if not resume:
                 io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
         if lengths.size and int(lengths.max()) > engine.capacity:
+            # growth re-pads device state: drain the pipeline first so
+            # pending full-mask fallbacks keep their original shapes
+            flush_pending()
             new_cap = required_capacity(lengths, headroom)
             if verbose:
                 print(
@@ -336,6 +423,13 @@ def track_orbits(
         static = prev_ids_host is not None and bool(
             np.array_equal(packed.ids, prev_ids_host)
         )
+        if checkpoint and pending is not None:
+            # the next dispatch donates the carry, so materialize the
+            # pending snapshot's angles now (syncs on its step only)
+            pending["angles_host"] = np.asarray(
+                jax.device_get(engine.carry.angles)
+            )
+        layout_ids = prev_ids_host  # the dispatched step's prev layout
         with phase_timer(phases, "step"):
             events = engine.step(packed, hubble_drag, static=static)
 
@@ -359,88 +453,47 @@ def track_orbits(
                 )
                 engine.set_angles(angles_padded)
             started = True
+            new_pending = dict(
+                save=False, phases=phases, rows=rows,
+                packed_ids=packed.ids, snapshot_number=snapshot_number,
+            )
         else:
-            with phase_timer(phases, "fetch"):
-                ev_count = np.asarray(events.ev_count)
-                bulk_vel = np.asarray(events.bulk_vel)
-            if verbose:
-                print(
-                    "Finished {} detection for snapshot {} in {} s\n".format(
-                        io_hdf5.apsis_tag(mode),
-                        "%03d" % snapshot_number,
-                        time.time() - t0,
-                    )
-                )
-
             saved_rows = np.intersect1d(rows, prev_rows)
-            K = engine.event_capacity
-            if int(ev_count[saved_rows].max(initial=0)) > K:
-                # event-capacity overflow: fetch the full masks (rare)
-                with phase_timer(phases, "fetch"):
-                    apsis = np.asarray(events.apsis)
-                    apsis_angle = np.asarray(events.apsis_angle)
-                apsis_offsets, apsis_ids_flat, apsis_angles_flat = (
-                    unpack_mask(
-                        apsis, prev_ids_host, apsis_angle, rows=saved_rows
-                    )
-                )
-            else:
-                with phase_timer(phases, "fetch"):
-                    ev_ids = np.asarray(events.ev_ids)[saved_rows]
-                    ev_angles = np.asarray(events.ev_angles)[saved_rows]
-                counts = ev_count[saved_rows]
-                sel = np.arange(K)[None, :] < counts[:, None]
-                apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
-                apsis_ids_flat = ev_ids[sel]
-                apsis_angles_flat = ev_angles[sel]
-
-            radii_full = np.zeros(n_rows, dtype=np.asarray(region_radii).dtype)
+            radii_full = np.zeros(
+                n_rows, dtype=np.asarray(region_radii).dtype
+            )
             radii_full[rows] = region_radii
             pos_full = np.zeros((n_rows, 3), dtype=region_positions.dtype)
             pos_full[rows] = region_positions
-
-            final_desc = (
-                final_branch[saved_rows]
-                if snapshot_number != final_snapshot
-                else None
+            new_pending = dict(
+                save=True,
+                phases=phases,
+                events=events,
+                t0=t0,
+                rows=rows,
+                saved_rows=saved_rows,
+                layout_ids=layout_ids,
+                packed_ids=packed.ids,
+                snapshot_number=snapshot_number,
+                n_particles=len(snapshot["ids"]),
+                halo_ids_saved=halo_ids[saved_rows],
+                final_desc=(
+                    final_branch[saved_rows]
+                    if snapshot_number != final_snapshot
+                    else None
+                ),
+                region_radii_saved=radii_full[saved_rows],
+                region_positions_saved=pos_full[saved_rows],
             )
-            with phase_timer(phases, "save"):
-                io_hdf5.append_snapshot(
-                    savefile,
-                    snapshot_number,
-                    mode,
-                    apsis_ids=apsis_ids_flat,
-                    apsis_offsets=apsis_offsets,
-                    apsis_angles=apsis_angles_flat,
-                    halo_ids=halo_ids[saved_rows],
-                    final_descendant_ids=final_desc,
-                    region_radii=radii_full[saved_rows],
-                    region_positions=pos_full[saved_rows],
-                    bulk_velocities=bulk_vel[saved_rows],
-                    verbose=verbose,
-                )
-            if metrics is not None:
-                metrics.log(
-                    snapshot=int(snapshot_number),
-                    n_halos_active=int(len(rows)),
-                    n_particles=int(len(snapshot["ids"])),
-                    n_events=int(len(apsis_ids_flat)),
-                    capacity=int(engine.capacity),
-                    **phases,
-                )
 
-        if checkpoint:
-            angles_dev = np.asarray(jax.device_get(engine.carry.angles))
-            valid = packed.ids != engine.invalid
-            _, angles_flat = unpack_mask(valid, angles_dev, rows=rows)
-            io_hdf5.write_checkpoint(
-                savefile, angles_flat, snapshot_number,
-                angle_store_dtype=angles_flat.dtype,
-            )
+        # flush the previous snapshot's I/O while this step computes
+        flush_pending()
+        pending = new_pending
 
         prev_ids_host = packed.ids
         prev_rows = rows
-        first_processed = False  # noqa: F841
+
+      flush_pending()
 
     if verbose:
         print(
