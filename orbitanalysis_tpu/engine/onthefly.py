@@ -99,7 +99,10 @@ def track_orbits(
     cur, prev = packed  # raw order is [s, s-1]
 
     step = jax.jit(
-        make_orbit_step(mode=mode, box_size=box_size, id_dtype=id_dtype)
+        make_orbit_step(
+            mode=mode, box_size=box_size, id_dtype=id_dtype,
+            with_dtheta=True,  # the on-the-fly schema stores angle changes
+        )
     )
 
     t0 = time.time()

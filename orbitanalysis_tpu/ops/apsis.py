@@ -123,6 +123,7 @@ def make_orbit_step(
     id_dtype=jnp.int32,
     angle_dtype=jnp.float32,
     with_prev_slot: bool = False,
+    with_dtheta: bool = False,
     event_capacity: int | None = None,
 ):
     """Build the fused per-snapshot step for a fixed configuration.
@@ -132,7 +133,10 @@ def make_orbit_step(
 
     ``with_prev_slot=True`` additionally emits the cur->prev slot map
     (``StepEvents.prev_slot``, used by the on-device count accumulator);
-    off by default to save a restore-sort channel.
+    ``with_dtheta=True`` emits the per-pair angle change in prev layout
+    (``StepEvents.dtheta``, needed only by the on-the-fly file writer).
+    Both default off: sort-channel bandwidth dominates the step cost, so
+    every optional restore channel is pay-for-what-you-use.
 
     ``event_capacity=K`` additionally compacts the apsis events to the
     front of each halo row (slot order preserved) so hosts fetch
@@ -163,6 +167,15 @@ def make_orbit_step(
             hubble_drag=snap.hubble_drag,
         )
 
+        # radial velocities participate in detection only through their
+        # signs, so they ride the sort as a 2-bit uint8 channel (1/4 the
+        # bandwidth of the f32 they replace); full vrad is carried
+        # outside the join (the new carry takes frame.vrad directly)
+        def vr_bits(vr):
+            return (
+                (vr < 0).astype(jnp.uint8) | ((vr > 0).astype(jnp.uint8) << 1)
+            )
+
         def compute(left_vals, this_vals, matched):
             """Apsis detection at the merged (matched-pair) positions.
 
@@ -170,14 +183,14 @@ def make_orbit_step(
             payloads (garbage elsewhere — everything is masked by
             ``matched``).
             """
-            vr0, rx0, ry0, rz0, ang0 = left_vals
-            vr1, rx1, ry1, rz1, _ = this_vals
+            vrb0, rx0, ry0, rz0, ang0 = left_vals
+            vrb1, rx1, ry1, rz1, _ = this_vals
             cosang = jnp.clip(rx0 * rx1 + ry0 * ry1 + rz0 * rz1, -1.0, 1.0)
             dtheta = jnp.where(matched, jnp.arccos(cosang), 0.0)
             if pericentric:
-                flip = (vr0 < 0) & (vr1 > 0)
+                flip = ((vrb0 & 1) > 0) & ((vrb1 & 2) > 0)
             else:
-                flip = (vr0 > 0) & (vr1 < 0)
+                flip = ((vrb0 & 2) > 0) & ((vrb1 & 1) > 0)
             apsis = matched & flip
             angle_acc = (ang0 + dtheta.astype(angle_dtype)).astype(
                 angle_dtype
@@ -186,18 +199,20 @@ def make_orbit_step(
             angle_new = jnp.where(apsis, 0, angle_acc).astype(angle_dtype)
             # (to_prev, to_cur) pairs; apsis_angle and angle_new share a
             # channel (prev/cur destinations are disjoint)
-            return (
+            out = [
                 (apsis, None),
                 (apsis_angle, angle_new),
-                (dtheta, None),
-            )
+            ]
+            if with_dtheta:
+                out.append((dtheta, None))
+            return tuple(out)
 
         mj = merge_join(
             carry.ids,
             snap.ids,
             invalid,
             values=(
-                (carry.vrad, frame.vrad),
+                (vr_bits(carry.vrad), vr_bits(frame.vrad)),
                 (carry.rhat[0], frame.rhat[0]),
                 (carry.rhat[1], frame.rhat[1]),
                 (carry.rhat[2], frame.rhat[2]),
@@ -208,7 +223,7 @@ def make_orbit_step(
         )
         apsis, _ = mj.to_prev[0], mj.to_cur[0]
         apsis_angle, angles_new = mj.to_prev[1], mj.to_cur[1]
-        dtheta = mj.to_prev[2]
+        dtheta = mj.to_prev[2] if with_dtheta else None
 
         ev_count = ev_ids = ev_angles = None
         if event_capacity is not None:

@@ -244,8 +244,9 @@ def merge_join(
         )
 
     out_chans = tuple(fold(tp, tc) for tp, tc in outputs)
-    flags = match_cur_m.astype(jnp.int32) + 2 * match_prev_m.astype(
-        jnp.int32
+    # int8: sort channel bandwidth is the cost driver, and flags need 2 bits
+    flags = match_cur_m.astype(jnp.int8) + 2 * match_prev_m.astype(
+        jnp.int8
     )
     slot_chan = ()
     if with_prev_slot:
