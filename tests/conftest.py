@@ -7,19 +7,24 @@ Multi-chip sharding is validated without TPU pods per SURVEY.md §4
 
 import os
 
-# force CPU even when the session environment pins a TPU platform:
-# some TPU plugins (e.g. 'axon') override JAX_PLATFORMS at import time,
-# so set the config explicitly as well
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Default: force CPU even when the session environment pins a TPU
+# platform (some TPU plugins, e.g. 'axon', override JAX_PLATFORMS at
+# import time, so set the config explicitly as well).  Set
+# ORBIT_TPU_TEST_PLATFORM=tpu to run the suite on the ambient device
+# instead (single-chip: the distributed tier auto-skips).
+_platform = os.environ.get("ORBIT_TPU_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

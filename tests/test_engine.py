@@ -306,3 +306,45 @@ def test_scan_accepts_scalar_hubble_drag():
         lambda c, s: scan_events(c, s, mode="pericentric")
     )(init_carry(H, P), snaps)
     assert np.asarray(apsis).shape == (S, H, P)
+
+
+def test_int64_particle_ids_beyond_int32(tmp_path):
+    """IDs above 2^31 (>1290^3-particle sims): id_dtype=int64 under x64
+    must reproduce the oracle; int32 must refuse loudly."""
+    import jax
+
+    box = 60.0
+    n_halos, n_part, n_snap = 2, 100, 5
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=47
+    )
+    shift = np.int64(2) ** 33
+    for s in snaps:
+        for h in s:
+            s[h]["ids"] = s[h]["ids"].astype(np.int64) + shift
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(n_halos), (n_snap, 1))
+
+    with pytest.raises(ValueError, match="wider"):
+        track_orbits(snap_nums, branches, regions, loader,
+                     str(tmp_path / "narrow.h5"), verbose=False)
+
+    save = str(tmp_path / "wide_ids.h5")
+    with jax.enable_x64(True):
+        track_orbits(snap_nums, branches, regions, loader, save,
+                     id_dtype=np.int64, verbose=False)
+
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    expected = [oracle.step(s) for s in snaps]
+    with h5py.File(save) as hf:
+        for s in range(1, n_snap):
+            g = hf["snapshot_%03d" % s]
+            offs = g["region_offsets"][:]
+            got = g["pericenter_IDs"][:]
+            assert got.dtype == np.int64
+            for h in range(n_halos):
+                assert np.array_equal(
+                    np.sort(got[offs[h]:offs[h + 1]]),
+                    np.sort(expected[s][h][0]),
+                ), (s, h)
