@@ -6,6 +6,7 @@ from orbitanalysis_tpu.utils.padding import (
     round_up,
     unpack_mask,
 )
+from orbitanalysis_tpu.utils.metrics import Metrics, phase_timer, trace
 from orbitanalysis_tpu.utils.numerics import (
     hubble_parameter,
     periodic_displacement,
@@ -20,6 +21,9 @@ __all__ = [
     "pack_ragged_to",
     "round_up",
     "unpack_mask",
+    "Metrics",
+    "phase_timer",
+    "trace",
     "hubble_parameter",
     "periodic_displacement",
     "recenter_coordinates",

@@ -348,3 +348,22 @@ def test_int64_particle_ids_beyond_int32(tmp_path):
                     np.sort(got[offs[h]:offs[h + 1]]),
                     np.sort(expected[s][h][0]),
                 ), (s, h)
+
+
+def test_onthefly_with_missing_progenitors(tmp_path, churn_setup):
+    """-1 entries in progenitor_links produce empty per-halo blocks over
+    the full halo list (reference repack semantics,
+    track_orbits_onthefly.py:61-68) and NaN bulk velocities."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "otfm_{}.h5")
+    links = np.tile(np.arange(3), (2, 1))
+    links[1, 1] = -1  # halo 1 has no progenitor at the earlier snapshot
+    track_orbits_onthefly(4, links, regions, loader, save, verbose=False)
+    with h5py.File(save.format("%0.3d" % 4)) as hf:
+        offs = hf["pericenter_offsets"][:]
+        assert len(offs) == 4  # full halo list, n_halos + 1
+        # halo 1 cannot have events without a progenitor
+        assert offs[2] - offs[1] == 0
+        bulk = hf["bulk_velocities"][:]
+        assert np.isnan(bulk[1, 1]).all()   # snapshot s-1, missing halo
+        assert np.isfinite(bulk[0]).all()   # snapshot s, all present
