@@ -1,4 +1,8 @@
 from orbitanalysis_tpu.engine.tracker import track_orbits  # noqa: F401
+from orbitanalysis_tpu.engine.regions import (  # noqa: F401
+    RegionExtractor,
+    make_region_callbacks,
+)
 from orbitanalysis_tpu.engine.scan import (  # noqa: F401
     CountingCarry,
     scan_counts,
@@ -9,6 +13,8 @@ from orbitanalysis_tpu.engine.scan import (  # noqa: F401
 
 __all__ = [
     "track_orbits",
+    "RegionExtractor",
+    "make_region_callbacks",
     "CountingCarry",
     "scan_counts",
     "scan_events",
