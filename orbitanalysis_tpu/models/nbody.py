@@ -114,8 +114,9 @@ def make_direct_force_fn(use_pallas: bool = False):
 
     ``use_pallas=True`` selects the blocked Pallas kernel
     (:mod:`orbitanalysis_tpu.ops.pallas_nbody`): O(N) memory instead of
-    the O(N^2) pair matrix, required beyond a few 10^4 particles.
-    Non-periodic only — periodic boxes at scale use the PM solver
+    the O(N^2) pair matrix, required beyond a few 10^4 particles; free
+    or periodic (minimum-image in-kernel).  For periodic boxes at full
+    box scale prefer the PM solver
     (:func:`orbitanalysis_tpu.models.pm.make_pm_force_fn`).
     """
     if not use_pallas:
@@ -124,12 +125,10 @@ def make_direct_force_fn(use_pallas: bool = False):
     from orbitanalysis_tpu.ops.pallas_nbody import direct_forces_pallas
 
     def force(pos, mass, softening=0.05, G=1.0, box_size=None, **_):
-        if box_size is not None:
-            raise ValueError(
-                "the blocked direct kernel is non-periodic; use the PM "
-                "solver for periodic boxes"
-            )
-        return direct_forces_pallas(pos, mass, softening=softening, G=G)
+        return direct_forces_pallas(
+            pos, mass, softening=softening, G=G,
+            box_size=None if box_size is None else float(box_size),
+        )
 
     return force
 

@@ -36,18 +36,24 @@ _TINY = 1e-18
 
 
 def _force_kernel(xs_ref, ys_ref, zs_ref, ms_ref,
-                  ax_ref, ay_ref, az_ref, *, eps2, n_src_tiles):
+                  ax_ref, ay_ref, az_ref, *, eps2, n_src_tiles, box):
     """One target tile vs all source tiles.
 
     refs: xs/ys/zs/ms are the full [1, N] SoA planes in VMEM (shared by
     every program); outputs are the [1, TILE_T] acceleration planes for
-    this program's target tile.
+    this program's target tile.  ``box`` enables per-pair minimum-image
+    wrapping (None = free space).
     """
     i = pl.program_id(0)
     t0 = i * _TILE_T
     xt = xs_ref[0, pl.ds(t0, _TILE_T)]
     yt = ys_ref[0, pl.ds(t0, _TILE_T)]
     zt = zs_ref[0, pl.ds(t0, _TILE_T)]
+
+    def wrap(d):
+        if box is None:
+            return d
+        return d - box * jnp.round(d * (1.0 / box))
 
     def body(j, acc):
         ax, ay, az = acc
@@ -56,9 +62,9 @@ def _force_kernel(xs_ref, ys_ref, zs_ref, ms_ref,
         ys = ys_ref[0, pl.ds(s0, _TILE_S)]
         zs = zs_ref[0, pl.ds(s0, _TILE_S)]
         ms = ms_ref[0, pl.ds(s0, _TILE_S)]
-        dx = xs[None, :] - xt[:, None]          # [T, S]
-        dy = ys[None, :] - yt[:, None]
-        dz = zs[None, :] - zt[:, None]
+        dx = wrap(xs[None, :] - xt[:, None])    # [T, S]
+        dy = wrap(ys[None, :] - yt[:, None])
+        dz = wrap(zs[None, :] - zt[:, None])
         d2 = dx * dx + dy * dy + dz * dz + eps2
         d2 = jnp.maximum(d2, _TINY)
         w = ms[None, :] * jax.lax.rsqrt(d2) / d2   # m / d^3
@@ -84,19 +90,22 @@ except Exception:  # pragma: no cover
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softening", "G", "interpret")
+    jax.jit, static_argnames=("softening", "G", "box_size", "interpret")
 )
 def direct_forces_pallas(
     pos: jnp.ndarray,     # [N, 3]
     mass: jnp.ndarray,    # [N]
     softening: float = 0.05,
     G: float = 1.0,
+    box_size: float | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Blocked direct-summation acceleration via a Pallas TPU kernel.
 
-    Non-periodic only (periodic boxes at this scale use the PM solver).
-    ``interpret=True`` runs the kernel in interpreter mode (CPU tests).
+    ``box_size`` enables per-pair minimum-image wrapping (the jnp
+    periodic path materializes the [N, N, 3] displacement tensor; here
+    it stays tile-local in VMEM).  ``interpret=True`` runs the kernel in
+    interpreter mode (CPU tests).
     """
     if not _HAS_PALLAS:
         raise RuntimeError("pallas unavailable in this environment")
@@ -112,6 +121,7 @@ def direct_forces_pallas(
         _force_kernel,
         eps2=float(softening * softening),
         n_src_tiles=n_s_tiles,
+        box=None if box_size is None else float(box_size),
     )
     plane = lambda: pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: E731
     full = jax.ShapeDtypeStruct((1, n_pad), jnp.float32)

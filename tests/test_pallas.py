@@ -42,3 +42,18 @@ def test_blocked_forces_zero_mass_padding_invariance(rng):
         interpret=interpret,
     ))[:n]
     assert np.allclose(a1, a2, atol=1e-5)
+
+
+def test_blocked_forces_periodic(rng):
+    n, box = 400, 10.0
+    pos = jnp.asarray(rng.uniform(0, box, size=(n, 3)).astype(np.float32))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    interpret = jax.default_backend() != "tpu"
+    a1 = np.asarray(direct_forces_pallas(
+        pos, mass, softening=0.2, box_size=box, interpret=interpret
+    ))
+    a2 = np.asarray(direct_forces(pos, mass, softening=0.2, box_size=box))
+    rel = np.abs(a1 - a2) / (
+        np.linalg.norm(a2, axis=1, keepdims=True) + 1e-3
+    )
+    assert rel.max() < 1e-3
