@@ -149,6 +149,8 @@ class _DeviceEngine:
             angles=np.pad(c.angles, ((0, 0), (0, pad))),
         )
         self.capacity = new_capacity
+        # jitted executables for the old capacity are unreachable now
+        self._steps.clear()
         self.carry = self._place(grown)
 
     def step(self, packed: PackedSnapshot, hubble_drag: float,

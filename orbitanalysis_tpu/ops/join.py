@@ -175,10 +175,10 @@ def merge_join(
             sp >= p
         ).astype(jnp.uint32)
         invalid_key = jnp.uint32(int(invalid_id)) << 1
-        sort_keys, num_keys = (keys,), 1
+        head, num_keys = (keys, sp), 1  # sp rides as the first payload
     else:
         keys = cat(prev_ids, cur_ids)
-        sort_keys, num_keys = (keys, sp), 2
+        head, num_keys = (keys, sp), 2  # sp is the tie-breaking key
 
     channels = tuple(
         cat(
@@ -189,19 +189,15 @@ def merge_join(
     )
 
     sorted_ops = jax.lax.sort(
-        sort_keys + (sp,) * (1 if pack_key else 0) + channels,
-        dimension=-1,
-        num_keys=num_keys,
+        head + channels, dimension=-1, num_keys=num_keys
     )
+    k_s, sp_s = sorted_ops[0], sorted_ops[1]
+    chan_s = sorted_ops[2:]
     if pack_key:
-        k_s, sp_s = sorted_ops[0], sorted_ops[1]
-        chan_s = sorted_ops[2:]
         is_cur = (k_s & 1) == 1
         ids_s = k_s >> 1
         valid_key = ids_s != (invalid_key >> 1)
     else:
-        k_s, sp_s = sorted_ops[0], sorted_ops[1]
-        chan_s = sorted_ops[2:]
         is_cur = sp_s >= p
         ids_s = k_s
         valid_key = k_s != invalid_id

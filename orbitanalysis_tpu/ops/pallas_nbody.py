@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orbitanalysis_tpu.utils.padding import round_up
+
 _TILE_T = 256    # targets per program (sublane-aligned)
 _TILE_S = 1024   # sources per inner step (lane-aligned)
 _TINY = 1e-18
@@ -110,7 +112,7 @@ def direct_forces_pallas(
     if not _HAS_PALLAS:
         raise RuntimeError("pallas unavailable in this environment")
     n = pos.shape[0]
-    n_pad = int(np.ceil(n / max(_TILE_T, _TILE_S)) * max(_TILE_T, _TILE_S))
+    n_pad = round_up(n, max(_TILE_T, _TILE_S))
     soa = jnp.moveaxis(pos.astype(jnp.float32), -1, 0)     # [3, N]
     soa = jnp.pad(soa, ((0, 0), (0, n_pad - n)))
     m = jnp.pad(mass.astype(jnp.float32), (0, n_pad - n))  # zero-mass pad
@@ -123,9 +125,6 @@ def direct_forces_pallas(
         n_src_tiles=n_s_tiles,
         box=None if box_size is None else float(box_size),
     )
-    plane = lambda: pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: E731
-    full = jax.ShapeDtypeStruct((1, n_pad), jnp.float32)
-
     # inputs stay whole in (compiler-chosen) memory; each program slices
     # its target tile and streams source tiles
     ax, ay, az = pl.pallas_call(

@@ -134,15 +134,13 @@ def find_main_progenitors(halo_pids, halo_offsets, tracked_pids,
     halo_number = np.repeat(np.arange(len(halo_lens)), halo_lens)
     desc_number = np.repeat(np.arange(n_desc), tracked_lens)
 
-    # membership + lookup via one sort of the catalog
+    # membership + lookup via one sort of the catalog (both inputs are
+    # non-empty here: the short-circuit above handled the empty cases)
     order = np.argsort(halo_pids, kind="stable")
     sorted_pids = halo_pids[order]
     pos = np.searchsorted(sorted_pids, tracked_pids)
-    pos_c = np.minimum(pos, len(sorted_pids) - 1) if len(sorted_pids) else pos * 0
-    found = np.zeros(len(tracked_pids), dtype=bool)
-    if len(sorted_pids):
-        found = sorted_pids[pos_c] == tracked_pids
-    found &= ~dup_mask
+    pos_c = np.minimum(pos, len(sorted_pids) - 1)
+    found = (sorted_pids[pos_c] == tracked_pids) & ~dup_mask
     votes_halo = halo_number[order[pos_c]]
 
     d = desc_number[found]
