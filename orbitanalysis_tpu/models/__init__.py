@@ -1,4 +1,4 @@
-from orbitanalysis_tpu.models import nbody, pm, synthetic  # noqa: F401
+from orbitanalysis_tpu.models import nbody, pm, pm_sharded, synthetic  # noqa: F401
 from orbitanalysis_tpu.models.nbody import (  # noqa: F401
     NBodyState,
     OrbitNBodyConfig,
@@ -9,6 +9,9 @@ from orbitanalysis_tpu.models.nbody import (  # noqa: F401
     simulate_with_tracking,
 )
 from orbitanalysis_tpu.models.pm import make_pm_force_fn, pm_forces  # noqa: F401
+from orbitanalysis_tpu.models.pm_sharded import (  # noqa: F401
+    make_sharded_pm_grid_solver,
+)
 
 __all__ = [
     "nbody",
@@ -23,4 +26,6 @@ __all__ = [
     "simulate_with_tracking",
     "make_pm_force_fn",
     "pm_forces",
+    "pm_sharded",
+    "make_sharded_pm_grid_solver",
 ]

@@ -93,3 +93,32 @@ def test_pm_driven_tracking_runs():
     assert np.isfinite(np.asarray(final.pos)).all()
     assert np.isfinite(np.asarray(track.angles)).all()
     assert np.asarray(track.counts).min() >= 0
+
+
+def test_sharded_pm_grid_matches_single_device(rng):
+    """Pencil-decomposed FFT solve == single-device solve on the
+    virtual CPU mesh (2/4/8-way)."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 (virtual) devices")
+
+    from orbitanalysis_tpu.models.pm import cic_deposit, pm_forces_grid
+    from orbitanalysis_tpu.models.pm_sharded import (
+        make_sharded_pm_grid_solver,
+    )
+    from orbitanalysis_tpu.parallel.mesh import make_mesh
+
+    grid, box, n = 32, 50.0, 2000
+    pos = jnp.asarray(rng.uniform(0, box, size=(n, 3)).astype(np.float32))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    rho = cic_deposit(pos, mass, grid, box)
+    ref = np.asarray(pm_forces_grid(rho, grid, box))
+    for d in (2, 4, 8):
+        solve = make_sharded_pm_grid_solver(make_mesh({"x": d}), grid)
+        got = np.asarray(solve(rho, box))
+        assert np.abs(got - ref).max() < 1e-4 * (np.abs(ref).max() + 1e-12)
+
+    with _pytest.raises(ValueError):
+        make_sharded_pm_grid_solver(make_mesh({"x": 8}), grid=36)
