@@ -10,6 +10,7 @@ from orbitanalysis_tpu.models.nbody import (  # noqa: F401
 )
 from orbitanalysis_tpu.models.pm import make_pm_force_fn, pm_forces  # noqa: F401
 from orbitanalysis_tpu.models.pm_sharded import (  # noqa: F401
+    make_sharded_pm_force_fn,
     make_sharded_pm_grid_solver,
 )
 
@@ -28,4 +29,5 @@ __all__ = [
     "pm_forces",
     "pm_sharded",
     "make_sharded_pm_grid_solver",
+    "make_sharded_pm_force_fn",
 ]

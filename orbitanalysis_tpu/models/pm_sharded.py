@@ -108,4 +108,73 @@ def make_sharded_pm_grid_solver(
                      jnp.asarray(box_size, jnp.float32))
         return G * out
 
+    solve.local_solve = local_solve  # shared by the full force path
+    solve.slab = loc
     return solve
+
+
+def make_sharded_pm_force_fn(
+    mesh: Mesh,
+    grid: int,
+    axis: str = "x",
+    deconvolve: bool = False,
+):
+    """Fully distributed PM forces: particles AND the FFT sharded over
+    one mesh axis.
+
+    Pipeline inside one ``shard_map``: each shard CIC-deposits its own
+    particles onto a full local mesh, a ``psum`` combines the meshes,
+    each shard solves its X-slab through the pencil FFT, the force slabs
+    are ``all_gather``-ed, and each shard CIC-interpolates its own
+    particles.  Per-device memory is O(grid^3) (the mesh), while the
+    particle arrays stay sharded — the configuration for 1e8+ particles
+    on moderate grids.
+
+    Returns ``force(pos, mass, box_size=..., G=...)`` with ``pos``/
+    ``mass`` sharded (or automatically placed) on ``axis``; particle
+    count must divide the axis size.
+    """
+    from orbitanalysis_tpu.models.pm import cic_deposit, cic_interpolate
+
+    solver = make_sharded_pm_grid_solver(
+        mesh, grid, axis=axis, deconvolve=deconvolve
+    )
+    loc = solver.slab
+    n_dev = int(mesh.shape[axis])
+
+    def local_force(pos_l, mass_l, box_size):
+        i = jax.lax.axis_index(axis)
+        rho = cic_deposit(pos_l, mass_l, grid, box_size)
+        rho = jax.lax.psum(rho, axis)                 # full mesh, all shards
+        slab = jax.lax.dynamic_slice_in_dim(rho, i * loc, loc, axis=0)
+        force_slab = solver.local_solve(slab, box_size)  # [3, loc, G, G]
+        field = jax.lax.all_gather(
+            force_slab, axis, axis=1, tiled=True
+        )                                              # [3, G, G, G]
+        return cic_interpolate(field, pos_l, grid, box_size)
+
+    mapped = shard_map(
+        local_force,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+
+    def force(pos, mass, box_size=None, G=1.0, **_):
+        if box_size is None:
+            raise ValueError("PM forces require a periodic box_size")
+        n = pos.shape[0]
+        if n % n_dev != 0:
+            raise ValueError(
+                f"particle count {n} not divisible by mesh axis {n_dev}; "
+                "pad with zero-mass particles"
+            )
+        pos = jax.device_put(pos, NamedSharding(mesh, P(axis)))
+        mass = jax.device_put(mass, NamedSharding(mesh, P(axis)))
+        return G * mapped(
+            pos.astype(jnp.float32), mass.astype(jnp.float32),
+            jnp.asarray(box_size, jnp.float32),
+        )
+
+    return force
