@@ -16,9 +16,9 @@ import time
 
 import numpy as np
 
-_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, _root)
-sys.path.insert(0, os.path.join(_root, "tests"))
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+)
 
 from orbitanalysis_tpu import Apsides, track_orbits
 from orbitanalysis_tpu.models.synthetic import kepler_ensemble

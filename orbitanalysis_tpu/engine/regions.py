@@ -52,11 +52,15 @@ class RegionExtractor:
             # aim for O(100) particles per cell
             n_cells = max(int((len(self.ids) / 100.0) ** (1.0 / 3.0)), 1)
             cell_size = float(span.max() / max(n_cells, 1))
-        self.cell = float(cell_size)
         self.lo = lo
         self.dims = np.maximum(
-            np.ceil(span / self.cell).astype(np.int64), 1
+            np.ceil(span / float(cell_size)).astype(np.int64), 1
         )
+        # exact per-dimension cell sizes: dims * cell == span, so that in
+        # periodic mode index-wrapping (mod dims) is identical to
+        # position-wrapping (mod box) — a user cell_size that does not
+        # divide the box would otherwise drop boundary particles
+        self.cell = span / self.dims
 
         cell_idx = self._cell_of(self.pos)
         flat = (
@@ -155,11 +159,23 @@ def make_region_callbacks(
     Returns ``(regions, load_snapshot_data)`` ready for
     :func:`orbitanalysis_tpu.track_orbits`.
     """
-    extractors = {}
+    extractors = {}  # small LRU: snapshots are visited ~once each
 
     def regions(snapshot_number, halo_ids):
         hids, centers, radii = catalog[int(snapshot_number)]
-        idx = np.searchsorted(hids, halo_ids)
+        hids = np.asarray(hids)
+        # explicit id -> row lookup: halo catalogs need not be sorted,
+        # and a missing id must fail loudly, not index garbage
+        order = np.argsort(hids, kind="stable")
+        pos = np.searchsorted(hids[order], halo_ids)
+        pos = np.clip(pos, 0, len(hids) - 1)
+        idx = order[pos]
+        if not np.array_equal(hids[idx], np.asarray(halo_ids)):
+            missing = np.setdiff1d(halo_ids, hids)
+            raise KeyError(
+                f"halo ids {missing} not in the snapshot-"
+                f"{int(snapshot_number)} catalog"
+            )
         return centers[idx], radii[idx]
 
     def load_snapshot_data(snapshot_number, region_positions, region_radii):
@@ -171,6 +187,11 @@ def make_region_callbacks(
                 masses=snap.get("masses"), box_size=box_size,
                 **extractor_kwargs,
             )
+            # keep at most two indices alive (the on-the-fly engine
+            # queries a snapshot pair); a per-run cache would retain
+            # O(N) index arrays for every snapshot ever touched
+            while len(extractors) > 2:
+                extractors.pop(next(iter(extractors)))
         out = extractors[s].extract(region_positions, region_radii)
         snap = snapshots[s]
         for k in ("redshift", "H0", "Omega_m", "Omega_L", "Omega_k"):

@@ -280,8 +280,12 @@ def track_orbits(
                 ev_count = np.asarray(events.ev_count)
                 bulk_vel = np.asarray(events.bulk_vel)
             if verbose:
+                # pipelined: the elapsed time spans dispatch of this
+                # snapshot's step through the next snapshot's load/pack
+                # (the flush runs while the next step computes)
                 print(
-                    "Finished {} detection for snapshot {} in {} s\n".format(
+                    "Finished {} detection for snapshot {} "
+                    "(dispatch-to-write {} s)\n".format(
                         io_hdf5.apsis_tag(mode),
                         "%03d" % p["snapshot_number"],
                         time.time() - p["t0"],

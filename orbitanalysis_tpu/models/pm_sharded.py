@@ -21,13 +21,17 @@ separately); this module distributes the O(G^3 log G) solve.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # moved out of experimental in newer jax (no check_rep kwarg)
+    from jax import shard_map
+    _SHARD_MAP_KW = {}
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+    _SHARD_MAP_KW = {"check_rep": False}
 
 
 def make_sharded_pm_grid_solver(
@@ -47,7 +51,6 @@ def make_sharded_pm_grid_solver(
     if grid % n_dev != 0:
         raise ValueError(f"grid {grid} not divisible by mesh axis {n_dev}")
     loc = grid // n_dev
-    zdim = grid // 2 + 1
 
     # spectral coordinates (cell units)
     kx_full = 2 * np.pi * np.fft.fftfreq(grid)
@@ -99,7 +102,7 @@ def make_sharded_pm_grid_solver(
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=P(None, axis),
-        check_rep=False,
+        **_SHARD_MAP_KW,
     )
 
     def solve(rho, box_size, G=1.0):
@@ -158,7 +161,7 @@ def make_sharded_pm_force_fn(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P()),
         out_specs=P(axis),
-        check_rep=False,
+        **_SHARD_MAP_KW,
     )
 
     def force(pos, mass, box_size=None, G=1.0, **_):

@@ -23,7 +23,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # moved out of experimental in newer jax
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from orbitanalysis_tpu.utils.numerics import periodic_displacement
 
