@@ -82,3 +82,18 @@ def test_region_callbacks_drive_tracker(tmp_path, rng):
                  regions, loader, save, verbose=False)
     with h5py.File(save) as hf:
         assert len([k for k in hf if k.startswith("snapshot_")]) == n_snap - 1
+
+
+def test_extractor_periodic_with_non_dividing_cell_size(rng):
+    """A cell_size that does not divide the box must still find particles
+    across the periodic boundary (regression: index-mod vs position-mod
+    mismatch dropped them)."""
+    box = 100.0
+    pos = np.array([[1.0, 50.0, 50.0], [99.0, 50.0, 50.0],
+                    [50.0, 50.0, 50.0]])
+    ids = np.array([10, 20, 30])
+    vel = np.zeros((3, 3), np.float32)
+    ex = RegionExtractor(ids, pos, vel, box_size=box, cell_size=7.0)
+    out = ex.extract(np.array([[99.5, 50.0, 50.0]]), np.array([3.0]))
+    # both boundary particles are within periodic distance 3 of x=99.5
+    assert set(out["ids"].tolist()) == {10, 20}
