@@ -133,3 +133,55 @@ def test_collation_matches_reference(both_runs):
             for ds in ("particle_IDs", "pericenter_counts", "halo_offsets",
                        "halo_IDs"):
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_collation_subset_and_midpoint_matches_reference(both_runs):
+    """collate_apsides with an explicit halo_ids subset and a
+    mid-sequence snapshot_number — the non-default arguments."""
+    ref_save, tpu_save, tmp, Apsides_ref = both_runs
+    import h5py as h5
+
+    with h5.File(ref_save) as hf:
+        keys = sorted(k for k in hf if k.startswith("snapshot_"))
+        mid_snap = int(keys[len(keys) // 2].split("_")[1])
+
+    ref_coll = tmp + "/ref_sub.h5"
+    tpu_coll = tmp + "/tpu_sub.h5"
+    subset = np.array([0, 2])
+    Apsides_ref(ref_save).collate_apsides(
+        halo_ids=subset, snapshot_number=mid_snap,
+        angle_cut=0.05, savefile=ref_coll, verbose=False,
+    )
+    ApsidesTPU(tpu_save).collate_apsides(
+        halo_ids=subset, snapshot_number=mid_snap,
+        angle_cut=0.05, savefile=tpu_coll, verbose=False,
+    )
+    with h5.File(ref_coll) as a, h5.File(tpu_coll) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in ("particle_IDs", "pericenter_counts",
+                       "halo_offsets", "halo_IDs"):
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_final_counts_retro_matches_reference(both_runs):
+    """save_final_counts retro-mapping parity (values; dtype is a
+    documented improvement — the reference stores float64 counts)."""
+    ref_save, tpu_save, tmp, Apsides_ref = both_runs
+    import h5py as h5
+
+    ref_coll = tmp + "/ref_fin.h5"
+    tpu_coll = tmp + "/tpu_fin.h5"
+    Apsides_ref(ref_save).collate_apsides(
+        save_final_counts=True, savefile=ref_coll, verbose=False
+    )
+    ApsidesTPU(tpu_save).collate_apsides(
+        save_final_counts=True, savefile=tpu_coll, verbose=False
+    )
+    with h5.File(ref_coll) as a, h5.File(tpu_coll) as b:
+        for k in sorted(a.keys())[:-1]:
+            av = a[k]["pericenter_counts_final"][:]
+            bv = b[k]["pericenter_counts_final"][:]
+            assert np.array_equal(
+                av.astype(np.int64), bv.astype(np.int64)
+            ), k
