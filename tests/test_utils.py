@@ -95,3 +95,49 @@ def test_vector_norm():
     n, u = map(np.asarray, vector_norm(v, return_norm=True, return_unit_vectors=True))
     assert np.isclose(n[0], 5.0)
     assert np.allclose(u[0], [0.6, 0.8, 0.0])
+
+
+def test_profiler_trace_scope(tmp_path, rng):
+    """track_orbits(profile_dir=...) captures a jax.profiler trace."""
+    import os
+
+    from orbitanalysis_tpu import track_orbits
+    from orbitanalysis_tpu.models.synthetic import churn_snapshots
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_callbacks
+
+    snaps, centers = churn_snapshots(2, 60, 3, box_size=50.0, seed=3)
+    regions, loader = make_callbacks(snaps, centers, box_size=50.0)
+    prof = str(tmp_path / "prof")
+    track_orbits(np.arange(3), np.tile([0, 1], (3, 1)), regions, loader,
+                 str(tmp_path / "t.h5"), profile_dir=prof, verbose=False)
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert found, "no profiler artifacts written"
+
+
+def test_multihost_single_process_identities():
+    from orbitanalysis_tpu.parallel import multihost
+
+    assert multihost.is_primary()
+    x = np.arange(5)
+    assert np.array_equal(multihost.allgather_host(x), x)
+    assert multihost.broadcast_from_primary({"a": 1}) == {"a": 1}
+    multihost.initialize()  # no-op single process
+
+
+def test_pack_ragged_to_preallocated(rng):
+    from orbitanalysis_tpu.utils import pack_ragged_to
+
+    lens = np.array([3, 0, 5])
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    vals = rng.normal(size=int(lens.sum())).astype(np.float32)
+    out = np.full((3, 8), -1.0, np.float32)
+    ret = pack_ragged_to(out, vals, offsets, fill=0.0)
+    assert ret is out
+    assert np.array_equal(out[0, :3], vals[:3])
+    assert np.array_equal(out[2, :5], vals[3:])
+    assert np.all(out[1] == 0.0) and np.all(out[0, 3:] == 0.0)
