@@ -1,4 +1,5 @@
 from orbitanalysis_tpu.engine.tracker import track_orbits  # noqa: F401
+from orbitanalysis_tpu.engine.gadget import make_gadget_callbacks  # noqa: F401
 from orbitanalysis_tpu.engine.regions import (  # noqa: F401
     RegionExtractor,
     make_region_callbacks,
@@ -14,6 +15,7 @@ from orbitanalysis_tpu.engine.scan import (  # noqa: F401
 __all__ = [
     "track_orbits",
     "RegionExtractor",
+    "make_gadget_callbacks",
     "make_region_callbacks",
     "CountingCarry",
     "scan_counts",

@@ -376,6 +376,15 @@ def track_orbits(
             continue
 
         if "redshift" in snapshot:
+            missing = [
+                k for k in ("H0", "Omega_m", "Omega_L") if k not in snapshot
+            ]
+            if missing:
+                raise KeyError(
+                    "loader dict has 'redshift' (enables the Hubble-flow "
+                    f"term) but lacks {missing}; supply the full cosmology "
+                    "or omit 'redshift'"
+                )
             Hz = hubble_parameter(
                 snapshot["redshift"],
                 snapshot["H0"],
