@@ -185,3 +185,75 @@ def test_final_counts_retro_matches_reference(both_runs):
             assert np.array_equal(
                 av.astype(np.int64), bv.astype(np.int64)
             ), k
+
+
+def test_apocentric_mode_matches_reference(reference_pkg, data,
+                                           tmp_path_factory):
+    track_ref, _ = reference_pkg
+    regions3, loader, snap_nums, branches = data
+    tmp = tmp_path_factory.mktemp("apo")
+    ref_save = str(tmp / "ref.h5")
+    tpu_save = str(tmp / "tpu.h5")
+    track_ref(snap_nums, branches, regions3, loader, ref_save,
+              mode="apocentric", npool=None, verbose=False)
+    track_orbits_tpu(snap_nums, branches, regions3, loader, tpu_save,
+                     mode="apocentric", verbose=False)
+    with h5py.File(ref_save) as a, h5py.File(tpu_save) as b:
+        assert a.attrs["mode"] == b.attrs["mode"] == "apocentric"
+        for k in a:
+            assert np.array_equal(
+                a[k]["apocenter_IDs"][:], b[k]["apocenter_IDs"][:]
+            ), k
+            assert np.array_equal(
+                a[k]["region_offsets"][:], b[k]["region_offsets"][:]
+            ), k
+
+
+def test_onthefly_matches_reference(reference_pkg, data, tmp_path_factory):
+    """The on-the-fly engine vs the real reference on one snapshot pair:
+    same datasets, same per-halo apsis/entered/departed ID sets."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from orbitanalysis.track_orbits_onthefly import (
+            track_orbits as otf_ref,
+        )
+    finally:
+        sys.path.remove("/root/reference")
+
+    from orbitanalysis_tpu import track_orbits_onthefly as otf_tpu
+
+    regions3, loader, snap_nums, branches = data
+
+    def regions2(s, hids):  # the on-the-fly engines use the 2-tuple form
+        return regions3(s, hids)[:2]
+
+    links = np.tile(np.arange(3), (2, 1))
+    tmp = tmp_path_factory.mktemp("otf")
+    ref_save = str(tmp / "ref_{}.h5")
+    tpu_save = str(tmp / "tpu_{}.h5")
+    snap = 4
+    otf_ref(snap, links, regions2, loader, ref_save, verbose=False)
+    otf_tpu(snap, links, regions2, loader, tpu_save, verbose=False)
+
+    fa = ref_save.format("%0.3d" % snap)
+    fb = tpu_save.format("%0.3d" % snap)
+    with h5py.File(fa) as a, h5py.File(fb) as b:
+        for tag in ("pericenter", "entered", "departed"):
+            offs_a = a[f"{tag}_offsets"][:]
+            offs_b = b[f"{tag}_offsets"][:]
+            ids_a = a[f"{tag}_IDs"][:]
+            ids_b = b[f"{tag}_IDs"][:]
+            assert len(offs_a) == len(offs_b), tag
+            for h in range(len(offs_a) - 1):
+                assert np.array_equal(
+                    np.sort(ids_a[offs_a[h]:offs_a[h + 1]]),
+                    np.sort(ids_b[offs_b[h]:offs_b[h + 1]]),
+                ), (tag, h)
+        assert np.array_equal(
+            a["progenitor_links"][:], b["progenitor_links"][:]
+        )
+        assert np.allclose(
+            a["region_radii"][:], b["region_radii"][:]
+        )
