@@ -235,3 +235,61 @@ def test_static_step_equals_general_on_fixed_membership(rng):
                               np.asarray(ev_s.ev_ids)), k
         assert np.allclose(np.asarray(c_g.angles), np.asarray(c_s.angles),
                            atol=2e-3), k
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_step_fuzz_vs_oracle(seed):
+    """Randomized differential test: random fill levels, churn rates,
+    region sizes (including empty and single-particle rows) against the
+    clean-room oracle."""
+    from oracle import OracleTracker
+
+    rng = np.random.default_rng(1000 + seed)
+    n_halos = int(rng.integers(1, 5))
+    cap = 128 * int(rng.integers(1, 3))
+    box = float(rng.uniform(20, 200)) if rng.random() < 0.7 else None
+    mode = "pericentric" if rng.random() < 0.5 else "apocentric"
+    n_snap = int(rng.integers(3, 7))
+
+    pools = [
+        np.arange(h * 10**6, h * 10**6 + int(rng.integers(1, cap)))
+        for h in range(n_halos)
+    ]
+    centers = rng.uniform(0, box or 100.0, size=(n_halos, 3))
+
+    step = jax.jit(make_orbit_step(mode=mode, box_size=box))
+    carry = init_carry(n_halos, cap)
+    oracle = OracleTracker(mode=mode, box_size=box)
+
+    prev_ids = None
+    for s in range(n_snap):
+        snap = {}
+        for h in range(n_halos):
+            member = rng.random(len(pools[h])) < rng.uniform(0.2, 1.0)
+            ids_h = pools[h][member]
+            pos = centers[h] + rng.normal(scale=3.0, size=(len(ids_h), 3))
+            if box is not None:
+                pos = np.mod(pos, box)
+            snap[h] = dict(
+                ids=ids_h,
+                pos=pos,
+                vel=rng.normal(size=(len(ids_h), 3)),
+                mass=rng.uniform(0.5, 2.0, len(ids_h)),
+                center=centers[h],
+            )
+        ids_p, pos_p, vel_p, mass_p, center_p = _pack(snap, n_halos, cap)
+        carry, ev = step(carry, SnapshotBatch(
+            ids=ids_p, pos=pos_p, vel=vel_p, center=center_p,
+            mass=mass_p, bulk_vel=None, hubble_drag=0.0,
+        ))
+        oev = oracle.step(snap)
+        if s > 0:
+            apsis = np.asarray(ev.apsis)
+            offs, got_ids, got_ang = unpack_mask(
+                apsis, prev_ids, np.asarray(ev.apsis_angle)
+            )
+            exp_ids = np.concatenate([oev[h][0] for h in sorted(snap)])
+            exp_ang = np.concatenate([oev[h][1] for h in sorted(snap)])
+            assert np.array_equal(got_ids, exp_ids), (seed, s)
+            assert np.allclose(got_ang, exp_ang, atol=5e-4), (seed, s)
+        prev_ids = ids_p
