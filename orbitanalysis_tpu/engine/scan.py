@@ -100,6 +100,37 @@ def scan_events_compact(
     return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
 
+def scan_events_sorted(
+    carry,
+    snaps: SnapshotBatch,
+    event_capacity: int,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+    merge_impl: str = "lax_sort",
+    compact_impl: str = "lax_sort",
+):
+    """Sorted-carry variant of :func:`scan_events_compact` — identical
+    compact event stream, one fewer sort per step; with
+    ``merge_impl="pallas"`` the merge sort becomes a VMEM-resident
+    bitonic merge and with ``compact_impl="pallas"`` the carry/event
+    extraction becomes a log-shift compaction kernel.  ``carry`` is a
+    :class:`orbitanalysis_tpu.ops.sorted_step.SortedCarry`.
+    """
+    from orbitanalysis_tpu.ops.sorted_step import make_sorted_orbit_step
+
+    step = make_sorted_orbit_step(
+        event_capacity, mode=mode, box_size=box_size, id_dtype=id_dtype,
+        merge_impl=merge_impl, compact_impl=compact_impl,
+    )
+
+    def body(c, s):
+        c, ev = step(c, s)
+        return c, (ev.count, ev.ids, ev.angles)
+
+    return jax.lax.scan(body, carry, _with_drag_axis(snaps))
+
+
 def scan_counts(
     carry: CountingCarry,
     snaps: SnapshotBatch,

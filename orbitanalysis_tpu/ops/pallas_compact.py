@@ -1,0 +1,161 @@
+"""VMEM-resident stable stream compaction (Pallas TPU kernel).
+
+Extracts the selected entries of each row, order-preserving, to the
+front — the third sorting network of the per-snapshot orbit step
+(event compaction + carry restoration) replaced by ``log2(N)``
+select-shift passes.
+
+Algorithm: each selected element must move left by ``g = (number of
+unselected entries before it)``; processing the bits of ``g`` from LSB
+to MSB, a pass of shift ``2^j`` moves every element whose remaining
+shift has bit ``j`` set.  Intermediate positions of the selected
+elements are strictly increasing (the gap counts are monotone), so no
+two live elements ever collide; a "live" flag rides in bit 30 of the
+shift channel so vacated slots cannot re-emit stale copies.
+
+Like :mod:`orbitanalysis_tpu.ops.pallas_merge`, rows are ``[R, 128]``
+lane-major blocks and every pass is two-three vector ops per channel,
+all VMEM-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orbitanalysis_tpu.ops.pallas_merge import _LANES, _roll_flat
+
+_LIVE = 1 << 30  # python int: jnp scalars would be captured as consts
+
+
+def _cumsum_flat(x):
+    """Inclusive cumsum of an int32 ``[R, 128]`` array in flat order."""
+    rows = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = x
+    sh = 1
+    while sh < _LANES:
+        s = s + jnp.where(col >= sh, pltpu.roll(s, sh, axis=1), 0)
+        sh *= 2
+    # carry row totals down: tot[r] = sum of rows <= r, exclusive of own
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    tot = jnp.broadcast_to(s[:, _LANES - 1:], x.shape)
+    t = tot
+    sh = 1
+    while sh < rows:
+        t = t + jnp.where(row >= sh, pltpu.roll(t, sh, axis=0), 0)
+        sh *= 2
+    return s + (t - tot)
+
+
+def _compact_group(sel, chans, n):
+    """Compact ``chans`` entries where ``sel`` is 1 to the flat front."""
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+    )
+    incl = _cumsum_flat(sel)
+    # shift-to-target for live entries, live flag in bit 30, dead inert
+    g = jnp.where(sel == 1, (flat - incl + 1) | _LIVE, 0)
+    chans = list(chans)
+    j, s = 0, 1
+    while s < n:
+        gv = _roll_flat(g, -s)
+        bit = jnp.int32(1) << j
+        arriving = ((gv & _LIVE) != 0) & ((gv & bit) != 0)
+        staying = ((g & _LIVE) != 0) & ((g & bit) == 0)
+        g = jnp.where(arriving, gv, jnp.where(staying, g, 0))
+        for c in range(len(chans)):
+            cv = _roll_flat(chans[c], -s)
+            chans[c] = jnp.where(arriving, cv, chans[c])
+        j, s = j + 1, s * 2
+    return chans
+
+
+def _compact_kernel(n_a, n_b, n, *refs):
+    sel_a = refs[0][0]
+    in_a = [r[0] for r in refs[1:1 + n_a]]
+    sel_b = refs[1 + n_a][0]
+    in_b = [r[0] for r in refs[2 + n_a:2 + n_a + n_b]]
+    out = refs[2 + n_a + n_b:]
+
+    out_a = _compact_group(sel_a, in_a, n)
+    out_b = _compact_group(sel_b, in_b, n)
+    for o, ch in zip(out[:n_a], out_a):
+        rows = o.shape[1]
+        o[0] = ch[:rows]
+    for o, ch in zip(out[n_a:], out_b):
+        rows = o.shape[1]
+        o[0] = ch[:rows]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_a", "n_b", "len_a", "len_b", "interpret")
+)
+def _compact_call(n_a, n_b, len_a, len_b, interpret, *arrays):
+    h, r, _ = arrays[0].shape
+    n = r * _LANES
+    ins = []
+    for a in arrays:
+        ins.append(
+            pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    outs = []
+    out_shapes = []
+    for ln, grp in ((len_a, arrays[1:1 + n_a]),
+                    (len_b, arrays[2 + n_a:2 + n_a + n_b])):
+        rr = ln // _LANES
+        for a in grp:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((h, rr, _LANES), a.dtype)
+            )
+            outs.append(
+                pl.BlockSpec((1, rr, _LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, n_a, n_b, n),
+        grid=(h,),
+        out_shape=tuple(out_shapes),
+        in_specs=ins,
+        out_specs=tuple(outs),
+        interpret=interpret,
+    )(*arrays)
+
+
+def compact_rows(sel_a, ops_a, len_a, sel_b, ops_b, len_b):
+    """Stable two-group compaction of ``[H, N]`` rows.
+
+    ``sel_a``/``sel_b``: int32 0/1 selection masks.  ``ops_*``: tuples
+    of ``[H, N]`` 32-bit arrays.  Returns ``(tuple_a, tuple_b)`` where
+    each output is ``[H, len_*]`` holding the selected entries packed
+    to the front in original order; slots past the selected count are
+    unspecified.  ``len_*`` must be multiples of 128.
+    """
+    h, p = sel_a.shape
+    if p % _LANES or len_a % _LANES or len_b % _LANES:
+        raise ValueError(f"row/output lengths must be multiples of {_LANES}")
+    r = p // _LANES
+
+    def shape3(x):
+        if x.dtype.itemsize != 4:
+            raise TypeError("compaction channels must be 32-bit dtypes")
+        return x.reshape(h, r, _LANES)
+
+    arrays = (
+        (shape3(sel_a),)
+        + tuple(shape3(a) for a in ops_a)
+        + (shape3(sel_b),)
+        + tuple(shape3(b) for b in ops_b)
+    )
+    interpret = jax.default_backend() != "tpu"
+    out = _compact_call(
+        len(ops_a), len(ops_b), len_a, len_b, interpret, *arrays
+    )
+    flat = tuple(o.reshape(h, -1) for o in out)
+    return flat[:len(ops_a)], flat[len(ops_a):]

@@ -1,0 +1,177 @@
+"""VMEM-resident bitonic merge of presorted rows (Pallas TPU kernel).
+
+The sorted-carry orbit step (:mod:`orbitanalysis_tpu.ops.sorted_step`)
+joins two ID-sorted rows per halo.  ``jax.lax.sort`` on the ``[H, 2P]``
+concatenation redoes the full ``O(n log^2 n)`` sorting network even
+though both halves are already sorted; merging them needs only the
+final ``log2(2P)`` bitonic *merge* stages.  A jnp-level merge measured
+slower than ``lax.sort`` (each stage round-trips HBM; see README
+"Roadmap"), so the stages run here inside one Pallas kernel with every
+channel VMEM-resident: one HBM read and one write per channel total.
+
+Layout: rows are viewed as ``[R, 128]`` blocks (lane dimension filled).
+A compare-exchange at distance ``k`` is two circular rolls plus
+selects; rolls decompose into sublane rolls (``k`` a multiple of 128)
+or a lane roll + row-shifted lane roll + column select (``k < 128``).
+The wrap-around values a circular roll drags across the array boundary
+are never selected: bitonic pairs ``(i, i+k)`` stay inside aligned
+``2k`` blocks.
+
+Keys must be uint32 and unique within each row (the orbit step packs
+``id << 1 | side``, and particle IDs are unique per region —
+``/root/reference/orbitanalysis/utils.py:4-11`` relies on the same).
+Payload channels may be any 32-bit dtype.  The *first* input row must
+be ascending, the *second* descending (their concatenation is then
+bitonic); ``sort_descending_u32`` builds the descending half for free
+by sorting bit-complemented keys.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _roll_rows(x, m):
+    """Circular roll of the leading (row) axis by ``m`` (may be negative)."""
+    r = x.shape[0]
+    m %= r
+    if m == 0:
+        return x
+    return pltpu.roll(x, m, axis=0)
+
+
+def _roll_flat(x, k):
+    """Circular roll of the flattened ``[R, 128]`` array by ``k`` elements:
+    ``out[i] = flat[(i - k) mod N]`` (``k > 0`` moves values forward)."""
+    m, rem = divmod(-k % (x.shape[0] * _LANES), _LANES)
+    if rem == 0:
+        return _roll_rows(x, -m)
+    a = pltpu.roll(_roll_rows(x, -m), _LANES - rem, axis=1)
+    b = pltpu.roll(_roll_rows(x, -(m + 1)), _LANES - rem, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < _LANES - rem, a, b)
+
+
+def _merge_kernel(n_payload, n2, *refs):
+    """One halo row: bitonic-merge prev (asc) + cur (desc) halves."""
+    nchan = 1 + n_payload
+    in_prev = refs[:nchan]
+    in_cur = refs[nchan:2 * nchan]
+    out = refs[2 * nchan:]
+
+    # concat halves into [2R, 128] working arrays
+    chans = [
+        jnp.concatenate([p[0], c[0]], axis=0)
+        for p, c in zip(in_prev, in_cur)
+    ]
+    key = chans[0]
+
+    rows2 = n2 // _LANES
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 1)
+    )
+
+    k = n2 // 2
+    while k >= 1:
+        kd = _roll_flat(key, -k)          # key[i + k]
+        ku = _roll_flat(key, k)           # key[i - k]
+        cond = key <= kd                  # at low positions: keep own
+        cu = ku <= key                    # at high positions: keep own
+        low = (flat & k) == 0
+        new = []
+        for ch in chans:
+            down = _roll_flat(ch, -k)
+            up = _roll_flat(ch, k)
+            new.append(
+                jnp.where(
+                    low,
+                    jnp.where(cond, ch, down),
+                    jnp.where(cu, ch, up),
+                )
+            )
+        chans = new
+        key = chans[0]
+        k //= 2
+
+    for o, ch in zip(out, chans):
+        o[0] = ch
+
+
+@functools.partial(jax.jit, static_argnames=("n_payload", "interpret"))
+def _merge_call(n_payload, interpret, *arrays):
+    h, r, _ = arrays[0].shape
+    n2 = 2 * r * _LANES
+    nchan = 1 + n_payload
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((h, 2 * r, _LANES), a.dtype)
+        for a in arrays[:nchan]
+    )
+    spec_in = pl.BlockSpec(
+        (1, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_out = pl.BlockSpec(
+        (1, 2 * r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_merge_kernel, n_payload, n2),
+        grid=(h,),
+        out_shape=out_shapes,
+        in_specs=[spec_in] * (2 * nchan),
+        out_specs=(spec_out,) * nchan,
+        interpret=interpret,
+    )(*arrays)
+
+
+def merge_rows(prev_ops, cur_ops, num_keys: int = 1):
+    """Merge per-row presorted operand tuples into ``[H, 2P]`` sorted rows.
+
+    ``prev_ops`` / ``cur_ops``: tuples ``(key, *payloads)`` of ``[H, P]``
+    arrays; ``key`` is uint32, ascending in ``prev_ops`` rows and
+    **descending** in ``cur_ops`` rows, unique within each merged row.
+    Payload dtypes must be 32-bit and match between the tuples.  Returns
+    the merged ``(key, *payloads)`` with key ascending — the same
+    contract as ``jax.lax.sort`` on the concatenation (stability is
+    moot: keys are unique).
+    """
+    if num_keys != 1:
+        raise NotImplementedError(
+            "pallas merge supports a single packed uint32 key; use "
+            "merge_impl='lax_sort' for 64-bit particle IDs"
+        )
+    if len(prev_ops) != len(cur_ops):
+        raise ValueError("prev/cur operand count mismatch")
+    if prev_ops[0].dtype != jnp.uint32:
+        raise TypeError("merge key must be uint32")
+    h, p = prev_ops[0].shape
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    for a, b in zip(prev_ops, cur_ops):
+        if a.shape != (h, p) or b.shape != (h, p):
+            raise ValueError("all operands must be [H, P]")
+        if a.dtype != b.dtype or a.dtype.itemsize != 4:
+            raise TypeError("payloads must be matching 32-bit dtypes")
+
+    r = p // _LANES
+    arrays = tuple(a.reshape(h, r, _LANES) for a in prev_ops) + tuple(
+        a.reshape(h, r, _LANES) for a in cur_ops
+    )
+    # kernel expects prev channels then cur channels; interpret mode off
+    # TPU (CPU test tier, same convention as ops/pallas_nbody.py)
+    interpret = jax.default_backend() != "tpu"
+    out = _merge_call(len(prev_ops) - 1, interpret, *arrays)
+    return tuple(o.reshape(h, 2 * p) for o in out)
+
+
+def sort_descending_u32(key, *payloads):
+    """Row-sort by uint32 key descending (payloads ride), via one
+    ascending ``lax.sort`` of the complemented key."""
+    out = jax.lax.sort((~key,) + payloads, dimension=-1, num_keys=1)
+    return (~out[0],) + out[1:]

@@ -1,0 +1,409 @@
+"""Sorted-carry variant of the fused per-snapshot orbit step.
+
+Same semantics as :func:`orbitanalysis_tpu.ops.apsis.make_orbit_step`
+with event compaction (the reference's ``compare_radial_velocities`` +
+``calc_angles`` chain, ``/root/reference/orbitanalysis/track_orbits.py:
+293-351``), but the carried per-particle state is kept **sorted by
+particle ID** between steps instead of in snapshot load order.
+
+Why (measured on v5e): the general step's cost is three ``lax.sort``
+networks per snapshot —
+
+  1. merge sort of ``concat(prev, cur)`` by ID   (the join),
+  2. restore sort back to slot order             (layout restoration),
+  3. event-compaction sort                        (front-pack apsides).
+
+With the carry stored in ID order, sorts 2 and 3 collapse into one:
+after the merge, a single sort keyed by
+
+  ``cur entry -> 0`` (stable: preserves ID order = the next carry),
+  ``prev entry at an apsis -> 1 + load_slot`` (events, reference order),
+  ``anything else -> BIG``
+
+produces the next carry in positions ``[:P]`` and the compacted event
+list — already in previous-snapshot load order, the reference's
+within-halo output order (``track_orbits.py:199-217``) — in positions
+``[P:P+K]``.  One 2P sort replaces a 2P sort plus a P sort.
+
+Keeping the carry ID-sorted also makes the *prev* half of the join
+presorted, which unlocks replacing the merge sort (1) with a true
+bitonic **merge** — ``log2(2P)`` compare-exchange stages instead of a
+full ``O(log^2)`` sort network — implemented as a VMEM-resident Pallas
+kernel in :mod:`orbitanalysis_tpu.ops.pallas_merge` (``merge_impl=
+"pallas"``; the current snapshot's side is first sorted by a plain
+P-length ``lax.sort``, which is both shorter and carries fewer
+channels than the 2P concat sort it replaces).
+
+The compact event outputs are **identical** (same IDs, same order, same
+angles) to the general step's ``ev_*`` outputs; only the carry layout
+differs.  Load-order bookkeeping survives in the carry's ``slot``
+channel, so checkpointing per-particle angles in reference layout stays
+possible (``track_orbits.py:390-394``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orbitanalysis_tpu.ops.geometry import region_frame
+from orbitanalysis_tpu.utils.padding import invalid_id_for
+
+#: key_B value for merged entries that are neither part of the next
+#: carry nor an apsis event (departed / padding / matched-away prev).
+_DEAD_KEY = jnp.int32(1 << 30)
+
+
+class SortedCarry(NamedTuple):
+    """Per-particle state carried across snapshots, sorted by ID.
+
+    ``ids`` is ascending within each halo row with the dtype-max padding
+    sentinel last; ``slot`` records each particle's load-order slot in
+    the snapshot it arrived with (for reference-layout reconstruction).
+    ``vrb`` stores the radial-velocity sign as 2 bits (bit0: v_r < 0,
+    bit1: v_r > 0) — detection only ever uses the sign
+    (``track_orbits.py:311-314``), so the full value never rides a sort.
+    """
+
+    ids: jnp.ndarray     # [H, P] sorted ascending, sentinel-padded
+    slot: jnp.ndarray    # [H, P] int32 load-order slot
+    vrb: jnp.ndarray     # [H, P] uint8 v_r sign bits
+    rhat: jnp.ndarray    # [3, H, P] radial unit vectors (SoA)
+    angles: jnp.ndarray  # [H, P] cumulative angle since last apsis/entry
+
+
+class CompactEvents(NamedTuple):
+    """Per-step compact apsis events, previous-snapshot load order."""
+
+    count: jnp.ndarray     # [H] int32 apsides per halo (exact, may be > K)
+    ids: jnp.ndarray       # [H, K] event particle IDs
+    angles: jnp.ndarray    # [H, K] angle at each apsis
+    bulk_vel: jnp.ndarray  # [H, 3] region bulk velocity of this snapshot
+
+
+def init_sorted_carry(
+    n_halos: int,
+    capacity: int,
+    id_dtype=jnp.int32,
+    angle_dtype=jnp.float32,
+    pos_dtype=jnp.float32,
+) -> SortedCarry:
+    """All-invalid carry: every halo behaves as 'no progenitor yet'."""
+    invalid = invalid_id_for(id_dtype)
+    return SortedCarry(
+        ids=jnp.full((n_halos, capacity), invalid, dtype=id_dtype),
+        slot=jnp.broadcast_to(
+            jnp.arange(capacity, dtype=jnp.int32), (n_halos, capacity)
+        ),
+        vrb=jnp.zeros((n_halos, capacity), dtype=jnp.uint8),
+        rhat=jnp.zeros((3, n_halos, capacity), dtype=pos_dtype),
+        angles=jnp.zeros((n_halos, capacity), dtype=angle_dtype),
+    )
+
+
+def _vr_bits(vr: jnp.ndarray) -> jnp.ndarray:
+    return (vr < 0).astype(jnp.uint8) | ((vr > 0).astype(jnp.uint8) << 1)
+
+
+def _shift_right(x, fill):
+    """Value at the left neighbor (index i-1) along the last axis."""
+    return jnp.concatenate([jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1)
+
+
+def _shift_left(x, fill):
+    """Value at the right neighbor (index i+1) along the last axis."""
+    return jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
+
+
+def make_sorted_orbit_step(
+    event_capacity: int,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+    angle_dtype=jnp.float32,
+    merge_impl: str = "lax_sort",
+    compact_impl: str = "lax_sort",
+):
+    """Build the sorted-carry per-snapshot step.
+
+    Returns ``step(carry, snap) -> (carry, CompactEvents)`` — pure,
+    static-shape, jit/scan/shard_map-ready.  ``snap`` is the same
+    :class:`orbitanalysis_tpu.ops.apsis.SnapshotBatch` (load-order
+    layout) the general step takes.
+
+    ``merge_impl``: ``"lax_sort"`` merges prev+cur with one 2P variadic
+    sort (prev sortedness unexploited); ``"pallas"`` pre-sorts the cur
+    side (P-length sort) and merges with the VMEM-resident bitonic
+    merge kernel.
+
+    ``compact_impl``: ``"lax_sort"`` extracts the next carry + events
+    with one 2P variadic sort; ``"pallas"`` uses the log-shift stream
+    compaction kernel instead (plus a small ``[H, K]`` sort that puts
+    events in reference order).  With ``merge_impl="pallas"`` the next
+    carry is rebuilt from the cur-side sort directly and only the
+    angle/match channels cross the merged domain.  On event-capacity
+    overflow (``count > K``) the two impls may keep a different subset
+    of the row's events — callers must treat overflowing rows as
+    invalid either way.
+    """
+    if mode not in ("pericentric", "apocentric"):
+        raise ValueError(
+            "Orbit detection mode not recognized. Please specify either "
+            "'pericentric' or 'apocentric'."
+        )
+    if merge_impl not in ("lax_sort", "pallas"):
+        raise ValueError(f"unknown merge_impl: {merge_impl!r}")
+    if compact_impl not in ("lax_sort", "pallas"):
+        raise ValueError(f"unknown compact_impl: {compact_impl!r}")
+    if compact_impl == "pallas" and jnp.dtype(angle_dtype) != jnp.float32:
+        raise ValueError(
+            "compact_impl='pallas' packs the match bit into the f32 "
+            "angle sign bit; use angle_dtype=float32"
+        )
+    if compact_impl == "pallas" and jnp.dtype(id_dtype).itemsize != 4:
+        raise ValueError(
+            "compact_impl='pallas' requires 32-bit particle IDs"
+        )
+    pericentric = mode == "pericentric"
+    invalid = invalid_id_for(id_dtype)
+    id_dt = jnp.dtype(id_dtype)
+    # Single-key packing (id << 1 | side) requires ids < 2^31; guaranteed
+    # for signed <=32-bit ids (sentinel is the dtype max).  See
+    # ops/join.py for the aliasing argument.
+    pack_key = (
+        id_dt.itemsize * 8 <= 32 and jnp.issubdtype(id_dt, jnp.signedinteger)
+    )
+    if merge_impl == "pallas" and not pack_key:
+        raise ValueError(
+            "merge_impl='pallas' requires <=32-bit signed particle IDs "
+            "(single packed uint32 sort key); use merge_impl='lax_sort'"
+        )
+    K = int(event_capacity)
+
+    def step(carry: SortedCarry, snap):
+        h, p = snap.ids.shape
+        valid_cur = snap.ids != invalid
+
+        frame = region_frame(
+            snap.pos,
+            snap.vel,
+            valid_cur,
+            snap.center,
+            mass=snap.mass,
+            bulk_vel=snap.bulk_vel,
+            box_size=box_size,
+            hubble_drag=snap.hubble_drag,
+        )
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
+        cur_vrb = _vr_bits(frame.vrad)
+
+        # slot and the 3 v_r sign/match bits share one i32 sort channel
+        # (slot < 2^24; channel count is the sort-cost driver)
+        prev_sv = carry.slot | (carry.vrb.astype(jnp.int32) << 24)
+        cur_sv = iota | (cur_vrb.astype(jnp.int32) << 24)
+
+        def cat(a, b):
+            return jnp.concatenate([a, b], axis=1)
+
+        if merge_impl == "pallas":
+            from orbitanalysis_tpu.ops.pallas_merge import (
+                merge_rows,
+                sort_descending_u32,
+            )
+
+            # sort the cur side alone (P-length; the prev side is already
+            # sorted in the carry), then bitonic-merge the halves in VMEM.
+            # The cur half is sorted *descending* (free: complemented
+            # key) so the concatenation is bitonic.
+            cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
+            prev_key = carry.ids.astype(jnp.uint32) << 1
+            cur_ops = sort_descending_u32(
+                cur_key, cur_sv, frame.rhat[0], frame.rhat[1], frame.rhat[2]
+            )
+            zeros_ang = jnp.zeros((h, p), angle_dtype)
+            merged = merge_rows(
+                (prev_key, prev_sv, carry.rhat[0], carry.rhat[1],
+                 carry.rhat[2], carry.angles),
+                cur_ops + (zeros_ang,),
+            )
+            k_s, sv_s, rx_s, ry_s, rz_s, ang_s = merged
+            is_cur = (k_s & 1) == 1
+            ids_s = (k_s >> 1).astype(id_dt)
+        else:
+            if pack_key:
+                keys = cat(
+                    carry.ids.astype(jnp.uint32) << 1,
+                    (snap.ids.astype(jnp.uint32) << 1) | 1,
+                )
+                num_keys = 1
+                head = (keys,)
+            else:
+                keys = cat(carry.ids, snap.ids)
+                side = cat(
+                    jnp.zeros((h, p), jnp.uint8), jnp.ones((h, p), jnp.uint8)
+                )
+                num_keys = 2
+                head = (keys, side)
+            sorted_ops = jax.lax.sort(
+                head
+                + (
+                    cat(prev_sv, cur_sv),
+                    cat(carry.rhat[0], frame.rhat[0]),
+                    cat(carry.rhat[1], frame.rhat[1]),
+                    cat(carry.rhat[2], frame.rhat[2]),
+                    cat(carry.angles, jnp.zeros((h, p), angle_dtype)),
+                ),
+                dimension=-1,
+                num_keys=num_keys,
+            )
+            if pack_key:
+                k_s = sorted_ops[0]
+                is_cur = (k_s & 1) == 1
+                ids_s = (k_s >> 1).astype(id_dt)
+                sv_s, rx_s, ry_s, rz_s, ang_s = sorted_ops[1:]
+            else:
+                ids_s, side_s = sorted_ops[0], sorted_ops[1]
+                is_cur = side_s == 1
+                sv_s, rx_s, ry_s, rz_s, ang_s = sorted_ops[2:]
+        slot_s = sv_s & 0x00FFFFFF
+        vrb_s = (sv_s >> 24).astype(jnp.uint8)
+
+        # ---- detection in the merged domain (matched pairs adjacent,
+        # prev first — exactly ops/apsis.py's compute()) ----
+        valid_key = ids_s != invalid
+        left_is_prev = ~_shift_right(is_cur, True)
+        match_cur = (
+            is_cur
+            & left_is_prev
+            & valid_key
+            & (ids_s == _shift_right(ids_s, jnp.asarray(invalid, ids_s.dtype)))
+        )
+        vrb_l = _shift_right(vrb_s, jnp.uint8(0))
+        rx_l = _shift_right(rx_s, 0.0)
+        ry_l = _shift_right(ry_s, 0.0)
+        rz_l = _shift_right(rz_s, 0.0)
+        ang_l = _shift_right(ang_s, jnp.asarray(0, angle_dtype))
+
+        cosang = jnp.clip(rx_l * rx_s + ry_l * ry_s + rz_l * rz_s, -1.0, 1.0)
+        dtheta = jnp.where(match_cur, jnp.arccos(cosang), 0.0)
+        if pericentric:
+            flip = ((vrb_l & 1) > 0) & ((vrb_s & 2) > 0)
+        else:
+            flip = ((vrb_l & 2) > 0) & ((vrb_s & 1) > 0)
+        apsis = match_cur & flip                      # at the cur position
+        angle_acc = (ang_l + dtheta.astype(angle_dtype)).astype(angle_dtype)
+        apsis_angle = jnp.where(apsis, angle_acc, 0).astype(angle_dtype)
+        angle_new = jnp.where(
+            apsis | ~match_cur, 0, angle_acc
+        ).astype(angle_dtype)
+
+        # route the event to its prev partner position (one slot left),
+        # which holds the reference-layout slot number for event ordering
+        apsis_prev = _shift_left(apsis, False)
+        ev_angle_prev = _shift_left(apsis_angle, jnp.asarray(0, angle_dtype))
+        count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+
+        if compact_impl == "pallas":
+            from orbitanalysis_tpu.ops.pallas_compact import compact_rows
+
+            # the match flag rides the angle's (always-clear) sign bit,
+            # so the carry extraction is a single-channel compaction
+            packed = jax.lax.bitcast_convert_type(angle_new, jnp.uint32) | (
+                match_cur.astype(jnp.uint32) << 31
+            )
+            k128 = ((K + 127) // 128) * 128
+            if merge_impl == "pallas":
+                # next carry = the cur-side sort (ascending = flipped
+                # descending); only packed angles cross the merged domain
+                ops_a = (packed,)
+            else:
+                ops_a = (k_s, sv_s, rx_s, ry_s, rz_s, packed)
+            a_out, (ev_id, ev_slot, ev_ang) = compact_rows(
+                is_cur.astype(jnp.int32), ops_a, p,
+                apsis_prev.astype(jnp.int32),
+                (ids_s, slot_s, ev_angle_prev), k128,
+            )
+            pa = a_out[-1]
+            match_o = (pa >> 31).astype(jnp.uint8)
+            ang_o = jax.lax.bitcast_convert_type(
+                pa & jnp.uint32(0x7FFFFFFF), jnp.float32
+            )
+            if merge_impl == "pallas":
+                flip = lambda x: jnp.flip(x, axis=1)
+                ids_c = (flip(cur_ops[0]) >> 1).astype(id_dt)
+                sv_c = flip(cur_ops[1])
+                rhat_c = jnp.stack(
+                    [flip(cur_ops[2]), flip(cur_ops[3]), flip(cur_ops[4])]
+                )
+            else:
+                ids_c = (a_out[0] >> 1).astype(id_dt)
+                sv_c = a_out[1]
+                rhat_c = jnp.stack([a_out[2], a_out[3], a_out[4]])
+            new_carry = SortedCarry(
+                ids=ids_c,
+                slot=sv_c & 0x00FFFFFF,
+                vrb=(sv_c >> 24).astype(jnp.uint8) | (match_o << 2),
+                rhat=rhat_c,
+                angles=ang_o,
+            )
+            # events arrive in merged (ID) order; a small [H, K] sort by
+            # previous load slot restores the reference's output order
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (h, k128), 1)
+            ev_ok = kiota < count[:, None]
+            _, ev_ids, ev_angles = jax.lax.sort(
+                (
+                    jnp.where(ev_ok, ev_slot, _DEAD_KEY),
+                    jnp.where(ev_ok, ev_id, jnp.asarray(invalid, id_dt)),
+                    jnp.where(ev_ok, ev_ang, jnp.asarray(0, angle_dtype)),
+                ),
+                dimension=-1,
+                num_keys=1,
+            )
+            ev_ids = ev_ids[:, :K]
+            ev_angles = ev_angles[:, :K]
+        else:
+            # ---- one sort: next carry to the front (stable keeps ID
+            # order), events next (in prev load-slot order), dead last
+            key_b = jnp.where(
+                is_cur,
+                jnp.int32(0),
+                jnp.where(apsis_prev, jnp.int32(1) + slot_s, _DEAD_KEY),
+            )
+            angle_b = jnp.where(is_cur, angle_new, ev_angle_prev)
+            # bit2 of vrb: this cur entry matched (entered = valid & ~bit2)
+            sv_b = slot_s | (
+                (vrb_s | (match_cur.astype(jnp.uint8) << 2)).astype(
+                    jnp.int32
+                )
+                << 24
+            )
+
+            out = jax.lax.sort(
+                (key_b, ids_s, sv_b, rx_s, ry_s, rz_s, angle_b),
+                dimension=-1,
+                num_keys=1,
+            )
+            _, ids_o, sv_o, rx_o, ry_o, rz_o, ang_o = out
+
+            new_carry = SortedCarry(
+                ids=ids_o[:, :p],
+                slot=sv_o[:, :p] & 0x00FFFFFF,
+                vrb=(sv_o[:, :p] >> 24).astype(jnp.uint8),
+                rhat=jnp.stack([rx_o[:, :p], ry_o[:, :p], rz_o[:, :p]]),
+                angles=ang_o[:, :p],
+            )
+            ev_ids = ids_o[:, p:p + K]
+            ev_angles = ang_o[:, p:p + K]
+
+        events = CompactEvents(
+            count=count,
+            ids=ev_ids,
+            angles=ev_angles,
+            bulk_vel=frame.bulk_vel,
+        )
+        return new_carry, events
+
+    return step

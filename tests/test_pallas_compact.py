@@ -1,0 +1,57 @@
+"""Stable-compaction Pallas kernel vs NumPy boolean indexing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orbitanalysis_tpu.ops.pallas_compact import compact_rows
+
+
+@pytest.mark.parametrize("h,n,density_a,density_b", [
+    (3, 512, 0.5, 0.02),
+    (2, 256, 1.0, 0.0),
+    (1, 1024, 0.03, 0.7),
+])
+def test_compact_two_groups(rng, h, n, density_a, density_b):
+    sel_a = (rng.random((h, n)) < density_a).astype(np.int32)
+    sel_b = (rng.random((h, n)) < density_b).astype(np.int32)
+    vals = rng.integers(0, 2**31, size=(h, n), dtype=np.int64).astype(
+        np.int32
+    )
+    fvals = rng.normal(size=(h, n)).astype(np.float32)
+
+    (a_i, a_f), (b_i,) = compact_rows(
+        jnp.asarray(sel_a), (jnp.asarray(vals), jnp.asarray(fvals)), n,
+        jnp.asarray(sel_b), (jnp.asarray(vals),), 128,
+    )
+    a_i, a_f, b_i = map(np.asarray, (a_i, a_f, b_i))
+    for r in range(h):
+        ka = int(sel_a[r].sum())
+        np.testing.assert_array_equal(a_i[r, :ka], vals[r, sel_a[r] == 1])
+        np.testing.assert_array_equal(a_f[r, :ka], fvals[r, sel_a[r] == 1])
+        kb = min(int(sel_b[r].sum()), 128)
+        np.testing.assert_array_equal(
+            b_i[r, :kb], vals[r, sel_b[r] == 1][:kb]
+        )
+
+
+def test_compact_adversarial_gaps(rng):
+    """Patterns that stress the stale-copy hazard: alternating runs,
+    all-dead prefixes, single survivors at the end."""
+    n = 512
+    rows = []
+    r0 = np.zeros(n, np.int32); r0[-1] = 1
+    r1 = np.zeros(n, np.int32); r1[::2] = 1
+    r2 = np.ones(n, np.int32); r2[:300] = 0
+    r3 = np.zeros(n, np.int32); r3[[0, 255, 256, 511]] = 1
+    rows = np.stack([r0, r1, r2, r3])
+    vals = np.arange(4 * n, dtype=np.int32).reshape(4, n)
+    (got,), _ = compact_rows(
+        jnp.asarray(rows), (jnp.asarray(vals),), n,
+        jnp.asarray(rows), (), n,
+    )
+    got = np.asarray(got)
+    for r in range(4):
+        k = int(rows[r].sum())
+        np.testing.assert_array_equal(got[r, :k], vals[r, rows[r] == 1])
