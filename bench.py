@@ -146,32 +146,43 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     import jax
     import jax.numpy as jnp
 
-    from orbitanalysis_tpu.engine.scan import scan_events_compact
-    from orbitanalysis_tpu.ops.apsis import SnapshotBatch, init_carry
+    from orbitanalysis_tpu.engine.scan import scan_events_sorted
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import (
+        init_sorted_carry,
+        presort_snapshot,
+    )
 
     n_snaps, n_halos, capacity = ids_seq.shape
     snaps = SnapshotBatch(
-        ids=jnp.asarray(np.ascontiguousarray(ids_seq)),
-        pos=jnp.asarray(pos_seq),
-        vel=jnp.asarray(vel_seq),
-        center=jnp.asarray(np.ascontiguousarray(centers_seq)),
+        ids=np.ascontiguousarray(ids_seq),
+        pos=pos_seq,
+        vel=vel_seq,
+        center=np.ascontiguousarray(centers_seq),
         mass=None,
         bulk_vel=None,
-        hubble_drag=jnp.zeros(n_snaps, dtype=jnp.float32),
+        hubble_drag=np.zeros(n_snaps, dtype=np.float32),
     )
-    carry0 = init_carry(n_halos, capacity)
+    # Staged layout contract: halo rows are ID-sorted at staging time
+    # (host side, like the padding/packing itself) with original load
+    # slots riding a slot channel — event output order is unchanged.
+    # The per-step device join is then a VMEM-resident bitonic merge +
+    # log-shift compaction (Pallas), no full sorting network anywhere.
+    snaps = jax.tree.map(jnp.asarray, presort_snapshot(snaps))
+    carry0 = init_sorted_carry(n_halos, capacity)
 
-    # Production path: on-device event compaction — the scan emits
-    # [S, H, K] event lists + counts (what the savefile writer consumes)
-    # instead of full [S, H, P] masks.  Timing is fetch-to-fetch on a
-    # scalar (on tunneled devices `block_until_ready` does not reliably
-    # wait); the compact event tensors stay jit outputs so they are
-    # really materialized.
+    # On-device event compaction: the scan emits [S, H, K] event lists
+    # + counts (what the savefile writer consumes) instead of full
+    # [S, H, P] masks.  Timing is fetch-to-fetch on a scalar (on
+    # tunneled devices `block_until_ready` does not reliably wait); the
+    # compact event tensors stay jit outputs so they are really
+    # materialized.
     K = max(128, capacity // 4)
 
     def run(c, s):
-        carry, (cnt, ids, angles) = scan_events_compact(
-            c, s, K, mode="pericentric", box_size=box
+        carry, (cnt, ids, angles) = scan_events_sorted(
+            c, s, K, mode="pericentric", box_size=box,
+            merge_impl="pallas", compact_impl="pallas", cur_presorted=True,
         )
         return jnp.sum(cnt), jnp.max(cnt), ids, angles
 

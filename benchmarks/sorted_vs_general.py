@@ -94,6 +94,25 @@ def main():
         assert ev_g == ev_p, (ev_g, ev_p)
         print(f"  -> speedup vs general: {t_g / t_p:.3f}x")
 
+    # staged ID-sorted rows: the cur-side sort leaves the step entirely
+    from orbitanalysis_tpu.ops.sorted_step import presort_snapshot
+
+    snaps_sorted = jax.tree.map(
+        jnp.asarray, presort_snapshot(jax.tree.map(np.asarray, snaps))
+    )
+
+    def run_presorted(c, s):
+        _, (cnt, ids, angles) = scan_events_sorted(
+            c, s, K, mode="pericentric", box_size=100.0,
+            merge_impl="pallas", compact_impl="pallas", cur_presorted=True,
+        )
+        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+
+    t_ps, ev_ps = timeit(jax.jit(run_presorted), init_sorted_carry(H, P),
+                         "pallas kernels + presorted")
+    assert ev_g == ev_ps, (ev_g, ev_ps)
+    print(f"  -> speedup vs general: {t_g / t_ps:.3f}x")
+
 
 if __name__ == "__main__":
     main()

@@ -109,12 +109,16 @@ def scan_events_sorted(
     id_dtype=jnp.int32,
     merge_impl: str = "lax_sort",
     compact_impl: str = "lax_sort",
+    cur_presorted: bool = False,
 ):
     """Sorted-carry variant of :func:`scan_events_compact` — identical
     compact event stream, one fewer sort per step; with
     ``merge_impl="pallas"`` the merge sort becomes a VMEM-resident
     bitonic merge and with ``compact_impl="pallas"`` the carry/event
-    extraction becomes a log-shift compaction kernel.  ``carry`` is a
+    extraction becomes a log-shift compaction kernel.  With snapshots
+    staged ID-sorted (``ops.sorted_step.presort_snapshot``), pass
+    ``cur_presorted=True`` and the per-step cur-side sort disappears
+    too.  ``carry`` is a
     :class:`orbitanalysis_tpu.ops.sorted_step.SortedCarry`.
     """
     from orbitanalysis_tpu.ops.sorted_step import make_sorted_orbit_step
@@ -122,6 +126,7 @@ def scan_events_sorted(
     step = make_sorted_orbit_step(
         event_capacity, mode=mode, box_size=box_size, id_dtype=id_dtype,
         merge_impl=merge_impl, compact_impl=compact_impl,
+        cur_presorted=cur_presorted,
     )
 
     def body(c, s):

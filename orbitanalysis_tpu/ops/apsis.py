@@ -76,6 +76,9 @@ class SnapshotBatch(NamedTuple):
     mass: Optional[jnp.ndarray] = None      # [H, P] (None = equal masses)
     bulk_vel: Optional[jnp.ndarray] = None  # [H, 3] catalog bulk velocities
     hubble_drag: jnp.ndarray | float = 0.0  # scalar H(z)/(1+z); 0 = off
+    # original load-order slot of each entry, for snapshots staged in a
+    # permuted (e.g. ID-sorted) row layout; None = rows are in load order
+    slot: Optional[jnp.ndarray] = None      # [H, P] int32
 
 
 class StepEvents(NamedTuple):

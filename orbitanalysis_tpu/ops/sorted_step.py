@@ -103,6 +103,38 @@ def init_sorted_carry(
     )
 
 
+def presort_snapshot(batch):
+    """Stage a :class:`SnapshotBatch` in ID-sorted row layout (host-side).
+
+    Sorts each halo row ascending by particle ID (padding sentinels
+    last, they are the dtype max) and records the original load-order
+    slots in ``batch.slot``, for ``make_sorted_orbit_step(...,
+    cur_presorted=True)``.  Accepts ``[H, P]`` or stacked ``[S, H, P]``
+    batches; runs in NumPy at staging time (the point is to move the
+    per-snapshot sort out of the device step and into the host
+    pipeline, which overlaps with device compute in the tracker).
+    """
+    import numpy as np
+
+    ids = np.asarray(batch.ids)
+    order = np.argsort(ids, axis=-1, kind="stable").astype(np.int32)
+
+    def take(x):
+        return np.take_along_axis(np.asarray(x), order, axis=-1)
+
+    def take3(x):
+        return np.take_along_axis(np.asarray(x), order[..., None], axis=-2)
+
+    slot = order if batch.slot is None else take(batch.slot)
+    return batch._replace(
+        ids=take(ids),
+        pos=take3(batch.pos),
+        vel=take3(batch.vel),
+        mass=None if batch.mass is None else take(batch.mass),
+        slot=slot,
+    )
+
+
 def _vr_bits(vr: jnp.ndarray) -> jnp.ndarray:
     return (vr < 0).astype(jnp.uint8) | ((vr > 0).astype(jnp.uint8) << 1)
 
@@ -125,6 +157,7 @@ def make_sorted_orbit_step(
     angle_dtype=jnp.float32,
     merge_impl: str = "lax_sort",
     compact_impl: str = "lax_sort",
+    cur_presorted: bool = False,
 ):
     """Build the sorted-carry per-snapshot step.
 
@@ -137,6 +170,15 @@ def make_sorted_orbit_step(
     sort (prev sortedness unexploited); ``"pallas"`` pre-sorts the cur
     side (P-length sort) and merges with the VMEM-resident bitonic
     merge kernel.
+
+    ``cur_presorted=True`` declares that each snapshot row arrives
+    already ID-sorted ascending (padding sentinels last) — the staged
+    layout produced by :func:`presort_snapshot` / a sorting loader —
+    with the original load-order slots in ``snap.slot``.  The cur-side
+    sort then disappears from the step entirely (with
+    ``merge_impl="pallas"`` the join is just the bitonic merge); event
+    output order still follows the original load order, so savefile
+    parity with the reference is unaffected.
 
     ``compact_impl``: ``"lax_sort"`` extracts the next carry + events
     with one 2P variadic sort; ``"pallas"`` uses the log-shift stream
@@ -199,11 +241,12 @@ def make_sorted_orbit_step(
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
         cur_vrb = _vr_bits(frame.vrad)
+        cur_slot = iota if snap.slot is None else snap.slot
 
         # slot and the 3 v_r sign/match bits share one i32 sort channel
         # (slot < 2^24; channel count is the sort-cost driver)
         prev_sv = carry.slot | (carry.vrb.astype(jnp.int32) << 24)
-        cur_sv = iota | (cur_vrb.astype(jnp.int32) << 24)
+        cur_sv = cur_slot | (cur_vrb.astype(jnp.int32) << 24)
 
         def cat(a, b):
             return jnp.concatenate([a, b], axis=1)
@@ -216,13 +259,17 @@ def make_sorted_orbit_step(
 
             # sort the cur side alone (P-length; the prev side is already
             # sorted in the carry), then bitonic-merge the halves in VMEM.
-            # The cur half is sorted *descending* (free: complemented
-            # key) so the concatenation is bitonic.
+            # The cur half must be *descending* so the concatenation is
+            # bitonic: free via a complemented sort key, or a flip when
+            # the staged rows are already ascending (cur_presorted).
             cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
             prev_key = carry.ids.astype(jnp.uint32) << 1
-            cur_ops = sort_descending_u32(
-                cur_key, cur_sv, frame.rhat[0], frame.rhat[1], frame.rhat[2]
-            )
+            cur_asc = (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
+                       frame.rhat[2])
+            if cur_presorted:
+                cur_ops = tuple(jnp.flip(x, axis=1) for x in cur_asc)
+            else:
+                cur_ops = sort_descending_u32(*cur_asc)
             zeros_ang = jnp.zeros((h, p), angle_dtype)
             merged = merge_rows(
                 (prev_key, prev_sv, carry.rhat[0], carry.rhat[1],
@@ -332,12 +379,13 @@ def make_sorted_orbit_step(
                 pa & jnp.uint32(0x7FFFFFFF), jnp.float32
             )
             if merge_impl == "pallas":
-                flip = lambda x: jnp.flip(x, axis=1)
-                ids_c = (flip(cur_ops[0]) >> 1).astype(id_dt)
-                sv_c = flip(cur_ops[1])
-                rhat_c = jnp.stack(
-                    [flip(cur_ops[2]), flip(cur_ops[3]), flip(cur_ops[4])]
-                )
+                if cur_presorted:
+                    asc = cur_asc
+                else:
+                    asc = tuple(jnp.flip(x, axis=1) for x in cur_ops)
+                ids_c = (asc[0] >> 1).astype(id_dt)
+                sv_c = asc[1]
+                rhat_c = jnp.stack([asc[2], asc[3], asc[4]])
             else:
                 ids_c = (a_out[0] >> 1).astype(id_dt)
                 sv_c = a_out[1]

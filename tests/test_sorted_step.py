@@ -110,6 +110,50 @@ def test_sorted_step_matches_general_on_churn(mode, merge_impl,
               compact_impl=compact_impl)
 
 
+@pytest.mark.parametrize("merge_impl,compact_impl", [
+    ("pallas", "pallas"),
+    ("lax_sort", "lax_sort"),
+])
+def test_sorted_step_presorted_staging(merge_impl, compact_impl):
+    """ID-sorted staged rows + slot channel give the identical event
+    stream (reference load order) as load-order rows."""
+    from orbitanalysis_tpu.ops.sorted_step import presort_snapshot
+
+    n_halos, n_part, n_snap = 3, 150, 8
+    box = 60.0
+    snaps, _ = churn_snapshots(n_halos, n_part, n_snap, box_size=box, seed=7)
+    cap = round_up(n_part)
+    K = cap
+
+    step_g = jax.jit(
+        make_orbit_step(mode="pericentric", box_size=box, event_capacity=K)
+    )
+    step_s = jax.jit(
+        make_sorted_orbit_step(K, mode="pericentric", box_size=box,
+                               merge_impl=merge_impl,
+                               compact_impl=compact_impl,
+                               cur_presorted=True)
+    )
+    carry_g = init_carry(n_halos, cap)
+    carry_s = init_sorted_carry(n_halos, cap)
+    for s, snap in enumerate(snaps):
+        ids, pos, vel, mass, center = _pack(snap, n_halos, cap)
+        batch = SnapshotBatch(
+            ids=ids, pos=pos, vel=vel, center=center, mass=mass,
+            bulk_vel=None, hubble_drag=0.0,
+        )
+        carry_g, ev_g = step_g(carry_g, batch)
+        staged = presort_snapshot(batch)
+        assert np.all(np.diff(staged.ids.astype(np.int64), axis=-1) >= 0)
+        carry_s, ev_s = step_s(carry_s, staged)
+        got = _ev_triplets(ev_s.count, ev_s.ids, ev_s.angles)
+        exp = _ev_triplets(ev_g.ev_count, ev_g.ev_ids, ev_g.ev_angles)
+        for h, ((cg, ig, ag), (cs, is_, as_)) in enumerate(zip(exp, got)):
+            assert cg == cs, (s, h)
+            assert ig == is_, (s, h)
+            assert np.allclose(ag, as_, atol=1e-4), (s, h)
+
+
 def test_sorted_step_int64_ids():
     n_halos, n_part, n_snap = 2, 90, 6
     box = 40.0
