@@ -59,8 +59,35 @@ def _roll_flat(x, k):
     return jnp.where(col < _LANES - rem, a, b)
 
 
+def _cmpx_blocks(chans, kr, rows, lanes):
+    """Compare-exchange at *row* distance ``kr`` via static row-block
+    slicing — no rotations: pairs are rows ``[m, 0, kr, :]`` vs
+    ``[m, 1, kr, :]`` of the ``[m, 2, kr, lanes]`` view."""
+    m = rows // (2 * kr)
+    views = [c.reshape(m, 2, kr, lanes) for c in chans]
+    a = [v[:, 0] for v in views]
+    b = [v[:, 1] for v in views]
+    cond = a[0] <= b[0]
+    out = []
+    for av, bv in zip(a, b):
+        lo = jnp.where(cond, av, bv)
+        hi = jnp.where(cond, bv, av)
+        out.append(
+            jnp.concatenate(
+                [lo[:, None], hi[:, None]], axis=1
+            ).reshape(rows, lanes)
+        )
+    return out
+
+
 def _merge_kernel(n_payload, n2, *refs):
-    """One halo row: bitonic-merge prev (asc) + cur (desc) halves."""
+    """One halo row: bitonic-merge prev (asc) + cur (desc) halves.
+
+    Stages with pair distance >= 128 are pure row-block exchanges; the
+    remaining lane-local stages run on a transposed copy so they are
+    row-block exchanges too (one transpose each way per channel instead
+    of 2*log2(128) lane rotations per channel).
+    """
     nchan = 1 + n_payload
     in_prev = refs[:nchan]
     in_cur = refs[nchan:2 * nchan]
@@ -71,35 +98,21 @@ def _merge_kernel(n_payload, n2, *refs):
         jnp.concatenate([p[0], c[0]], axis=0)
         for p, c in zip(in_prev, in_cur)
     ]
-    key = chans[0]
-
     rows2 = n2 // _LANES
-    flat = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 0) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 1)
-    )
 
     k = n2 // 2
-    while k >= 1:
-        kd = _roll_flat(key, -k)          # key[i + k]
-        ku = _roll_flat(key, k)           # key[i - k]
-        cond = key <= kd                  # at low positions: keep own
-        cu = ku <= key                    # at high positions: keep own
-        low = (flat & k) == 0
-        new = []
-        for ch in chans:
-            down = _roll_flat(ch, -k)
-            up = _roll_flat(ch, k)
-            new.append(
-                jnp.where(
-                    low,
-                    jnp.where(cond, ch, down),
-                    jnp.where(cu, ch, up),
-                )
-            )
-        chans = new
-        key = chans[0]
+    while k >= _LANES:
+        chans = _cmpx_blocks(chans, k // _LANES, rows2, _LANES)
         k //= 2
+
+    if k >= 1:
+        # remaining stages are within 128-element blocks = lane-local;
+        # transpose so they become sublane(row)-local block exchanges
+        chans = [c.T for c in chans]
+        while k >= 1:
+            chans = _cmpx_blocks(chans, k, _LANES, rows2)
+            k //= 2
+        chans = [c.T for c in chans]
 
     for o, ch in zip(out, chans):
         o[0] = ch
