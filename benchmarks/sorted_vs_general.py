@@ -113,6 +113,18 @@ def main():
     assert ev_g == ev_ps, (ev_g, ev_ps)
     print(f"  -> speedup vs general: {t_g / t_ps:.3f}x")
 
+    def run_fused(c, s):
+        _, (cnt, ids, angles) = scan_events_sorted(
+            c, s, K, mode="pericentric", box_size=100.0,
+            fused=True, cur_presorted=True,
+        )
+        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+
+    t_f, ev_f = timeit(jax.jit(run_fused), init_sorted_carry(H, P),
+                       "fused kernel + presorted")
+    assert ev_g == ev_f, (ev_g, ev_f)
+    print(f"  -> speedup vs general: {t_g / t_f:.3f}x")
+
 
 if __name__ == "__main__":
     main()

@@ -110,6 +110,7 @@ def scan_events_sorted(
     merge_impl: str = "lax_sort",
     compact_impl: str = "lax_sort",
     cur_presorted: bool = False,
+    fused: bool = False,
 ):
     """Sorted-carry variant of :func:`scan_events_compact` — identical
     compact event stream, one fewer sort per step; with
@@ -126,7 +127,7 @@ def scan_events_sorted(
     step = make_sorted_orbit_step(
         event_capacity, mode=mode, box_size=box_size, id_dtype=id_dtype,
         merge_impl=merge_impl, compact_impl=compact_impl,
-        cur_presorted=cur_presorted,
+        cur_presorted=cur_presorted, fused=fused,
     )
 
     def body(c, s):

@@ -1,0 +1,226 @@
+"""Fully fused join kernel: bitonic merge + apsis detection + carry/
+event compaction in one VMEM-resident Pallas call.
+
+The three device passes of the sorted-carry step (merge kernel,
+detection elementwise, compaction kernel) share the same ``[2P]``
+merged domain; running them as separate XLA ops writes and re-reads
+every merged channel through HBM.  This kernel keeps the whole chain
+in VMEM per halo row:
+
+  merge (block-exchange bitonic stages)
+  -> sign-flip detection + angle accumulate (reference semantics,
+     ``/root/reference/orbitanalysis/track_orbits.py:311-351``)
+  -> compact the per-cur-entry results to the carry layout
+     (single packed channel: f32 angle with the match flag in the
+     sign bit)
+  -> compact the apsis events (key, slot+vr bits, angle)
+
+Outputs per row: ``packed`` angles for the next carry (the rest of the
+next carry is the cur-side input itself), the compacted event channels
+(merged/ID order; a small host-side ``[H, K]`` sort by slot restores
+reference order), and the exact per-row apsis count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orbitanalysis_tpu.ops.pallas_merge import _LANES, _cmpx_blocks, _roll_flat
+from orbitanalysis_tpu.ops.pallas_compact import _compact_group
+
+
+def _acos_f32(x):
+    """float32 arccos to ~2 ulp (Mosaic has no inverse-trig primitive).
+
+    Cephes ``asinf`` minimax polynomial with the standard range split:
+    ``|x| <= 0.5`` via ``pi/2 - asin(x)``, else
+    ``2*asin(sqrt((1-|x|)/2))`` reflected for negative ``x``.
+    """
+    def asin_poly(v, w):
+        p = jnp.float32(4.2163199048e-2)
+        p = p * w + jnp.float32(2.4181311049e-2)
+        p = p * w + jnp.float32(4.5470025998e-2)
+        p = p * w + jnp.float32(7.4953002686e-2)
+        p = p * w + jnp.float32(1.6666752422e-1)
+        return p * w * v + v
+
+    pi = jnp.float32(np.pi)
+    ax = jnp.abs(x)
+    t = jnp.float32(0.5) * (jnp.float32(1.0) - ax)
+    sq = jnp.sqrt(t)
+    big_pos = jnp.float32(2.0) * asin_poly(sq, t)
+    acos_big = jnp.where(x < 0, pi - big_pos, big_pos)
+    acos_small = jnp.float32(np.pi / 2) - asin_poly(x, x * x)
+    return jnp.where(ax > 0.5, acos_big, acos_small)
+
+
+def _fused_kernel(pericentric, invalid_id, n2, *refs):
+    (pk, psv, prx, pry, prz, pang,
+     ck, csv, crx, cry, crz,
+     out_packed, out_evk, out_evsv, out_evang, out_count) = refs
+
+    rows2 = n2 // _LANES
+
+    # ---- merge (prev asc + cur desc halves are bitonic) ----
+    chans = [
+        jnp.concatenate([pk[0], ck[0]], axis=0),
+        jnp.concatenate([psv[0], csv[0]], axis=0),
+        jnp.concatenate([prx[0], crx[0]], axis=0),
+        jnp.concatenate([pry[0], cry[0]], axis=0),
+        jnp.concatenate([prz[0], crz[0]], axis=0),
+        jnp.concatenate([pang[0], jnp.zeros_like(pang[0])], axis=0),
+    ]
+    k = n2 // 2
+    while k >= _LANES:
+        chans = _cmpx_blocks(chans, k // _LANES, rows2, _LANES)
+        k //= 2
+    if k >= 1:
+        chans = [c.T for c in chans]
+        while k >= 1:
+            chans = _cmpx_blocks(chans, k, _LANES, rows2)
+            k //= 2
+        chans = [c.T for c in chans]
+    key, sv, rx, ry, rz, ang = chans
+
+    # ---- detection in the merged domain ----
+    is_cur = (key & 1) == 1
+    ids = key >> 1
+    valid = ids != jnp.uint32(invalid_id)
+
+    key_l = _roll_flat(key, 1)
+    first = (
+        jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    ) == 0
+    left_is_prev = (key_l & 1) == 0
+    match_cur = (
+        is_cur & left_is_prev & valid & (ids == (key_l >> 1)) & ~first
+    )
+    sv_l = _roll_flat(sv, 1)
+    rx_l = _roll_flat(rx, 1)
+    ry_l = _roll_flat(ry, 1)
+    rz_l = _roll_flat(rz, 1)
+    ang_l = _roll_flat(ang, 1)
+
+    vrb = (sv >> 24).astype(jnp.int32)
+    vrb_l = (sv_l >> 24).astype(jnp.int32)
+    cosang = jnp.clip(rx_l * rx + ry_l * ry + rz_l * rz, -1.0, 1.0)
+    dtheta = jnp.where(match_cur, _acos_f32(cosang), 0.0)
+    if pericentric:
+        flip = ((vrb_l & 1) > 0) & ((vrb & 2) > 0)
+    else:
+        flip = ((vrb_l & 2) > 0) & ((vrb & 1) > 0)
+    apsis = match_cur & flip
+    angle_acc = ang_l + dtheta
+    apsis_angle = jnp.where(apsis, angle_acc, 0.0)
+    angle_new = jnp.where(apsis | ~match_cur, 0.0, angle_acc)
+
+    apsis_i = apsis.astype(jnp.int32)
+    out_count[0] = jnp.full((8, _LANES), jnp.sum(apsis_i), jnp.int32)
+
+    # route the event to the prev partner slot (one position left)
+    apsis_prev = _roll_flat(apsis_i, -1)
+    ev_ang = _roll_flat(apsis_angle, -1)
+    # zero the wrapped tail element (circular roll artifact)
+    last = (
+        jax.lax.broadcasted_iota(jnp.int32, key.shape, 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    ) == (n2 - 1)
+    apsis_prev = jnp.where(last, 0, apsis_prev)
+
+    # ---- compactions ----
+    packed = pltpu.bitcast(angle_new, jnp.uint32) | (
+        match_cur.astype(jnp.uint32) << 31
+    )
+    (packed_c,) = _compact_group(is_cur.astype(jnp.int32), [packed], n2)
+    out_packed[0] = packed_c[: out_packed.shape[1]]
+
+    evk, evsv, evang = _compact_group(
+        apsis_prev, [key, sv, ev_ang], n2
+    )
+    rows_k = out_evk.shape[1]
+    out_evk[0] = evk[:rows_k]
+    out_evsv[0] = evsv[:rows_k]
+    out_evang[0] = evang[:rows_k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pericentric", "invalid_id", "k128", "interpret"),
+)
+def _fused_call(pericentric, invalid_id, k128, interpret, *arrays):
+    h, r, _ = arrays[0].shape
+    n2 = 2 * r * _LANES
+    spec_in = pl.BlockSpec(
+        (1, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    kr = k128 // _LANES
+    out_shapes = (
+        jax.ShapeDtypeStruct((h, r, _LANES), jnp.uint32),    # packed
+        jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),   # ev key
+        jax.ShapeDtypeStruct((h, kr, _LANES), jnp.int32),    # ev sv
+        jax.ShapeDtypeStruct((h, kr, _LANES), jnp.float32),  # ev angle
+        jax.ShapeDtypeStruct((h, 8, _LANES), jnp.int32),     # count tile
+    )
+    out_specs = (
+        pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, pericentric, invalid_id, n2),
+        grid=(h,),
+        out_shape=out_shapes,
+        in_specs=[spec_in] * 11,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*arrays)
+
+
+def fused_join_detect(
+    prev_ops,   # (key_u32 asc, sv, rx, ry, rz, angles) each [H, P]
+    cur_ops,    # (key_u32 DESC, sv, rx, ry, rz) each [H, P]
+    pericentric: bool,
+    invalid_id: int,
+    event_capacity: int,
+):
+    """Run the fused merge+detect+compact kernel.
+
+    Returns ``(packed, ev_key, ev_sv, ev_angle, count)``: ``packed``
+    ``[H, P]`` uint32 = next-carry angles (f32 bits) with the match
+    flag in bit 31, aligned with the *ascending* cur-side order;
+    ``ev_*`` ``[H, K128]`` compacted apsis events in merged (ID) order;
+    ``count`` ``[H]`` exact apsis counts.
+    """
+    h, p = prev_ops[0].shape
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, 2 * p)
+    r = p // _LANES
+    arrays = tuple(
+        a.reshape(h, r, _LANES) for a in tuple(prev_ops) + tuple(cur_ops)
+    )
+    interpret = jax.default_backend() != "tpu"
+    packed, evk, evsv, evang, count = _fused_call(
+        pericentric, int(invalid_id), k128, interpret, *arrays
+    )
+    return (
+        packed.reshape(h, p),
+        evk.reshape(h, k128),
+        evsv.reshape(h, k128),
+        evang.reshape(h, k128),
+        count[:, 0, 0],
+    )

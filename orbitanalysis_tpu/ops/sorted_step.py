@@ -158,6 +158,7 @@ def make_sorted_orbit_step(
     merge_impl: str = "lax_sort",
     compact_impl: str = "lax_sort",
     cur_presorted: bool = False,
+    fused: bool = False,
 ):
     """Build the sorted-carry per-snapshot step.
 
@@ -199,6 +200,9 @@ def make_sorted_orbit_step(
         raise ValueError(f"unknown merge_impl: {merge_impl!r}")
     if compact_impl not in ("lax_sort", "pallas"):
         raise ValueError(f"unknown compact_impl: {compact_impl!r}")
+    if fused:
+        # single-kernel path subsumes both pallas impls
+        merge_impl = compact_impl = "pallas"
     if compact_impl == "pallas" and jnp.dtype(angle_dtype) != jnp.float32:
         raise ValueError(
             "compact_impl='pallas' packs the match bit into the f32 "
@@ -270,6 +274,54 @@ def make_sorted_orbit_step(
                 cur_ops = tuple(jnp.flip(x, axis=1) for x in cur_asc)
             else:
                 cur_ops = sort_descending_u32(*cur_asc)
+
+            if fused:
+                from orbitanalysis_tpu.ops.pallas_step import (
+                    fused_join_detect,
+                )
+
+                packed, evk, evsv, evang, count = fused_join_detect(
+                    (prev_key, prev_sv, carry.rhat[0], carry.rhat[1],
+                     carry.rhat[2], carry.angles),
+                    cur_ops, pericentric, invalid, K,
+                )
+                if cur_presorted:
+                    asc = cur_asc
+                else:
+                    asc = tuple(jnp.flip(x, axis=1) for x in cur_ops)
+                match_o = (packed >> 31).astype(jnp.uint8)
+                ang_o = jax.lax.bitcast_convert_type(
+                    packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+                )
+                new_carry = SortedCarry(
+                    ids=(asc[0] >> 1).astype(id_dt),
+                    slot=asc[1] & 0x00FFFFFF,
+                    vrb=(asc[1] >> 24).astype(jnp.uint8) | (match_o << 2),
+                    rhat=jnp.stack([asc[2], asc[3], asc[4]]),
+                    angles=ang_o,
+                )
+                k128 = evk.shape[1]
+                kiota = jax.lax.broadcasted_iota(jnp.int32, (h, k128), 1)
+                ev_ok = kiota < count[:, None]
+                _, ev_ids, ev_angles = jax.lax.sort(
+                    (
+                        jnp.where(ev_ok, evsv & 0x00FFFFFF, _DEAD_KEY),
+                        jnp.where(
+                            ev_ok,
+                            (evk >> 1).astype(id_dt),
+                            jnp.asarray(invalid, id_dt),
+                        ),
+                        jnp.where(ev_ok, evang, 0.0),
+                    ),
+                    dimension=-1,
+                    num_keys=1,
+                )
+                return new_carry, CompactEvents(
+                    count=count,
+                    ids=ev_ids[:, :K],
+                    angles=ev_angles[:, :K],
+                    bulk_vel=frame.bulk_vel,
+                )
             zeros_ang = jnp.zeros((h, p), angle_dtype)
             merged = merge_rows(
                 (prev_key, prev_sv, carry.rhat[0], carry.rhat[1],

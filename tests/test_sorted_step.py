@@ -39,7 +39,7 @@ def _ev_triplets(count, ids, angles):
 
 
 def _run_pair(snaps, n_halos, cap, box, mode, K, merge_impl="lax_sort",
-              compact_impl="lax_sort", id_dtype=jnp.int32):
+              compact_impl="lax_sort", id_dtype=jnp.int32, fused=False):
     step_g = jax.jit(
         make_orbit_step(mode=mode, box_size=box, event_capacity=K,
                         id_dtype=id_dtype)
@@ -48,7 +48,7 @@ def _run_pair(snaps, n_halos, cap, box, mode, K, merge_impl="lax_sort",
         make_sorted_orbit_step(K, mode=mode, box_size=box,
                                merge_impl=merge_impl,
                                compact_impl=compact_impl,
-                               id_dtype=id_dtype)
+                               id_dtype=id_dtype, fused=fused)
     )
     carry_g = init_carry(n_halos, cap, id_dtype=id_dtype)
     carry_s = init_sorted_carry(n_halos, cap, id_dtype=id_dtype)
@@ -108,6 +108,17 @@ def test_sorted_step_matches_general_on_churn(mode, merge_impl,
     cap = round_up(n_part)
     _run_pair(snaps, n_halos, cap, box, mode, K=cap, merge_impl=merge_impl,
               compact_impl=compact_impl)
+
+
+@pytest.mark.parametrize("mode", ["pericentric", "apocentric"])
+def test_sorted_step_fused_kernel(mode):
+    """The single fused merge+detect+compact kernel must match the
+    general step exactly (events and carry)."""
+    n_halos, n_part, n_snap = 3, 150, 8
+    box = 60.0
+    snaps, _ = churn_snapshots(n_halos, n_part, n_snap, box_size=box, seed=4)
+    cap = round_up(n_part)
+    _run_pair(snaps, n_halos, cap, box, mode, K=cap, fused=True)
 
 
 @pytest.mark.parametrize("merge_impl,compact_impl", [
