@@ -177,12 +177,14 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     # tunneled devices `block_until_ready` does not reliably wait); the
     # compact event tensors stay jit outputs so they are really
     # materialized.
-    K = max(128, capacity // 4)
+    # event capacity: ample headroom over the per-halo event rate
+    # (overflowing rows are detectable via cnt > K and re-run)
+    K = max(128, capacity // 16)
 
     def run(c, s):
         carry, (cnt, ids, angles) = scan_events_sorted(
             c, s, K, mode="pericentric", box_size=box,
-            merge_impl="pallas", compact_impl="pallas", cur_presorted=True,
+            fused=True, cur_presorted=True,
         )
         return jnp.sum(cnt), jnp.max(cnt), ids, angles
 

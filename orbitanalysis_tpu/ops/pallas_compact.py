@@ -52,15 +52,22 @@ def _cumsum_flat(x):
     return s + (t - tot)
 
 
-def _compact_group(sel, chans, n):
-    """Compact ``chans`` entries where ``sel`` is 1 to the flat front."""
+def _live_shifts(sel, incl):
+    """Shift-to-target channel: live flag in bit 30, dead entries inert.
+    ``incl`` is the inclusive cumsum of ``sel``."""
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0) * _LANES
         + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
     )
-    incl = _cumsum_flat(sel)
-    # shift-to-target for live entries, live flag in bit 30, dead inert
-    g = jnp.where(sel == 1, (flat - incl + 1) | _LIVE, 0)
+    return jnp.where(sel == 1, (flat - incl + 1) | _LIVE, 0)
+
+
+def _compact_group(sel, chans, n, g=None):
+    """Compact ``chans`` entries where ``sel`` is 1 to the flat front.
+    ``g`` may carry a precomputed :func:`_live_shifts` channel (lets
+    callers share one cumsum between groups)."""
+    if g is None:
+        g = _live_shifts(sel, _cumsum_flat(sel))
     chans = list(chans)
     j, s = 0, 1
     while s < n:

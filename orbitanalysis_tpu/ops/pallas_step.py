@@ -138,11 +138,25 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     packed = pltpu.bitcast(angle_new, jnp.uint32) | (
         match_cur.astype(jnp.uint32) << 31
     )
-    (packed_c,) = _compact_group(is_cur.astype(jnp.int32), [packed], n2)
+    is_cur_i = is_cur.astype(jnp.int32)
+    if n2 <= 2 * 65535:
+        # both groups' rank counters fit 16 bits: one shared cumsum
+        from orbitanalysis_tpu.ops.pallas_compact import (
+            _cumsum_flat,
+            _live_shifts,
+        )
+
+        incl = _cumsum_flat(is_cur_i + (apsis_prev << 16))
+        g_a = _live_shifts(is_cur_i, incl & 0xFFFF)
+        g_b = _live_shifts(apsis_prev, incl >> 16)
+    else:
+        g_a = g_b = None
+
+    (packed_c,) = _compact_group(is_cur_i, [packed], n2, g=g_a)
     out_packed[0] = packed_c[: out_packed.shape[1]]
 
     evk, evsv, evang = _compact_group(
-        apsis_prev, [key, sv, ev_ang], n2
+        apsis_prev, [key, sv, ev_ang], n2, g=g_b
     )
     rows_k = out_evk.shape[1]
     out_evk[0] = evk[:rows_k]
