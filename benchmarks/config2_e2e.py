@@ -25,6 +25,7 @@ from orbitanalysis_tpu.models.synthetic import kepler_ensemble
 from orbitanalysis_tpu.utils.metrics import Metrics
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/config2_e2e"
+JOIN = sys.argv[2] if len(sys.argv) > 2 else "auto"
 os.makedirs(outdir, exist_ok=True)
 
 N_HALOS = 100
@@ -86,7 +87,7 @@ t0 = time.time()
 track_orbits(
     snap_nums, branches, regions, load_snapshot_data, save,
     mode="pericentric", id_dtype=np.int64 if N_HALOS * 10**7 > 2**31
-    else np.int32, verbose=False, metrics=metrics,
+    else np.int32, verbose=False, metrics=metrics, join_impl=JOIN,
 )
 wall = time.time() - t0
 updates = N_HALOS * N_PART * (N_SNAP - 1)

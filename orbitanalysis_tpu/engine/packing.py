@@ -27,6 +27,9 @@ class PackedSnapshot(NamedTuple):
     bulk_vel: Optional[np.ndarray]  # [H, 3] or None
     lengths: np.ndarray             # [H] particles per halo row
     rows: np.ndarray                # active halo rows (indices into H)
+    # with sort_ids: rows are ID-sorted and slot[h, i] is the load-order
+    # slot the i-th (sorted) entry came from
+    slot: Optional[np.ndarray] = None  # [H, P] int32 or None
 
 
 def required_capacity(lengths, headroom: float = 1.3, multiple: int = 128) -> int:
@@ -45,6 +48,7 @@ def pack_snapshot(
     region_bulk_vels: Optional[np.ndarray] = None,
     id_dtype=np.int32,
     pos_dtype=np.float32,
+    sort_ids: bool = False,
 ) -> PackedSnapshot:
     """Pack one loader snapshot dict into padded arrays.
 
@@ -96,6 +100,23 @@ def pack_snapshot(
 
     lengths = np.zeros(n_halos, dtype=np.int64)
     lengths[rows] = lengths_blocks
+
+    slot = None
+    if sort_ids:
+        # ID-sorted staging for the sorted-carry engine: the padding
+        # sentinel is the dtype max so it stays at the row tails
+        order = np.argsort(packed_ids, axis=-1, kind="stable")
+        packed_ids = np.take_along_axis(packed_ids, order, axis=-1)
+        packed_pos = np.take_along_axis(
+            packed_pos, order[..., None], axis=-2
+        )
+        packed_vel = np.take_along_axis(
+            packed_vel, order[..., None], axis=-2
+        )
+        if packed_mass is not None:
+            packed_mass = np.take_along_axis(packed_mass, order, axis=-1)
+        slot = order.astype(np.int32)
+
     return PackedSnapshot(
         ids=packed_ids,
         pos=packed_pos,
@@ -105,4 +126,5 @@ def pack_snapshot(
         bulk_vel=bulk,
         lengths=lengths,
         rows=np.asarray(rows),
+        slot=slot,
     )

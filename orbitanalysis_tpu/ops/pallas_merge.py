@@ -164,8 +164,11 @@ def merge_rows(prev_ops, cur_ops, num_keys: int = 1):
     if prev_ops[0].dtype != jnp.uint32:
         raise TypeError("merge key must be uint32")
     h, p = prev_ops[0].shape
-    if p % _LANES:
-        raise ValueError(f"row length must be a multiple of {_LANES}")
+    if p % _LANES or (p & (p - 1)):
+        raise ValueError(
+            f"row length must be a power of two >= {_LANES} (bitonic "
+            f"merge network); got {p} — pad with round_up_pow2"
+        )
     for a, b in zip(prev_ops, cur_ops):
         if a.shape != (h, p) or b.shape != (h, p):
             raise ValueError("all operands must be [H, P]")

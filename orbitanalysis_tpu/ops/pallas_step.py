@@ -220,8 +220,11 @@ def fused_join_detect(
     ``count`` ``[H]`` exact apsis counts.
     """
     h, p = prev_ops[0].shape
-    if p % _LANES:
-        raise ValueError(f"row length must be a multiple of {_LANES}")
+    if p % _LANES or (p & (p - 1)):
+        raise ValueError(
+            f"row length must be a power of two >= {_LANES} (bitonic "
+            f"merge network); got {p} — pad with round_up_pow2"
+        )
     k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, 2 * p)
     r = p // _LANES
     arrays = tuple(

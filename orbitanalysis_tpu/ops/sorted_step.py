@@ -75,12 +75,14 @@ class SortedCarry(NamedTuple):
 
 
 class CompactEvents(NamedTuple):
-    """Per-step compact apsis events, previous-snapshot load order."""
+    """Per-step compact apsis events, previous-snapshot load order
+    (or ID order with the load slots alongside — ``events_id_order``)."""
 
     count: jnp.ndarray     # [H] int32 apsides per halo (exact, may be > K)
     ids: jnp.ndarray       # [H, K] event particle IDs
     angles: jnp.ndarray    # [H, K] angle at each apsis
     bulk_vel: jnp.ndarray  # [H, 3] region bulk velocity of this snapshot
+    slots: jnp.ndarray | None = None  # [H, K] prev load slots (id order)
 
 
 def init_sorted_carry(
@@ -159,6 +161,7 @@ def make_sorted_orbit_step(
     compact_impl: str = "lax_sort",
     cur_presorted: bool = False,
     fused: bool = False,
+    events_id_order: bool = False,
 ):
     """Build the sorted-carry per-snapshot step.
 
@@ -203,6 +206,8 @@ def make_sorted_orbit_step(
     if fused:
         # single-kernel path subsumes both pallas impls
         merge_impl = compact_impl = "pallas"
+    if events_id_order and not fused:
+        raise ValueError("events_id_order requires fused=True")
     if compact_impl == "pallas" and jnp.dtype(angle_dtype) != jnp.float32:
         raise ValueError(
             "compact_impl='pallas' packs the match bit into the f32 "
@@ -303,15 +308,25 @@ def make_sorted_orbit_step(
                 k128 = evk.shape[1]
                 kiota = jax.lax.broadcasted_iota(jnp.int32, (h, k128), 1)
                 ev_ok = kiota < count[:, None]
+                ids_raw = jnp.where(
+                    ev_ok, (evk >> 1).astype(id_dt), jnp.asarray(invalid, id_dt)
+                )
+                ang_raw = jnp.where(ev_ok, evang, 0.0)
+                if events_id_order:
+                    # skip the device slot-sort: the caller restores the
+                    # reference load order host-side from the slots
+                    return new_carry, CompactEvents(
+                        count=count,
+                        ids=ids_raw[:, :K],
+                        angles=ang_raw[:, :K],
+                        bulk_vel=frame.bulk_vel,
+                        slots=jnp.where(ev_ok, evsv & 0x00FFFFFF, -1)[:, :K],
+                    )
                 _, ev_ids, ev_angles = jax.lax.sort(
                     (
                         jnp.where(ev_ok, evsv & 0x00FFFFFF, _DEAD_KEY),
-                        jnp.where(
-                            ev_ok,
-                            (evk >> 1).astype(id_dt),
-                            jnp.asarray(invalid, id_dt),
-                        ),
-                        jnp.where(ev_ok, evang, 0.0),
+                        ids_raw,
+                        ang_raw,
                     ),
                     dimension=-1,
                     num_keys=1,

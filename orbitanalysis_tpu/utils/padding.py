@@ -26,6 +26,13 @@ def invalid_id_for(dtype) -> int:
     return int(np.iinfo(np.dtype(dtype)).max)
 
 
+def round_up_pow2(n: int) -> int:
+    """Round ``n`` up to a power of two (bitonic-network row lengths)."""
+    if n <= 1:
+        return 1
+    return 1 << (int(n) - 1).bit_length()
+
+
 def round_up(n: int, multiple: int = 128) -> int:
     """Round ``n`` up to a multiple (TPU lane dimension is 128)."""
     if n <= 0:

@@ -367,3 +367,87 @@ def test_onthefly_with_missing_progenitors(tmp_path, churn_setup):
         bulk = hf["bulk_velocities"][:]
         assert np.isnan(bulk[1, 1]).all()   # snapshot s-1, missing halo
         assert np.isfinite(bulk[0]).all()   # snapshot s, all present
+
+
+def _assert_files_equal(pa, pb):
+    """Dataset-for-dataset equality; f16 angle stores may differ by one
+    f16 ulp (~0.003% of events) because the sorted engine's in-kernel
+    arccos is a 2-ulp-f32 polynomial (Mosaic has no acos primitive)."""
+    with h5py.File(pa) as a, h5py.File(pb) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            assert sorted(a[k].keys()) == sorted(b[k].keys()), k
+            for ds in a[k]:
+                if ds == "angles":
+                    np.testing.assert_allclose(
+                        a[k][ds][:].astype(np.float32),
+                        b[k][ds][:].astype(np.float32),
+                        atol=4e-3,
+                    )
+                else:
+                    assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_sorted_join_tracker_identical(tmp_path, churn_setup):
+    """join_impl='sorted' (fused Pallas kernel, ID-sorted host packing)
+    must write a savefile identical to the general engine's —
+    dataset-for-dataset, including event order."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    ref = str(tmp_path / "general.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="general", checkpoint=True, verbose=False)
+    got = str(tmp_path / "sorted.h5")
+    track_orbits(snap_nums, branches, regions, loader, got,
+                 join_impl="sorted", checkpoint=True, verbose=False)
+    _assert_files_equal(ref, got)
+    # checkpoint sidecars must agree too (load-order angle layout)
+    with h5py.File(ref + ".checkpoint") as a, \
+         h5py.File(got + ".checkpoint") as b:
+        np.testing.assert_allclose(
+            a["angles"][:], b["angles"][:], atol=1e-4
+        )
+
+
+def test_sorted_join_growth_and_resume(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    ref = str(tmp_path / "ref.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="sorted", checkpoint=True, verbose=False)
+
+    # capacity growth mid-run
+    grown = str(tmp_path / "grown.h5")
+    track_orbits(snap_nums, branches, regions, loader, grown,
+                 join_impl="sorted", capacity=128, headroom=1.05,
+                 verbose=False)
+    _assert_files_equal(ref, grown)
+
+    # crash at snapshot 5 then resume
+    resumed = str(tmp_path / "resumed.h5")
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 5 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                     join_impl="sorted", checkpoint=True, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                 join_impl="sorted", checkpoint=True, resume=True,
+                 verbose=False)
+    _assert_files_equal(ref, resumed)
+
+
+def test_sorted_join_halo_born_mid_run(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    branches = branches.copy()
+    branches[:4, 1] = -1
+    ref = str(tmp_path / "born_g.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="general", verbose=False)
+    got = str(tmp_path / "born_s.h5")
+    track_orbits(snap_nums, branches, regions, loader, got,
+                 join_impl="sorted", verbose=False)
+    _assert_files_equal(ref, got)
