@@ -8,6 +8,9 @@ from orbitanalysis_tpu.parallel.nbody_sharded import (
     direct_forces_rect,
     make_sharded_direct_force_fn,
 )
+from orbitanalysis_tpu.parallel.sorted_sharded import (
+    make_sharded_sorted_step,
+)
 from orbitanalysis_tpu.parallel import multihost
 
 __all__ = [
@@ -17,6 +20,7 @@ __all__ = [
     "shard_tree",
     "tree_sharding_specs",
     "direct_forces_rect",
+    "make_sharded_sorted_step",
     "make_sharded_direct_force_fn",
     "multihost",
 ]

@@ -181,3 +181,50 @@ def test_sharded_nbody_forces_and_sim(rng):
         force_fn=lambda p, m, **kw: direct_forces(p, m, **kw),
     )
     assert np.array_equal(np.asarray(tr.counts), np.asarray(tr2.counts))
+
+
+def test_sharded_sorted_step_equals_single_device(rng):
+    """Halo-sharded sorted/fused step (shard_map around the Pallas
+    kernels) must reproduce the unsharded step exactly."""
+    from orbitanalysis_tpu.ops.sorted_step import (
+        init_sorted_carry,
+        make_sorted_orbit_step,
+    )
+    from orbitanalysis_tpu.parallel.sorted_sharded import (
+        make_sharded_sorted_step,
+    )
+
+    n_halos, cap, K = 8, 128, 128
+    mesh = make_mesh({"halos": 8})
+    step = jax.jit(make_sorted_orbit_step(K, fused=True))
+    sstep = jax.jit(make_sharded_sorted_step(mesh, K, fused=True))
+
+    carry_a = init_sorted_carry(n_halos, cap)
+    carry_b = shard_tree(init_sorted_carry(n_halos, cap), mesh)
+    for i in range(4):
+        batch = _random_batch(rng, n_halos, cap, 100 - 7 * i)
+        carry_a, ev_a = step(carry_a, batch)
+        carry_b, ev_b = sstep(carry_b, shard_tree(batch, mesh))
+        np.testing.assert_array_equal(
+            np.asarray(ev_a.count), np.asarray(ev_b.count)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ev_a.ids), np.asarray(ev_b.ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(carry_a.ids), np.asarray(carry_b.ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(carry_a.angles), np.asarray(carry_b.angles),
+            atol=1e-6,
+        )
+
+
+def test_sharded_sorted_step_rejects_particle_axis():
+    from orbitanalysis_tpu.parallel.sorted_sharded import (
+        make_sharded_sorted_step,
+    )
+
+    mesh = make_mesh({"halos": 4, "particles": 2})
+    with pytest.raises(ValueError):
+        make_sharded_sorted_step(mesh, 128)
