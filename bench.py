@@ -210,7 +210,7 @@ def main():
     log(f"platform: {platform} ({len(jax.devices())} device(s))")
 
     if platform == "tpu":
-        n_halos, capacity, n_snaps = 64, 32768, 16   # 33.6M updates / scan
+        n_halos, capacity, n_snaps = 64, 32768, 48   # 100M updates / scan
     else:
         n_halos, capacity, n_snaps = 8, 2048, 8
 
