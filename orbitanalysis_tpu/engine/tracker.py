@@ -46,6 +46,7 @@ from orbitanalysis_tpu.ops.apsis import (
     make_static_orbit_step,
 )
 from orbitanalysis_tpu.ops.sorted_step import (
+    MAX_FUSED_CAPACITY,
     SortedCarry,
     init_sorted_carry,
     make_sorted_orbit_step,
@@ -171,6 +172,14 @@ class _DeviceEngine:
         if self.join == "sorted":
             # bitonic merge network: row length must be a power of two
             new_capacity = max(round_up_pow2(new_capacity), 128)
+            if new_capacity > MAX_FUSED_CAPACITY:
+                raise ValueError(
+                    f"region growth needs capacity {new_capacity}, beyond "
+                    f"the sorted engine's per-row VMEM ceiling "
+                    f"({MAX_FUSED_CAPACITY}); re-run with "
+                    "join_impl='general' (resume=True continues from the "
+                    "savefile)"
+                )
         else:
             new_capacity = round_up(new_capacity, 128)
         pad = new_capacity - self.capacity
@@ -331,6 +340,7 @@ def track_orbits(
 
     if join_impl not in ("auto", "general", "sorted"):
         raise ValueError(f"unknown join_impl: {join_impl!r}")
+    join_was_auto = join_impl == "auto"
     if join_impl == "auto":
         idt = np.dtype(id_dtype)
         join_impl = (
@@ -527,6 +537,19 @@ def track_orbits(
             cap = capacity or required_capacity(lengths, headroom)
             if join_impl == "sorted":
                 cap = max(round_up_pow2(cap), 128)
+                if cap > MAX_FUSED_CAPACITY:
+                    # a whole 2*capacity merged row must fit in VMEM
+                    if join_was_auto:
+                        join_impl = "general"
+                        cap = capacity or required_capacity(
+                            lengths, headroom
+                        )
+                    else:
+                        raise ValueError(
+                            f"join_impl='sorted' supports per-halo "
+                            f"capacities up to {MAX_FUSED_CAPACITY} "
+                            f"(needed {cap}); use join_impl='general'"
+                        )
             engine = _DeviceEngine(
                 n_rows, cap, mode, box_size, id_dtype, angle_dtype,
                 sharding=sharding, event_capacity=event_capacity,

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from orbitanalysis_tpu.utils.numerics import periodic_displacement
 
-_EPS = jnp.float32(1e-30)
+_EPS = 1e-30  # python float: a jnp scalar here would
+#   initialize the XLA backend at import (breaks jax.distributed)
 
 
 class RegionFrame(NamedTuple):

@@ -51,9 +51,14 @@ import jax.numpy as jnp
 from orbitanalysis_tpu.ops.geometry import region_frame
 from orbitanalysis_tpu.utils.padding import invalid_id_for
 
+#: Largest per-row capacity the fused kernel fits in VMEM (the whole
+#: 2P merged row stays on-chip; P=131072 fails to compile on v5e).
+MAX_FUSED_CAPACITY = 65536
+
 #: key_B value for merged entries that are neither part of the next
 #: carry nor an apsis event (departed / padding / matched-away prev).
-_DEAD_KEY = jnp.int32(1 << 30)
+_DEAD_KEY = 1 << 30  # python int: a jnp scalar here would
+#   initialize the XLA backend at import (breaks jax.distributed)
 
 
 class SortedCarry(NamedTuple):
@@ -324,7 +329,7 @@ def make_sorted_orbit_step(
                     )
                 _, ev_ids, ev_angles = jax.lax.sort(
                     (
-                        jnp.where(ev_ok, evsv & 0x00FFFFFF, _DEAD_KEY),
+                        jnp.where(ev_ok, evsv & 0x00FFFFFF, jnp.int32(_DEAD_KEY)),
                         ids_raw,
                         ang_raw,
                     ),
@@ -485,7 +490,7 @@ def make_sorted_orbit_step(
             key_b = jnp.where(
                 is_cur,
                 jnp.int32(0),
-                jnp.where(apsis_prev, jnp.int32(1) + slot_s, _DEAD_KEY),
+                jnp.where(apsis_prev, jnp.int32(1) + slot_s, jnp.int32(_DEAD_KEY)),
             )
             angle_b = jnp.where(is_cur, angle_new, ev_angle_prev)
             # bit2 of vrb: this cur entry matched (entered = valid & ~bit2)

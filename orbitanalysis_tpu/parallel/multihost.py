@@ -23,8 +23,13 @@ import numpy as np
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Initialize jax.distributed (no-op if already initialized or when
-    running single-process)."""
-    if jax.process_count() > 1:
+    running single-process).
+
+    Must not touch the XLA backend before ``jax.distributed.initialize``
+    (``jax.process_count()`` would initialize it), so the
+    already-initialized check uses ``jax.distributed.is_initialized``.
+    """
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
     if coordinator_address is None and num_processes is None:
         return  # single process: nothing to do
