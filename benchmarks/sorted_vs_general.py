@@ -46,38 +46,47 @@ def main():
         hubble_drag=jnp.zeros(S, dtype=jnp.float32),
     )
 
-    def timeit(fn, c, label, repeats=5):
-        out = fn(c, snaps)
-        tot = int(np.asarray(out[0]))
+    def timeit(fn, c, batch, label, repeats=5):
+        out = fn(c, batch)
+        tot = (int(np.asarray(out[0])), int(np.asarray(out[1])),
+               float(np.asarray(out[2])))
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            r = fn(c, snaps)
+            r = fn(c, batch)
             _ = int(np.asarray(r[0]))
             best = min(best, time.perf_counter() - t0)
         ups = S * H * P / best
         print(f"{label:28s} {best*1e3:9.2f} ms/scan  {ups:.3e} up/s "
-              f"({tot} events)")
+              f"({tot[0]} events)")
         return best, tot
 
-    impls = {}
+    def _summarize(cnt, ids, angles):
+        # content checksum, not just totals: masked event-ID sum catches
+        # wrong matches/ordering-of-content that count sums coincide on
+        kiota = jnp.arange(ids.shape[-1])[None, None, :]
+        mask = kiota < cnt[..., None]
+        chk = jnp.sum(jnp.where(mask, ids, 0).astype(jnp.uint32))
+        asum = jnp.sum(jnp.where(mask, angles, 0.0))
+        return jnp.sum(cnt), chk, asum, jnp.max(cnt)
 
     def run_general(c, s):
         _, (cnt, ids, angles) = scan_events_compact(
             c, s, K, mode="pericentric", box_size=100.0
         )
-        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+        return _summarize(cnt, ids, angles)
 
     def run_sorted(c, s):
         _, (cnt, ids, angles) = scan_events_sorted(
             c, s, K, mode="pericentric", box_size=100.0
         )
-        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+        return _summarize(cnt, ids, angles)
 
-    t_g, ev_g = timeit(jax.jit(run_general), init_carry(H, P), "general")
+    t_g, ev_g = timeit(jax.jit(run_general), init_carry(H, P), snaps,
+                       "general")
     t_s, ev_s = timeit(jax.jit(run_sorted), init_sorted_carry(H, P),
-                       "sorted-carry")
-    assert ev_g == ev_s, (ev_g, ev_s)
+                       snaps, "sorted-carry")
+    assert ev_g[:2] == ev_s[:2] and abs(ev_g[2] - ev_s[2]) < 1.0, (ev_g, ev_s)
     print(f"speedup: {t_g / t_s:.3f}x")
 
     for mi, ci in [("pallas", "lax_sort"), ("lax_sort", "pallas"),
@@ -87,11 +96,11 @@ def main():
                 c, s, K, mode="pericentric", box_size=100.0,
                 merge_impl=mi, compact_impl=ci,
             )
-            return jnp.sum(cnt), jnp.max(cnt), ids, angles
+            return _summarize(cnt, ids, angles)
 
         t_p, ev_p = timeit(jax.jit(run_pallas), init_sorted_carry(H, P),
-                           f"merge={mi} compact={ci}")
-        assert ev_g == ev_p, (ev_g, ev_p)
+                           snaps, f"merge={mi} compact={ci}")
+        assert ev_g[:2] == ev_p[:2] and abs(ev_g[2] - ev_p[2]) < 1.0, (ev_g, ev_p)
         print(f"  -> speedup vs general: {t_g / t_p:.3f}x")
 
     # staged ID-sorted rows: the cur-side sort leaves the step entirely
@@ -106,11 +115,11 @@ def main():
             c, s, K, mode="pericentric", box_size=100.0,
             merge_impl="pallas", compact_impl="pallas", cur_presorted=True,
         )
-        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+        return _summarize(cnt, ids, angles)
 
     t_ps, ev_ps = timeit(jax.jit(run_presorted), init_sorted_carry(H, P),
-                         "pallas kernels + presorted")
-    assert ev_g == ev_ps, (ev_g, ev_ps)
+                         snaps_sorted, "pallas kernels + presorted")
+    assert ev_g[:2] == ev_ps[:2] and abs(ev_g[2] - ev_ps[2]) < 1.0, (ev_g, ev_ps)
     print(f"  -> speedup vs general: {t_g / t_ps:.3f}x")
 
     def run_fused(c, s):
@@ -118,11 +127,11 @@ def main():
             c, s, K, mode="pericentric", box_size=100.0,
             fused=True, cur_presorted=True,
         )
-        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+        return _summarize(cnt, ids, angles)
 
     t_f, ev_f = timeit(jax.jit(run_fused), init_sorted_carry(H, P),
-                       "fused kernel + presorted")
-    assert ev_g == ev_f, (ev_g, ev_f)
+                       snaps_sorted, "fused kernel + presorted")
+    assert ev_g[:2] == ev_f[:2] and abs(ev_g[2] - ev_f[2]) < 1.0, (ev_g, ev_f)
     print(f"  -> speedup vs general: {t_g / t_f:.3f}x")
 
 

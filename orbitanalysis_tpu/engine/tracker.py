@@ -584,9 +584,13 @@ def track_orbits(
 
         t0 = time.time()
         # static-membership fast path: identical ID layout to the previous
-        # snapshot means the sort-merge join is unnecessary
-        static = prev_ids_host is not None and bool(
-            np.array_equal(packed.ids, prev_ids_host)
+        # snapshot means the sort-merge join is unnecessary (general
+        # engine only — the fused kernel has no static variant yet, so
+        # skip the host-side comparison there)
+        static = (
+            join_impl != "sorted"
+            and prev_ids_host is not None
+            and bool(np.array_equal(packed.ids, prev_ids_host))
         )
         if checkpoint and pending is not None:
             # the next dispatch donates the carry, so materialize the

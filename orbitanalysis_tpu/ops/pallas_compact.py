@@ -132,6 +132,11 @@ def _compact_call(n_a, n_b, len_a, len_b, interpret, *arrays):
         in_specs=ins,
         out_specs=tuple(outs),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # v5e has far more physical VMEM than the 16 MiB default
+            # scoped limit; whole merged rows live on-chip
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*arrays)
 
 

@@ -140,6 +140,11 @@ def _merge_call(n_payload, interpret, *arrays):
         in_specs=[spec_in] * (2 * nchan),
         out_specs=(spec_out,) * nchan,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # v5e has far more physical VMEM than the 16 MiB default
+            # scoped limit; whole merged rows live on-chip
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*arrays)
 
 

@@ -139,16 +139,23 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
         match_cur.astype(jnp.uint32) << 31
     )
     is_cur_i = is_cur.astype(jnp.int32)
-    if n2 <= 2 * 65535:
-        # both groups' rank counters fit 16 bits: one shared cumsum
+    if n2 // 2 <= 32768:
+        # both groups' rank counters fit 16 bits (each field peaks at
+        # P <= 32768 < 2^16): one shared cumsum.  Computed in uint32 so
+        # the high field reaching 32768 << 16 = 2^31 neither overflows
+        # signed addition nor sign-extends on the split shift.
         from orbitanalysis_tpu.ops.pallas_compact import (
             _cumsum_flat,
             _live_shifts,
         )
 
-        incl = _cumsum_flat(is_cur_i + (apsis_prev << 16))
-        g_a = _live_shifts(is_cur_i, incl & 0xFFFF)
-        g_b = _live_shifts(apsis_prev, incl >> 16)
+        packed_cnt = (
+            is_cur.astype(jnp.uint32)
+            + (apsis_prev.astype(jnp.uint32) << 16)
+        )
+        incl = _cumsum_flat(packed_cnt)
+        g_a = _live_shifts(is_cur_i, (incl & 0xFFFF).astype(jnp.int32))
+        g_b = _live_shifts(apsis_prev, (incl >> 16).astype(jnp.int32))
     else:
         g_a = g_b = None
 
@@ -201,6 +208,11 @@ def _fused_call(pericentric, invalid_id, k128, interpret, *arrays):
         in_specs=[spec_in] * 11,
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # v5e has far more physical VMEM than the 16 MiB default
+            # scoped limit; whole merged rows live on-chip
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*arrays)
 
 

@@ -156,6 +156,54 @@ def _shift_left(x, fill):
     return jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
 
 
+def _decode_packed_angles(packed):
+    """Split the compacted carry channel — the single bit-layout contract
+    shared by the fused kernel and the compaction path: f32 angle in
+    bits 0-30 (angles are non-negative, the sign bit is free), matched
+    flag in bit 31."""
+    match = (packed >> 31).astype(jnp.uint8)
+    ang = jax.lax.bitcast_convert_type(
+        packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+    )
+    return match, ang
+
+
+def _carry_from_channels(key_asc, sv_asc, rx, ry, rz, angles, match, id_dt):
+    """Assemble the next SortedCarry from ID-ascending channels (packed
+    key ``id << 1 | side``; sv = ``slot | vrb << 24``)."""
+    return SortedCarry(
+        ids=(key_asc >> 1).astype(id_dt),
+        slot=sv_asc & 0x00FFFFFF,
+        vrb=(sv_asc >> 24).astype(jnp.uint8) | (match << 2),
+        rhat=jnp.stack([rx, ry, rz]),
+        angles=angles,
+    )
+
+
+def _finish_events(count, ev_ids, ev_slot, ev_ang, K, invalid, id_dt,
+                   angle_dtype, id_order):
+    """Mask compacted event channels past each row's count, then either
+    keep ID order (slots alongside, host restores reference order) or
+    slot-sort on device.  Returns ``(ids, angles, slots_or_None)``."""
+    h, k128 = ev_ids.shape
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (h, k128), 1)
+    ev_ok = kiota < count[:, None]
+    ids_raw = jnp.where(ev_ok, ev_ids, jnp.asarray(invalid, id_dt))
+    ang_raw = jnp.where(ev_ok, ev_ang, jnp.asarray(0, angle_dtype))
+    if id_order:
+        return (
+            ids_raw[:, :K],
+            ang_raw[:, :K],
+            jnp.where(ev_ok, ev_slot, -1)[:, :K],
+        )
+    _, ids_o, ang_o = jax.lax.sort(
+        (jnp.where(ev_ok, ev_slot, jnp.int32(_DEAD_KEY)), ids_raw, ang_raw),
+        dimension=-1,
+        num_keys=1,
+    )
+    return ids_o[:, :K], ang_o[:, :K], None
+
+
 def make_sorted_orbit_step(
     event_capacity: int,
     mode: str = "pericentric",
@@ -299,48 +347,22 @@ def make_sorted_orbit_step(
                     asc = cur_asc
                 else:
                     asc = tuple(jnp.flip(x, axis=1) for x in cur_ops)
-                match_o = (packed >> 31).astype(jnp.uint8)
-                ang_o = jax.lax.bitcast_convert_type(
-                    packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+                match_o, ang_o = _decode_packed_angles(packed)
+                new_carry = _carry_from_channels(
+                    asc[0], asc[1], asc[2], asc[3], asc[4], ang_o,
+                    match_o, id_dt,
                 )
-                new_carry = SortedCarry(
-                    ids=(asc[0] >> 1).astype(id_dt),
-                    slot=asc[1] & 0x00FFFFFF,
-                    vrb=(asc[1] >> 24).astype(jnp.uint8) | (match_o << 2),
-                    rhat=jnp.stack([asc[2], asc[3], asc[4]]),
-                    angles=ang_o,
-                )
-                k128 = evk.shape[1]
-                kiota = jax.lax.broadcasted_iota(jnp.int32, (h, k128), 1)
-                ev_ok = kiota < count[:, None]
-                ids_raw = jnp.where(
-                    ev_ok, (evk >> 1).astype(id_dt), jnp.asarray(invalid, id_dt)
-                )
-                ang_raw = jnp.where(ev_ok, evang, 0.0)
-                if events_id_order:
-                    # skip the device slot-sort: the caller restores the
-                    # reference load order host-side from the slots
-                    return new_carry, CompactEvents(
-                        count=count,
-                        ids=ids_raw[:, :K],
-                        angles=ang_raw[:, :K],
-                        bulk_vel=frame.bulk_vel,
-                        slots=jnp.where(ev_ok, evsv & 0x00FFFFFF, -1)[:, :K],
-                    )
-                _, ev_ids, ev_angles = jax.lax.sort(
-                    (
-                        jnp.where(ev_ok, evsv & 0x00FFFFFF, jnp.int32(_DEAD_KEY)),
-                        ids_raw,
-                        ang_raw,
-                    ),
-                    dimension=-1,
-                    num_keys=1,
+                ev_ids, ev_angles, ev_slots = _finish_events(
+                    count, (evk >> 1).astype(id_dt), evsv & 0x00FFFFFF,
+                    evang, K, invalid, id_dt, angle_dtype,
+                    id_order=events_id_order,
                 )
                 return new_carry, CompactEvents(
                     count=count,
-                    ids=ev_ids[:, :K],
-                    angles=ev_angles[:, :K],
+                    ids=ev_ids,
+                    angles=ev_angles,
                     bulk_vel=frame.bulk_vel,
+                    slots=ev_slots,
                 )
             zeros_ang = jnp.zeros((h, p), angle_dtype)
             merged = merge_rows(
@@ -445,45 +467,24 @@ def make_sorted_orbit_step(
                 apsis_prev.astype(jnp.int32),
                 (ids_s, slot_s, ev_angle_prev), k128,
             )
-            pa = a_out[-1]
-            match_o = (pa >> 31).astype(jnp.uint8)
-            ang_o = jax.lax.bitcast_convert_type(
-                pa & jnp.uint32(0x7FFFFFFF), jnp.float32
-            )
+            match_o, ang_o = _decode_packed_angles(a_out[-1])
             if merge_impl == "pallas":
                 if cur_presorted:
                     asc = cur_asc
                 else:
                     asc = tuple(jnp.flip(x, axis=1) for x in cur_ops)
-                ids_c = (asc[0] >> 1).astype(id_dt)
-                sv_c = asc[1]
-                rhat_c = jnp.stack([asc[2], asc[3], asc[4]])
+                carry_chans = asc[:5]
             else:
-                ids_c = (a_out[0] >> 1).astype(id_dt)
-                sv_c = a_out[1]
-                rhat_c = jnp.stack([a_out[2], a_out[3], a_out[4]])
-            new_carry = SortedCarry(
-                ids=ids_c,
-                slot=sv_c & 0x00FFFFFF,
-                vrb=(sv_c >> 24).astype(jnp.uint8) | (match_o << 2),
-                rhat=rhat_c,
-                angles=ang_o,
+                carry_chans = a_out[:5]
+            new_carry = _carry_from_channels(
+                *carry_chans, ang_o, match_o, id_dt
             )
             # events arrive in merged (ID) order; a small [H, K] sort by
             # previous load slot restores the reference's output order
-            kiota = jax.lax.broadcasted_iota(jnp.int32, (h, k128), 1)
-            ev_ok = kiota < count[:, None]
-            _, ev_ids, ev_angles = jax.lax.sort(
-                (
-                    jnp.where(ev_ok, ev_slot, _DEAD_KEY),
-                    jnp.where(ev_ok, ev_id, jnp.asarray(invalid, id_dt)),
-                    jnp.where(ev_ok, ev_ang, jnp.asarray(0, angle_dtype)),
-                ),
-                dimension=-1,
-                num_keys=1,
+            ev_ids, ev_angles, _ = _finish_events(
+                count, ev_id, ev_slot, ev_ang, K, invalid, id_dt,
+                angle_dtype, id_order=False,
             )
-            ev_ids = ev_ids[:, :K]
-            ev_angles = ev_angles[:, :K]
         else:
             # ---- one sort: next carry to the front (stable keeps ID
             # order), events next (in prev load-slot order), dead last

@@ -92,3 +92,38 @@ def test_sort_descending_u32(rng):
     np.testing.assert_array_equal(
         vs, np.take_along_axis(np.asarray(v), order, axis=-1)
     )
+
+
+def test_fused_kernel_full_row_apsis_count():
+    """Regression: a row where EVERY particle is matched and flips v_r
+    drives the event-rank cumsum field to P << 16 = 2^31 at P=32768 —
+    the packed dual cumsum must not overflow/sign-extend (uint32)."""
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.ops.pallas_step import fused_join_detect
+
+    h, p = 1, 32768
+    ids = np.arange(p, dtype=np.uint32)
+    key_prev = (ids << 1).reshape(h, p)
+    slot = np.arange(p, dtype=np.int32).reshape(h, p)
+    ones = np.ones((h, p), np.float32)
+    zeros = np.zeros((h, p), np.float32)
+    sv_prev = slot | (np.int32(1) << 24)   # v_r < 0 previously
+    sv_cur = slot | (np.int32(2) << 24)    # v_r > 0 now -> pericenter
+    key_cur_desc = ((ids << 1) | 1)[::-1].reshape(h, p)
+    flip = lambda a: a[:, ::-1]
+
+    packed, evk, evsv, evang, count = fused_join_detect(
+        (jnp.asarray(key_prev), jnp.asarray(sv_prev), jnp.asarray(ones),
+         jnp.asarray(zeros), jnp.asarray(zeros), jnp.asarray(zeros)),
+        (jnp.asarray(key_cur_desc), jnp.asarray(flip(sv_cur)),
+         jnp.asarray(flip(ones)), jnp.asarray(flip(zeros)),
+         jnp.asarray(flip(zeros))),
+        pericentric=True, invalid_id=np.iinfo(np.int32).max,
+        event_capacity=p,
+    )
+    assert int(np.asarray(count)[0]) == p
+    got = np.sort(np.asarray(evk)[0] >> 1)
+    np.testing.assert_array_equal(got, ids)
+    # all matched: every packed carry entry has the match bit set
+    assert np.all(np.asarray(packed)[0] >> 31 == 1)
