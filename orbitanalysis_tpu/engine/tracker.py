@@ -120,11 +120,15 @@ class _DeviceEngine:
         self.invalid = invalid_id_for(id_dtype)
         self.sharding = sharding
         self.join = join
-        if join == "sorted" and sharding is not None:
+        if (
+            join == "sorted"
+            and sharding is not None
+            and "particles" in sharding.axis_names
+        ):
             raise ValueError(
-                "join_impl='sorted' does not support mesh sharding yet "
-                "(the Pallas kernels do not auto-partition); use "
-                "join_impl='general'"
+                "join_impl='sorted' shards the halo axis only (the fused "
+                "kernel needs whole particle rows in VMEM); use a mesh "
+                "without a 'particles' axis or join_impl='general'"
             )
         self._steps = {}
         init = init_sorted_carry if join == "sorted" else init_carry
@@ -145,8 +149,7 @@ class _DeviceEngine:
                 # fused Pallas kernel; event buffer sized to capacity so
                 # it can never overflow (hosts fetch count-bounded
                 # slices); events in ID order + load slots
-                raw = make_sorted_orbit_step(
-                    self.capacity,
+                kw = dict(
                     mode=self.mode,
                     box_size=self.box_size,
                     id_dtype=self.id_dtype,
@@ -155,6 +158,17 @@ class _DeviceEngine:
                     cur_presorted=True,
                     events_id_order=True,
                 )
+                if self.sharding is not None:
+                    # a pallas_call is opaque to jit's SPMD partitioner:
+                    # the mesh path is an explicit halo-axis shard_map
+                    from orbitanalysis_tpu.parallel.sorted_sharded import (
+                        make_sharded_sorted_step,
+                    )
+                    raw = make_sharded_sorted_step(
+                        self.sharding, self.capacity, **kw
+                    )
+                else:
+                    raw = make_sorted_orbit_step(self.capacity, **kw)
             else:
                 make = make_static_orbit_step if static else make_orbit_step
                 raw = make(
@@ -306,9 +320,10 @@ def track_orbits(
         Snapshot-join implementation.  ``'sorted'`` packs halo rows
         ID-sorted on the host and runs the fused Pallas
         merge+detect+compact kernel (~4x the general step on TPU;
-        savefile output is identical).  ``'auto'`` picks ``'sorted'`` on
-        TPU when its constraints hold (no mesh, 32-bit IDs, f32 angles),
-        else ``'general'``.
+        savefile output is identical).  With ``mesh`` the kernel runs
+        halo-sharded via ``shard_map`` (halo axis only).  ``'auto'``
+        picks ``'sorted'`` on TPU when its constraints hold (32-bit
+        IDs, f32 angles, no 'particles' mesh axis), else ``'general'``.
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -346,7 +361,7 @@ def track_orbits(
         join_impl = (
             "sorted"
             if (
-                mesh is None
+                (mesh is None or "particles" not in mesh.axis_names)
                 and jax.default_backend() == "tpu"
                 and idt.itemsize == 4
                 and np.issubdtype(idt, np.signedinteger)

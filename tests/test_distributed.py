@@ -144,6 +144,58 @@ def test_tracker_with_mesh(rng, tmp_path):
                     assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
+def test_tracker_with_mesh_sorted_join(rng, tmp_path):
+    """track_orbits(mesh=..., join_impl='sorted') — the halo-sharded
+    fused-kernel path — matches the unsharded general engine's savefile."""
+    import h5py
+
+    from orbitanalysis_tpu import track_orbits
+    from helpers import make_callbacks
+
+    box = 60.0
+    snaps, centers = churn_snapshots(4, 120, 6, box_size=box, seed=22)
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(6)
+    branches = np.tile(np.arange(4), (6, 1))
+
+    plain = str(tmp_path / "plain.h5")
+    track_orbits(snap_nums, branches, regions, loader, plain,
+                 join_impl="general", verbose=False)
+
+    mesh = make_mesh({"halos": 4})
+    sharded = str(tmp_path / "sharded.h5")
+    track_orbits(snap_nums, branches, regions, loader, sharded,
+                 mesh=mesh, join_impl="sorted", verbose=False)
+
+    with h5py.File(plain) as a, h5py.File(sharded) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                if ds == "angles":
+                    # fused kernel computes arccos with an in-kernel
+                    # polynomial; compare at f16-store resolution
+                    assert np.allclose(
+                        a[k][ds][:].astype(np.float32),
+                        b[k][ds][:].astype(np.float32),
+                        atol=2e-3,
+                    ), (k, ds)
+                else:
+                    assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_tracker_sorted_join_rejects_particle_axis(rng, tmp_path):
+    from orbitanalysis_tpu import track_orbits
+    from helpers import make_callbacks
+
+    snaps, centers = churn_snapshots(4, 60, 2, box_size=60.0, seed=23)
+    regions, loader = make_callbacks(snaps, centers, box_size=60.0)
+    mesh = make_mesh({"halos": 4, "particles": 2})
+    with pytest.raises(ValueError, match="halo axis only"):
+        track_orbits(np.arange(2), np.tile(np.arange(4), (2, 1)),
+                     regions, loader, str(tmp_path / "x.h5"),
+                     mesh=mesh, join_impl="sorted", verbose=False)
+
+
 def test_sharded_nbody_forces_and_sim(rng):
     """shard_map particle-axis forces == single device, free + periodic,
     and the fused integrator matches exactly in counts."""
