@@ -157,8 +157,13 @@ step_s = make_sorted_orbit_step(
 )
 
 
-def synth_batch2(params, t):
+def synth_batch2(params, k, churn):
+    """``churn`` > 0 slides the ID window by ``churn`` ids per step
+    (rows stay ascending; forces the general merge kernel); 0 keeps
+    membership fixed (routes to the aligned static kernel)."""
     ids, slot, r0, omega, phase0, phase_r0 = params
+    t = k.astype(jnp.float32) * dt
+    ids = ids + k * churn
     ph = phase0 + omega * t
     phr = phase_r0 + omega * t
     r = r0 * (1.0 + ecc * jnp.sin(phr))
@@ -180,36 +185,38 @@ params2 = (ids2, slot2, r0b.astype(jnp.float32), omegab.astype(jnp.float32),
            phase0b.astype(jnp.float32), phase_r0b.astype(jnp.float32))
 
 
-def run2(carry, params):
-    def body(c, k):
-        c, ev = step_s(c, synth_batch2(params, k.astype(jnp.float32) * dt))
-        return c, jnp.sum(ev.count)
+for label, churn in (("churn join", P2 // 16), ("static membership", 0)):
+    def run2(carry, params, churn=churn):
+        def body(c, k):
+            c, ev = step_s(c, synth_batch2(params, k, churn))
+            return c, jnp.sum(ev.count)
 
-    return jax.lax.scan(body, carry, jnp.arange(1, S + 1))
+        return jax.lax.scan(body, carry, jnp.arange(1, S + 1))
 
+    fn2 = jax.jit(run2)
+    carry2 = init_sorted_carry(H2, P2)
+    carry2, _ = jax.jit(
+        lambda c, pr: step_s(c, synth_batch2(pr, jnp.int32(0), churn))
+    )(carry2, params2)
 
-fn2 = jax.jit(run2)
-carry2 = init_sorted_carry(H2, P2)
-carry2, _ = jax.jit(
-    lambda c, pr: step_s(c, synth_batch2(pr, 0.0))
-)(carry2, params2)
-
-t0 = time.time()
-_, events2 = fn2(carry2, params2)
-tot2 = int(np.asarray(jnp.sum(events2)))
-print(f"compile+first scan: {time.time()-t0:.1f} s", flush=True)
-
-best2 = float("inf")
-for _ in range(3):
-    t0 = time.perf_counter()
+    t0 = time.time()
     _, events2 = fn2(carry2, params2)
     tot2 = int(np.asarray(jnp.sum(events2)))
-    best2 = min(best2, time.perf_counter() - t0)
+    print(f"[{label}] compile+first scan: {time.time()-t0:.1f} s",
+          flush=True)
 
-per_step2 = best2 / S
-print(
-    f"{N2/1e6:.0f}M-particle fused step: {per_step2*1000:.0f} ms "
-    f"({N2/per_step2/1e6:.0f}M updates/s/chip); "
-    f"1e8 particle-snapshots in {1e8/(N2/per_step2):.2f} s on ONE chip; "
-    f"{tot2} events/scan"
-)
+    best2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, events2 = fn2(carry2, params2)
+        tot2 = int(np.asarray(jnp.sum(events2)))
+        best2 = min(best2, time.perf_counter() - t0)
+
+    per_step2 = best2 / S
+    print(
+        f"{N2/1e6:.0f}M-particle fused step [{label}]: "
+        f"{per_step2*1000:.0f} ms "
+        f"({N2/per_step2/1e6:.0f}M updates/s/chip); "
+        f"1e8 particle-snapshots in {1e8/(N2/per_step2):.2f} s on ONE "
+        f"chip; {tot2} events/scan"
+    )

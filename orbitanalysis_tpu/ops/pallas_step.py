@@ -171,6 +171,135 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     out_evang[0] = evang[:rows_k]
 
 
+def _static_kernel(pericentric, invalid_id, n, *refs):
+    """Static-membership fast path: carry ids == staged cur ids, so the
+    matched pairs are *aligned* — no merge, no carry compaction.  Only
+    the sparse event extraction still runs the log-shift compaction.
+
+    The realistic production regime (region membership changes by a few
+    percent per snapshot, and not at all between detector invocations of
+    the native integrator) makes this the common case; the reference pays
+    its full ``myin1d`` join on every snapshot regardless
+    (``/root/reference/orbitanalysis/track_orbits.py:293-327``).
+    """
+    (pk, psv, prx, pry, prz, pang,
+     ck, csv, crx, cry, crz,
+     out_packed, out_evk, out_evsv, out_evang, out_count) = refs
+
+    ids = ck[0] >> 1
+    valid = ids != jnp.uint32(invalid_id)
+    vrb_p = (psv[0] >> 24).astype(jnp.int32)
+    vrb_c = (csv[0] >> 24).astype(jnp.int32)
+
+    cosang = jnp.clip(
+        prx[0] * crx[0] + pry[0] * cry[0] + prz[0] * crz[0], -1.0, 1.0
+    )
+    dtheta = jnp.where(valid, _acos_f32(cosang), 0.0)
+    if pericentric:
+        flip = ((vrb_p & 1) > 0) & ((vrb_c & 2) > 0)
+    else:
+        flip = ((vrb_p & 2) > 0) & ((vrb_c & 1) > 0)
+    apsis = valid & flip
+    angle_acc = pang[0] + dtheta
+    apsis_angle = jnp.where(apsis, angle_acc, 0.0)
+    angle_new = jnp.where(apsis | ~valid, 0.0, angle_acc)
+
+    out_packed[0] = pltpu.bitcast(angle_new, jnp.uint32) | (
+        valid.astype(jnp.uint32) << 31
+    )
+    apsis_i = apsis.astype(jnp.int32)
+    out_count[0] = jnp.full((8, _LANES), jnp.sum(apsis_i), jnp.int32)
+
+    evk, evsv, evang = _compact_group(
+        apsis_i, [ck[0], psv[0], apsis_angle], n
+    )
+    rows_k = out_evk.shape[1]
+    out_evk[0] = evk[:rows_k]
+    out_evsv[0] = evsv[:rows_k]
+    out_evang[0] = evang[:rows_k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pericentric", "invalid_id", "k128", "interpret"),
+)
+def _static_call(pericentric, invalid_id, k128, interpret, *arrays):
+    h, r, _ = arrays[0].shape
+    n = r * _LANES
+    spec_in = pl.BlockSpec(
+        (1, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    kr = k128 // _LANES
+    out_shapes = (
+        jax.ShapeDtypeStruct((h, r, _LANES), jnp.uint32),    # packed
+        jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),   # ev key
+        jax.ShapeDtypeStruct((h, kr, _LANES), jnp.int32),    # ev sv
+        jax.ShapeDtypeStruct((h, kr, _LANES), jnp.float32),  # ev angle
+        jax.ShapeDtypeStruct((h, 8, _LANES), jnp.int32),     # count tile
+    )
+    out_specs = (
+        pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_static_kernel, pericentric, invalid_id, n),
+        grid=(h,),
+        out_shape=out_shapes,
+        in_specs=[spec_in] * 11,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*arrays)
+
+
+def fused_static_detect(
+    prev_ops,     # (key_u32 asc, sv, rx, ry, rz, angles) each [H, P]
+    cur_asc_ops,  # (key_u32 ASC, sv, rx, ry, rz) each [H, P]
+    pericentric: bool,
+    invalid_id: int,
+    event_capacity: int,
+):
+    """Aligned (static-membership) detection + event compaction.
+
+    Preconditions: ``prev_ops[0] >> 1 == cur_asc_ops[0] >> 1`` row-wise
+    (same particle IDs in the same sorted order).  Same output contract
+    as :func:`fused_join_detect` — ``packed`` aligned to the ascending
+    cur order, compacted events in ID order, exact counts.
+    """
+    h, p = prev_ops[0].shape
+    if p % _LANES or (p & (p - 1)):
+        raise ValueError(
+            f"row length must be a power of two >= {_LANES}; got {p}"
+        )
+    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, p)
+    r = p // _LANES
+    arrays = tuple(
+        a.reshape(h, r, _LANES)
+        for a in tuple(prev_ops) + tuple(cur_asc_ops)
+    )
+    interpret = jax.default_backend() != "tpu"
+    packed, evk, evsv, evang, count = _static_call(
+        pericentric, int(invalid_id), k128, interpret, *arrays
+    )
+    return (
+        packed.reshape(h, p),
+        evk.reshape(h, k128),
+        evsv.reshape(h, k128),
+        evang.reshape(h, k128),
+        count[:, 0, 0],
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pericentric", "invalid_id", "k128", "interpret"),

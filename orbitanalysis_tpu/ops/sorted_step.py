@@ -329,23 +329,49 @@ def make_sorted_orbit_step(
             cur_asc = (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
                        frame.rhat[2])
             if cur_presorted:
-                cur_ops = tuple(jnp.flip(x, axis=1) for x in cur_asc)
+                cur_ops = None if fused else tuple(
+                    jnp.flip(x, axis=1) for x in cur_asc
+                )
             else:
                 cur_ops = sort_descending_u32(*cur_asc)
 
             if fused:
                 from orbitanalysis_tpu.ops.pallas_step import (
                     fused_join_detect,
+                    fused_static_detect,
                 )
 
-                packed, evk, evsv, evang, count = fused_join_detect(
-                    (prev_key, prev_sv, carry.rhat[0], carry.rhat[1],
-                     carry.rhat[2], carry.angles),
-                    cur_ops, pericentric, invalid, K,
-                )
+                prev_ops6 = (prev_key, prev_sv, carry.rhat[0],
+                             carry.rhat[1], carry.rhat[2], carry.angles)
+                k_eff = min(K, p)  # events <= P; keeps branch widths equal
                 if cur_presorted:
+                    # static-membership fast path: identical ID layout to
+                    # the carry means matched pairs are already aligned —
+                    # skip the merge and the carry compaction entirely
+                    # (the integrator/scan regime, and slow-churn offline
+                    # tracking).  The flip staging only runs in the
+                    # general branch.
+                    static_ok = jnp.all((prev_key | 1) == cur_key)
+
+                    def _static(po, ca):
+                        return fused_static_detect(
+                            po, ca, pericentric, invalid, k_eff
+                        )
+
+                    def _general(po, ca):
+                        co = tuple(jnp.flip(x, axis=1) for x in ca)
+                        return fused_join_detect(
+                            po, co, pericentric, invalid, k_eff
+                        )
+
+                    packed, evk, evsv, evang, count = jax.lax.cond(
+                        static_ok, _static, _general, prev_ops6, cur_asc
+                    )
                     asc = cur_asc
                 else:
+                    packed, evk, evsv, evang, count = fused_join_detect(
+                        prev_ops6, cur_ops, pericentric, invalid, k_eff,
+                    )
                     asc = tuple(jnp.flip(x, axis=1) for x in cur_ops)
                 match_o, ang_o = _decode_packed_angles(packed)
                 new_carry = _carry_from_channels(

@@ -179,6 +179,12 @@ def test_tracker_with_mesh_sorted_join(rng, tmp_path):
                         b[k][ds][:].astype(np.float32),
                         atol=2e-3,
                     ), (k, ds)
+                elif ds == "bulk_velocities":
+                    # ID-sorted staging sums the masked mean in a
+                    # different order: last-ulp f32 differences
+                    assert np.allclose(
+                        a[k][ds][:], b[k][ds][:], atol=1e-5
+                    ), (k, ds)
                 else:
                     assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 

@@ -209,6 +209,80 @@ def test_sorted_step_fuzz(seed):
     _run_pair(snaps, n_halos, cap, box, mode, K=cap)
 
 
+def test_sorted_step_static_membership_fast_path():
+    """Fixed membership (ids identical step-to-step) routes through the
+    aligned static kernel under fused+presorted — events and carry must
+    match the general step exactly.  A churn snapshot mid-sequence must
+    switch back to the general join and stay correct."""
+    from orbitanalysis_tpu.ops.sorted_step import presort_snapshot
+
+    rng = np.random.default_rng(77)
+    n_halos, n_part, n_snap = 3, 140, 7
+    box = 60.0
+    cap = round_up(n_part)
+    K = cap
+    centers = rng.uniform(0, box, size=(n_halos, 3))
+    pools = [np.arange(h * 10**6, h * 10**6 + n_part) for h in range(n_halos)]
+
+    snaps = []
+    for s in range(n_snap):
+        snap = {}
+        for h in range(n_halos):
+            if s == 4:  # membership churn only at snapshot 4
+                member = rng.random(n_part) < 0.7
+            else:
+                member = np.ones(n_part, bool)
+            ids_h = pools[h][member]
+            order = rng.permutation(len(ids_h))  # shuffled load order
+            snap[h] = dict(
+                ids=ids_h[order],
+                pos=np.mod(
+                    centers[h]
+                    + rng.normal(scale=3.0, size=(len(ids_h), 3)),
+                    box,
+                )[order],
+                vel=rng.normal(size=(len(ids_h), 3)),
+                mass=rng.uniform(0.5, 2.0, len(ids_h)),
+                center=centers[h],
+            )
+        snaps.append(snap)
+
+    step_g = jax.jit(
+        make_orbit_step(mode="pericentric", box_size=box, event_capacity=K)
+    )
+    step_s = jax.jit(
+        make_sorted_orbit_step(K, mode="pericentric", box_size=box,
+                               fused=True, cur_presorted=True)
+    )
+    carry_g = init_carry(n_halos, cap)
+    carry_s = init_sorted_carry(n_halos, cap)
+    for s, snap in enumerate(snaps):
+        ids, pos, vel, mass, center = _pack(snap, n_halos, cap)
+        batch = SnapshotBatch(
+            ids=ids, pos=pos, vel=vel, center=center, mass=mass,
+            bulk_vel=None, hubble_drag=0.0,
+        )
+        carry_g, ev_g = step_g(carry_g, batch)
+        carry_s, ev_s = step_s(carry_s, presort_snapshot(batch))
+        got = _ev_triplets(ev_s.count, ev_s.ids, ev_s.angles)
+        exp = _ev_triplets(ev_g.ev_count, ev_g.ev_ids, ev_g.ev_angles)
+        for h, ((cg, ig, ag), (cs, is_, as_)) in enumerate(zip(exp, got)):
+            assert cg == cs, (s, h)
+            assert ig == is_, (s, h)
+            assert np.allclose(ag, as_, atol=1e-4), (s, h)
+        # carry parity
+        cs_ids = np.asarray(carry_s.ids)
+        cg_ids = np.asarray(carry_g.ids)
+        for h in range(n_halos):
+            order_g = np.argsort(cg_ids[h], kind="stable")
+            np.testing.assert_array_equal(cs_ids[h], cg_ids[h][order_g])
+            np.testing.assert_allclose(
+                np.asarray(carry_s.angles)[h],
+                np.asarray(carry_g.angles)[h][order_g],
+                atol=1e-4,
+            )
+
+
 def test_sorted_step_scan_compatible():
     """The sorted step must run under lax.scan with stacked snapshots."""
     from orbitanalysis_tpu.engine.scan import _with_drag_axis, stack_batches
