@@ -168,7 +168,7 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     # slots riding a slot channel — event output order is unchanged.
     # The per-step device join is then a VMEM-resident bitonic merge +
     # log-shift compaction (Pallas), no full sorting network anywhere.
-    snaps = jax.tree.map(jnp.asarray, presort_snapshot(snaps))
+    snaps = jax.tree.map(jnp.asarray, presort_snapshot(snaps, soa=True))
     carry0 = init_sorted_carry(n_halos, capacity)
 
     # On-device event compaction: the scan emits [S, H, K] event lists
@@ -184,7 +184,7 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     def run(c, s):
         carry, (cnt, ids, angles) = scan_events_sorted(
             c, s, K, mode="pericentric", box_size=box,
-            fused=True, cur_presorted=True,
+            fused=True, cur_presorted=True, soa_batch=True,
         )
         return jnp.sum(cnt), jnp.max(cnt), ids, angles
 

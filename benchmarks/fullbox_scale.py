@@ -29,6 +29,9 @@ from orbitanalysis_tpu.ops.apsis import SnapshotBatch, init_carry, make_orbit_st
 from orbitanalysis_tpu.utils.padding import invalid_id_for
 
 target_m = float(sys.argv[1]) if len(sys.argv) > 1 else 67.0
+ONLY_FUSED = os.environ.get("ONLY_FUSED", "") == "1"  # skip the general
+#   section (its merge-sort buffers cap out near 67M; the fused path
+#   fits more particles per chip)
 H = 256
 P = int(target_m * 1e6 / H) // 1024 * 1024
 N = H * P
@@ -92,31 +95,32 @@ def run(carry, params):
     return jax.lax.scan(body, carry, jnp.arange(1, S + 1))
 
 
-fn = jax.jit(run)
-carry0 = init_carry(H, P)
-carry0, _ = jax.jit(
-    lambda c, pr: step(c, synth_batch(pr, 0.0))
-)(carry0, params)  # seed
+if not ONLY_FUSED:
+    fn = jax.jit(run)
+    carry0 = init_carry(H, P)
+    carry0, _ = jax.jit(
+        lambda c, pr: step(c, synth_batch(pr, 0.0))
+    )(carry0, params)  # seed
 
-t0 = time.time()
-carry, events = fn(carry0, params)
-total0 = int(np.asarray(jnp.sum(events)))
-print(f"compile+first scan: {time.time()-t0:.1f} s", flush=True)
-
-best = float("inf")
-for _ in range(3):
-    t0 = time.perf_counter()
+    t0 = time.time()
     carry, events = fn(carry0, params)
-    tot = int(np.asarray(jnp.sum(events)))
-    best = min(best, time.perf_counter() - t0)
+    total0 = int(np.asarray(jnp.sum(events)))
+    print(f"compile+first scan: {time.time()-t0:.1f} s", flush=True)
 
-per_step = best / S
-print(
-    f"{N/1e6:.0f}M-particle step: {per_step*1000:.0f} ms "
-    f"({N/per_step/1e6:.0f}M updates/s/chip); "
-    f"1e8 particle-snapshots in {1e8/(N/per_step):.2f} s on ONE chip "
-    f"(north-star budget: 60 s on 8 chips); {tot} events/scan"
-)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, events = fn(carry0, params)
+        tot = int(np.asarray(jnp.sum(events)))
+        best = min(best, time.perf_counter() - t0)
+
+    per_step = best / S
+    print(
+        f"{N/1e6:.0f}M-particle step: {per_step*1000:.0f} ms "
+        f"({N/per_step/1e6:.0f}M updates/s/chip); "
+        f"1e8 particle-snapshots in {1e8/(N/per_step):.2f} s on ONE chip "
+        f"(north-star budget: 60 s on 8 chips); {tot} events/scan"
+    )
 
 
 # ----------------------------------------------------------------------

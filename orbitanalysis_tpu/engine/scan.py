@@ -111,6 +111,7 @@ def scan_events_sorted(
     compact_impl: str = "lax_sort",
     cur_presorted: bool = False,
     fused: bool = False,
+    soa_batch: bool = False,
 ):
     """Sorted-carry variant of :func:`scan_events_compact` — identical
     compact event stream, one fewer sort per step; with
@@ -119,7 +120,9 @@ def scan_events_sorted(
     extraction becomes a log-shift compaction kernel.  With snapshots
     staged ID-sorted (``ops.sorted_step.presort_snapshot``), pass
     ``cur_presorted=True`` and the per-step cur-side sort disappears
-    too.  ``carry`` is a
+    too; staged SoA (``presort_snapshot(..., soa=True)``), pass
+    ``soa_batch=True`` and the per-step AoS transpose disappears as
+    well.  ``carry`` is a
     :class:`orbitanalysis_tpu.ops.sorted_step.SortedCarry`.
     """
     from orbitanalysis_tpu.ops.sorted_step import make_sorted_orbit_step
@@ -127,7 +130,7 @@ def scan_events_sorted(
     step = make_sorted_orbit_step(
         event_capacity, mode=mode, box_size=box_size, id_dtype=id_dtype,
         merge_impl=merge_impl, compact_impl=compact_impl,
-        cur_presorted=cur_presorted, fused=fused,
+        cur_presorted=cur_presorted, fused=fused, soa_batch=soa_batch,
     )
 
     def body(c, s):

@@ -42,14 +42,15 @@ class RegionFrame(NamedTuple):
 
 
 def region_frame(
-    pos: jnp.ndarray,            # [H, P, 3]
-    vel: jnp.ndarray,            # [H, P, 3]
+    pos: jnp.ndarray,            # [H, P, 3] (or [3, H, P] with soa=True)
+    vel: jnp.ndarray,            # [H, P, 3] (or [3, H, P] with soa=True)
     valid: jnp.ndarray,          # [H, P] bool
     center: jnp.ndarray,         # [H, 3]
     mass: Optional[jnp.ndarray] = None,      # [H, P] or None (equal-mass)
     bulk_vel: Optional[jnp.ndarray] = None,  # [H, 3] catalog bulk velocities
     box_size=None,               # scalar / (3,) / None (non-periodic)
     hubble_drag: float = 0.0,    # H(z)/(1+z); 0 disables the Hubble term
+    soa: bool = False,           # inputs already [3, H, P] (staged SoA)
 ) -> RegionFrame:
     """Transform particles into halo rest frames and compute v_r.
 
@@ -70,8 +71,13 @@ def region_frame(
     the division so a particle exactly at the center yields 0 instead of NaN.
     """
     w = valid.astype(pos.dtype)
-    pos3 = jnp.moveaxis(pos, -1, 0)    # [3, H, P]
-    vel3 = jnp.moveaxis(vel, -1, 0)
+    if soa:
+        # staged structure-of-arrays layout: the AoS->SoA transpose
+        # happened once at staging time instead of once per step
+        pos3, vel3 = pos, vel
+    else:
+        pos3 = jnp.moveaxis(pos, -1, 0)    # [3, H, P]
+        vel3 = jnp.moveaxis(vel, -1, 0)
     rel = pos3 - center.T[:, :, None]
     if box_size is not None:
         rel = periodic_displacement(rel, box_size)

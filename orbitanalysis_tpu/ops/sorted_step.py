@@ -110,7 +110,7 @@ def init_sorted_carry(
     )
 
 
-def presort_snapshot(batch):
+def presort_snapshot(batch, soa: bool = False):
     """Stage a :class:`SnapshotBatch` in ID-sorted row layout (host-side).
 
     Sorts each halo row ascending by particle ID (padding sentinels
@@ -120,6 +120,12 @@ def presort_snapshot(batch):
     batches; runs in NumPy at staging time (the point is to move the
     per-snapshot sort out of the device step and into the host
     pipeline, which overlaps with device compute in the tracker).
+
+    ``soa=True`` additionally stages ``pos``/``vel`` in structure-of-
+    arrays ``[3, H, P]`` (stacked: ``[S, 3, H, P]``) layout for
+    ``make_sorted_orbit_step(..., soa_batch=True)`` — the AoS->SoA
+    transpose the step would otherwise pay per snapshot happens once
+    here instead.
     """
     import numpy as np
 
@@ -130,7 +136,10 @@ def presort_snapshot(batch):
         return np.take_along_axis(np.asarray(x), order, axis=-1)
 
     def take3(x):
-        return np.take_along_axis(np.asarray(x), order[..., None], axis=-2)
+        out = np.take_along_axis(np.asarray(x), order[..., None], axis=-2)
+        if soa:
+            out = np.moveaxis(out, -1, out.ndim - 3)
+        return out
 
     slot = order if batch.slot is None else take(batch.slot)
     return batch._replace(
@@ -215,6 +224,7 @@ def make_sorted_orbit_step(
     cur_presorted: bool = False,
     fused: bool = False,
     events_id_order: bool = False,
+    soa_batch: bool = False,
 ):
     """Build the sorted-carry per-snapshot step.
 
@@ -299,6 +309,7 @@ def make_sorted_orbit_step(
             bulk_vel=snap.bulk_vel,
             box_size=box_size,
             hubble_drag=snap.hubble_drag,
+            soa=soa_batch,
         )
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)

@@ -121,6 +121,45 @@ def test_sorted_step_fused_kernel(mode):
     _run_pair(snaps, n_halos, cap, box, mode, K=cap, fused=True)
 
 
+def test_sorted_step_soa_staging_matches_aos():
+    """SoA-staged batches (presort_snapshot(soa=True) + soa_batch=True)
+    give identical events and carry to AoS staging."""
+    from orbitanalysis_tpu.ops.sorted_step import presort_snapshot
+
+    n_halos, n_part, n_snap = 3, 140, 6
+    box = 60.0
+    snaps, _ = churn_snapshots(n_halos, n_part, n_snap, box_size=box,
+                               seed=13)
+    cap = round_up(n_part)
+    K = cap
+    step_a = jax.jit(make_sorted_orbit_step(
+        K, mode="pericentric", box_size=box, fused=True,
+        cur_presorted=True))
+    step_s = jax.jit(make_sorted_orbit_step(
+        K, mode="pericentric", box_size=box, fused=True,
+        cur_presorted=True, soa_batch=True))
+    carry_a = init_sorted_carry(n_halos, cap)
+    carry_b = init_sorted_carry(n_halos, cap)
+    for snap in snaps:
+        ids, pos, vel, mass, center = _pack(snap, n_halos, cap)
+        batch = SnapshotBatch(
+            ids=ids, pos=pos, vel=vel, center=center, mass=mass,
+            bulk_vel=None, hubble_drag=0.0,
+        )
+        carry_a, ev_a = step_a(carry_a, presort_snapshot(batch))
+        staged = presort_snapshot(batch, soa=True)
+        assert staged.pos.shape == (3, n_halos, cap)
+        carry_b, ev_b = step_s(carry_b, staged)
+        np.testing.assert_array_equal(
+            np.asarray(ev_a.count), np.asarray(ev_b.count))
+        np.testing.assert_array_equal(
+            np.asarray(ev_a.ids), np.asarray(ev_b.ids))
+        np.testing.assert_allclose(
+            np.asarray(ev_a.angles), np.asarray(ev_b.angles), atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(carry_a.ids), np.asarray(carry_b.ids))
+
+
 @pytest.mark.parametrize("merge_impl,compact_impl", [
     ("pallas", "pallas"),
     ("lax_sort", "lax_sort"),
