@@ -66,12 +66,20 @@ class RegionExtractor:
         flat = (
             cell_idx[:, 0] * self.dims[1] + cell_idx[:, 1]
         ) * self.dims[2] + cell_idx[:, 2]
-        self.order = np.argsort(flat, kind="stable")
-        flat_sorted = flat[self.order]
         n_flat = int(np.prod(self.dims))
-        self.cell_starts = np.searchsorted(
-            flat_sorted, np.arange(n_flat + 1)
-        )
+        native_sorted = None
+        if len(flat) >= 1 << 18:  # native pays off past ~256k particles
+            from orbitanalysis_tpu import native
+
+            if native.ensure() is not None:
+                native_sorted = native.grid_count_sort_native(flat, n_flat)
+        if native_sorted is not None:
+            self.cell_starts, self.order = native_sorted
+        else:
+            self.order = np.argsort(flat, kind="stable")
+            self.cell_starts = np.searchsorted(
+                flat[self.order], np.arange(n_flat + 1)
+            )
 
     def _cell_of(self, pos):
         c = np.floor((pos - self.lo) / self.cell).astype(np.int64)

@@ -65,6 +65,11 @@ def load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ]
             lib.fill_i32.restype = None
+            lib.grid_count_sort.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.grid_count_sort.restype = None
             _lib = lib
     return _lib
 
@@ -134,3 +139,20 @@ def pack_ragged_native(
         elem_bytes,
     )
     return out
+
+
+def grid_count_sort_native(flat: np.ndarray, n_cells: int):
+    """Stable counting sort of cell keys: ``(cell_starts, order)`` like
+    ``np.searchsorted(sorted, arange)`` + ``np.argsort(kind='stable')``
+    — or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    starts = np.empty(n_cells + 1, dtype=np.int64)
+    order = np.empty(len(flat), dtype=np.int64)
+    lib.grid_count_sort(
+        flat.ctypes.data, len(flat), int(n_cells),
+        starts.ctypes.data, order.ctypes.data,
+    )
+    return starts, order

@@ -13,6 +13,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
+
+#include <omp.h>
 
 extern "C" {
 
@@ -45,6 +48,45 @@ void pack_ragged_bytes(
 void fill_i32(int32_t* out, int64_t n, int32_t fill) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) out[i] = fill;
+}
+
+// Stable parallel counting sort of grid-cell keys — the O(N log N)
+// single-threaded np.argsort in the region extractor's snapshot index
+// (engine/regions.py) becomes O(N) multi-threaded.  keys[i] in
+// [0, n_cells); outputs starts[n_cells+1] (CSR cell boundaries) and
+// order[n] (particle indices grouped by cell, original order within a
+// cell — matching np.argsort(kind="stable")).
+void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
+                     int64_t* starts, int64_t* order) {
+  const int nt = omp_get_max_threads();
+  std::vector<std::vector<int64_t>> hist(nt);
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    hist[t].assign(n_cells, 0);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) ++hist[t][keys[i]];
+  }
+  // exclusive scan: cell-major, thread-minor — with schedule(static)
+  // both passes see identical contiguous index ranges per thread, so
+  // per-cell output runs are ordered by (thread, index) = stable
+  int64_t run = 0;
+  for (int64_t c = 0; c < n_cells; ++c) {
+    starts[c] = run;
+    for (int t = 0; t < nt; ++t) {
+      const int64_t h = hist[t][c];
+      hist[t][c] = run;
+      run += h;
+    }
+  }
+  starts[n_cells] = run;
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    auto& off = hist[t];
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) order[off[keys[i]]++] = i;
+  }
 }
 
 }  // extern "C"

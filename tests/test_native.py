@@ -52,3 +52,47 @@ def test_padding_dispatches_to_native_above_threshold(lib, rng):
     assert np.array_equal(out[0, : n // 2], values[: n // 2])
     assert np.array_equal(out[1, : n // 2], values[n // 2:])
     assert np.all(out[:, n // 2:] == 0)
+
+
+def test_grid_count_sort_matches_numpy(rng):
+    from orbitanalysis_tpu import native
+
+    if native.ensure() is None:
+        import pytest
+        pytest.skip("no compiler")
+    flat = rng.integers(0, 777, 50000)
+    out = native.grid_count_sort_native(flat, 777)
+    assert out is not None
+    starts, order = out
+    exp_order = np.argsort(flat, kind="stable")
+    np.testing.assert_array_equal(order, exp_order)
+    np.testing.assert_array_equal(
+        starts, np.searchsorted(flat[exp_order], np.arange(778))
+    )
+
+
+def test_region_extractor_native_index(rng):
+    """RegionExtractor over the native-sort threshold must agree with a
+    small (numpy-path) extractor on the same data."""
+    from orbitanalysis_tpu import native
+    from orbitanalysis_tpu.engine.regions import RegionExtractor
+
+    if native.ensure() is None:
+        import pytest
+        pytest.skip("no compiler")
+    n = (1 << 18) + 17
+    box = 100.0
+    ids = np.arange(n, dtype=np.int64)
+    pos = rng.uniform(0, box, size=(n, 3))
+    vel = rng.normal(size=(n, 3))
+    ex = RegionExtractor(ids, pos, vel, box_size=box)
+    centers = rng.uniform(0, box, size=(3, 3))
+    radii = np.full(3, 7.0)
+    got = ex.extract(centers, radii)
+    # oracle: brute force per region
+    offs = np.concatenate((got["region_offsets"], [len(got["ids"])]))
+    for j, (c, r) in enumerate(zip(centers, radii)):
+        d = pos - c
+        d -= box * np.round(d / box)
+        exp = set(ids[(d * d).sum(1) < r * r].tolist())
+        assert set(got["ids"][offs[j]:offs[j + 1]].tolist()) == exp
