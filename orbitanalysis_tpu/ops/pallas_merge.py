@@ -80,6 +80,55 @@ def _cmpx_blocks(chans, kr, rows, lanes):
     return out
 
 
+def _cmpx_blocks_rec(chans, bits, j, kr, rows, lanes):
+    """:func:`_cmpx_blocks` + record the swap decision as bit ``j`` of
+    the positional ``bits`` plane (written at both pair positions).
+
+    The bits plane is *positional* — it is never permuted by the merge —
+    so the recorded network can later be replayed in reverse to route
+    per-element results back to their source positions
+    (:func:`_uncmpx_blocks`), replacing a full log-shift compaction."""
+    m = rows // (2 * kr)
+    views = [c.reshape(m, 2, kr, lanes) for c in chans]
+    a = [v[:, 0] for v in views]
+    b = [v[:, 1] for v in views]
+    cond = a[0] <= b[0]
+    sw = jnp.where(cond, jnp.uint32(0), jnp.uint32(1) << j)
+    bits = bits | jnp.concatenate(
+        [sw[:, None], sw[:, None]], axis=1
+    ).reshape(rows, lanes)
+    out = []
+    for av, bv in zip(a, b):
+        lo = jnp.where(cond, av, bv)
+        hi = jnp.where(cond, bv, av)
+        out.append(
+            jnp.concatenate(
+                [lo[:, None], hi[:, None]], axis=1
+            ).reshape(rows, lanes)
+        )
+    return out, bits
+
+
+def _uncmpx_blocks(chans, bits, j, kr, rows, lanes):
+    """Invert one recorded compare-exchange stage: swap back the pairs
+    whose bit ``j`` is set."""
+    m = rows // (2 * kr)
+    bview = bits.reshape(m, 2, kr, lanes)
+    swapped = ((bview[:, 0] >> j) & 1) == 1
+    out = []
+    for c in chans:
+        v = c.reshape(m, 2, kr, lanes)
+        a, b = v[:, 0], v[:, 1]
+        na = jnp.where(swapped, b, a)
+        nb = jnp.where(swapped, a, b)
+        out.append(
+            jnp.concatenate(
+                [na[:, None], nb[:, None]], axis=1
+            ).reshape(rows, lanes)
+        )
+    return out
+
+
 def _merge_kernel(n_payload, n2, *refs):
     """One halo row: bitonic-merge prev (asc) + cur (desc) halves.
 

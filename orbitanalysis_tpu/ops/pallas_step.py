@@ -31,7 +31,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from orbitanalysis_tpu.ops.pallas_merge import _LANES, _cmpx_blocks, _roll_flat
+from orbitanalysis_tpu.ops.pallas_merge import (
+    _LANES,
+    _cmpx_blocks_rec,
+    _roll_flat,
+    _uncmpx_blocks,
+)
 from orbitanalysis_tpu.ops.pallas_compact import _compact_group
 
 
@@ -66,8 +71,11 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
      out_packed, out_evk, out_evsv, out_evang, out_count) = refs
 
     rows2 = n2 // _LANES
+    rows_p = rows2 // 2
 
-    # ---- merge (prev asc + cur desc halves are bitonic) ----
+    # ---- merge (prev asc + cur desc halves are bitonic), recording
+    # each stage's swap decisions in a positional bit plane so the
+    # network can be replayed in reverse afterwards ----
     chans = [
         jnp.concatenate([pk[0], ck[0]], axis=0),
         jnp.concatenate([psv[0], csv[0]], axis=0),
@@ -76,16 +84,29 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
         jnp.concatenate([prz[0], crz[0]], axis=0),
         jnp.concatenate([pang[0], jnp.zeros_like(pang[0])], axis=0),
     ]
+    bits = jnp.zeros((rows2, _LANES), jnp.uint32)
+    j = 0
     k = n2 // 2
     while k >= _LANES:
-        chans = _cmpx_blocks(chans, k // _LANES, rows2, _LANES)
+        chans, bits = _cmpx_blocks_rec(
+            chans, bits, j, k // _LANES, rows2, _LANES
+        )
+        j += 1
         k //= 2
+    n_lane_stages = 0
     if k >= 1:
         chans = [c.T for c in chans]
+        bits_t = bits.T
         while k >= 1:
-            chans = _cmpx_blocks(chans, k, _LANES, rows2)
+            chans, bits_t = _cmpx_blocks_rec(
+                chans, bits_t, j, k, _LANES, rows2
+            )
+            j += 1
             k //= 2
+            n_lane_stages += 1
         chans = [c.T for c in chans]
+        bits = bits_t.T
+    total_stages = j
     key, sv, rx, ry, rz, ang = chans
 
     # ---- detection in the merged domain ----
@@ -134,36 +155,49 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     ) == (n2 - 1)
     apsis_prev = jnp.where(last, 0, apsis_prev)
 
-    # ---- compactions ----
+    # ---- route results back to source positions via the recorded
+    # network, on ONE combined channel (the two sides are disjoint:
+    # cur entries carry the packed next-carry angle, prev entries carry
+    # the routed apsis angle with the event flag in bit 31).  This
+    # replaces the former 2P-domain carry compaction (and its cumsum)
+    # with log2(2P) single-channel swap-back stages. ----
     packed = pltpu.bitcast(angle_new, jnp.uint32) | (
         match_cur.astype(jnp.uint32) << 31
     )
-    is_cur_i = is_cur.astype(jnp.int32)
-    if n2 // 2 <= 32768:
-        # both groups' rank counters fit 16 bits (each field peaks at
-        # P <= 32768 < 2^16): one shared cumsum.  Computed in uint32 so
-        # the high field reaching 32768 << 16 = 2^31 neither overflows
-        # signed addition nor sign-extends on the split shift.
-        from orbitanalysis_tpu.ops.pallas_compact import (
-            _cumsum_flat,
-            _live_shifts,
-        )
+    evp = pltpu.bitcast(ev_ang, jnp.uint32) | (
+        apsis_prev.astype(jnp.uint32) << 31
+    )
+    u = jnp.where(is_cur, packed, evp)
 
-        packed_cnt = (
-            is_cur.astype(jnp.uint32)
-            + (apsis_prev.astype(jnp.uint32) << 16)
-        )
-        incl = _cumsum_flat(packed_cnt)
-        g_a = _live_shifts(is_cur_i, (incl & 0xFFFF).astype(jnp.int32))
-        g_b = _live_shifts(apsis_prev, (incl >> 16).astype(jnp.int32))
-    else:
-        g_a = g_b = None
+    jj = total_stages - 1
+    if n_lane_stages:
+        ut, bt = u.T, bits.T
+        k = 1
+        for _ in range(n_lane_stages):
+            (ut,) = _uncmpx_blocks([ut], bt, jj, k, _LANES, rows2)
+            jj -= 1
+            k *= 2
+        u = ut.T
+    k = _LANES
+    while k <= n2 // 2:
+        (u,) = _uncmpx_blocks([u], bits, jj, k // _LANES, rows2, _LANES)
+        jj -= 1
+        k *= 2
 
-    (packed_c,) = _compact_group(is_cur_i, [packed], n2, g=g_a)
-    out_packed[0] = packed_c[: out_packed.shape[1]]
+    # split: rows [:P] = prev side (event payload at the staged prev
+    # positions), rows [P:] = cur side (carry angles in the staged —
+    # descending — cur order; the caller flips this one plane back)
+    out_packed[0] = u[rows_p:]
+    flag = ((u[:rows_p] >> 31) & 1).astype(jnp.int32)
+    evang_prev = pltpu.bitcast(
+        u[:rows_p] & jnp.uint32(0x7FFFFFFF), jnp.float32
+    )
 
+    # ---- event compaction over the (half-size) prev P domain; key/sv
+    # payloads come straight from the input refs — prev staging is the
+    # carry itself, already in ID order ----
     evk, evsv, evang = _compact_group(
-        apsis_prev, [key, sv, ev_ang], n2, g=g_b
+        flag, [pk[0], psv[0], evang_prev], n2 // 2
     )
     rows_k = out_evk.shape[1]
     out_evk[0] = evk[:rows_k]
@@ -352,12 +386,13 @@ def fused_join_detect(
     invalid_id: int,
     event_capacity: int,
 ):
-    """Run the fused merge+detect+compact kernel.
+    """Run the fused merge+detect+unmerge kernel.
 
     Returns ``(packed, ev_key, ev_sv, ev_angle, count)``: ``packed``
     ``[H, P]`` uint32 = next-carry angles (f32 bits) with the match
-    flag in bit 31, aligned with the *ascending* cur-side order;
-    ``ev_*`` ``[H, K128]`` compacted apsis events in merged (ID) order;
+    flag in bit 31, aligned with the *staged (descending)* cur-side
+    order — callers flip this one plane to recover ascending;
+    ``ev_*`` ``[H, K128]`` compacted apsis events in prev (ID) order;
     ``count`` ``[H]`` exact apsis counts.
     """
     h, p = prev_ops[0].shape
@@ -366,7 +401,8 @@ def fused_join_detect(
             f"row length must be a power of two >= {_LANES} (bitonic "
             f"merge network); got {p} — pad with round_up_pow2"
         )
-    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, 2 * p)
+    # events compact over the prev P domain (there are at most P)
+    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, p)
     r = p // _LANES
     arrays = tuple(
         a.reshape(h, r, _LANES) for a in tuple(prev_ops) + tuple(cur_ops)

@@ -371,9 +371,12 @@ def make_sorted_orbit_step(
 
                     def _general(po, ca):
                         co = tuple(jnp.flip(x, axis=1) for x in ca)
-                        return fused_join_detect(
+                        pck, ek, es, ea, cnt = fused_join_detect(
                             po, co, pericentric, invalid, k_eff
                         )
+                        # kernel's packed plane follows the staged
+                        # (descending) cur order; one flip -> ascending
+                        return jnp.flip(pck, axis=1), ek, es, ea, cnt
 
                     packed, evk, evsv, evang, count = jax.lax.cond(
                         static_ok, _static, _general, prev_ops6, cur_asc
@@ -383,6 +386,7 @@ def make_sorted_orbit_step(
                     packed, evk, evsv, evang, count = fused_join_detect(
                         prev_ops6, cur_ops, pericentric, invalid, k_eff,
                     )
+                    packed = jnp.flip(packed, axis=1)
                     asc = tuple(jnp.flip(x, axis=1) for x in cur_ops)
                 match_o, ang_o = _decode_packed_angles(packed)
                 new_carry = _carry_from_channels(
