@@ -173,9 +173,10 @@ def make_slab_resident_pm_force_fn(
     ``bucket_factor`` scales the per-destination bucket capacity
     ``cap = bucket_factor * n_local / n_dev`` (rounded up to 128).
     Particles overflowing a bucket are dropped from the solve and
-    receive zero force — size buckets generously for clustered
-    configurations, or check with ``slab_occupancy(pos)`` which returns
-    the per-slab particle counts to validate a chosen factor.
+    receive **NaN** force (fail-loud: the NaN reaches their positions
+    on the next integrator step) — size buckets generously for
+    clustered configurations, checking with ``slab_occupancy(pos)``
+    which returns the per-slab particle counts for a chosen factor.
     """
     from orbitanalysis_tpu.models.pm import cic_deposit  # noqa: F401 (doc xref)
 
@@ -266,11 +267,14 @@ def make_slab_resident_pm_force_fn(
             acc_r.reshape(n_dev, cap, 3), axis, split_axis=0,
             concat_axis=0, tiled=True,
         ).reshape(n_dev * cap, 3)
+        # overflowed particles were dropped from the solve: return NaN
+        # (loud, propagates into positions immediately) rather than a
+        # silently-wrong zero force
         acc_sorted = jnp.where(
             ok[:, None],
             jnp.take(acc_b, jnp.where(ok, slot, 0), axis=0, mode="fill",
                      fill_value=0.0),
-            0.0,
+            jnp.nan,
         )
         return jnp.zeros((n_l, 3), jnp.float32).at[idx_s].set(
             acc_sorted, mode="drop"

@@ -55,6 +55,24 @@ def load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
+            if not hasattr(lib, "grid_count_sort"):
+                # stale prebuilt library from before the symbol was
+                # added (the .so is gitignored, so it survives source
+                # updates) — rebuild in place and reload
+                try:
+                    subprocess.run(
+                        [
+                            "g++", "-O3", "-march=native", "-fopenmp",
+                            "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
+                        ],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                    os.replace(_SO + ".tmp", _SO)
+                    lib = ctypes.CDLL(_SO)
+                except (OSError, subprocess.SubprocessError):
+                    return None
+                if not hasattr(lib, "grid_count_sort"):
+                    return None
             lib.pack_ragged_bytes.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,

@@ -58,12 +58,18 @@ void fill_i32(int32_t* out, int64_t n, int32_t fill) {
 // cell — matching np.argsort(kind="stable")).
 void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
                      int64_t* starts, int64_t* order) {
-  const int nt = omp_get_max_threads();
+  // team size pinned on both regions (required for stability: the two
+  // static-schedule loops must see identical per-thread index ranges,
+  // and the scan below must visit exactly the teams that counted);
+  // capped so per-thread histograms stay bounded on many-core hosts
+  int nt = omp_get_max_threads();
+  if (nt > 32) nt = 32;
+  if (nt < 1) nt = 1;
   std::vector<std::vector<int64_t>> hist(nt);
-#pragma omp parallel
+  for (int t = 0; t < nt; ++t) hist[t].assign(n_cells, 0);
+#pragma omp parallel num_threads(nt)
   {
     const int t = omp_get_thread_num();
-    hist[t].assign(n_cells, 0);
 #pragma omp for schedule(static)
     for (int64_t i = 0; i < n; ++i) ++hist[t][keys[i]];
   }
@@ -80,7 +86,7 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
     }
   }
   starts[n_cells] = run;
-#pragma omp parallel
+#pragma omp parallel num_threads(nt)
   {
     const int t = omp_get_thread_num();
     auto& off = hist[t];

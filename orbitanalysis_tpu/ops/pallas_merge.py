@@ -63,26 +63,14 @@ def _cmpx_blocks(chans, kr, rows, lanes):
     """Compare-exchange at *row* distance ``kr`` via static row-block
     slicing — no rotations: pairs are rows ``[m, 0, kr, :]`` vs
     ``[m, 1, kr, :]`` of the ``[m, 2, kr, lanes]`` view."""
-    m = rows // (2 * kr)
-    views = [c.reshape(m, 2, kr, lanes) for c in chans]
-    a = [v[:, 0] for v in views]
-    b = [v[:, 1] for v in views]
-    cond = a[0] <= b[0]
-    out = []
-    for av, bv in zip(a, b):
-        lo = jnp.where(cond, av, bv)
-        hi = jnp.where(cond, bv, av)
-        out.append(
-            jnp.concatenate(
-                [lo[:, None], hi[:, None]], axis=1
-            ).reshape(rows, lanes)
-        )
+    out, _ = _cmpx_blocks_rec(chans, None, 0, kr, rows, lanes)
     return out
 
 
 def _cmpx_blocks_rec(chans, bits, j, kr, rows, lanes):
-    """:func:`_cmpx_blocks` + record the swap decision as bit ``j`` of
-    the positional ``bits`` plane (written at both pair positions).
+    """:func:`_cmpx_blocks`, optionally recording the swap decision as
+    bit ``j`` of the positional ``bits`` plane (written at both pair
+    positions; pass ``bits=None`` to skip recording).
 
     The bits plane is *positional* — it is never permuted by the merge —
     so the recorded network can later be replayed in reverse to route
@@ -93,10 +81,11 @@ def _cmpx_blocks_rec(chans, bits, j, kr, rows, lanes):
     a = [v[:, 0] for v in views]
     b = [v[:, 1] for v in views]
     cond = a[0] <= b[0]
-    sw = jnp.where(cond, jnp.uint32(0), jnp.uint32(1) << j)
-    bits = bits | jnp.concatenate(
-        [sw[:, None], sw[:, None]], axis=1
-    ).reshape(rows, lanes)
+    if bits is not None:
+        sw = jnp.where(cond, jnp.uint32(0), jnp.uint32(1) << j)
+        bits = bits | jnp.concatenate(
+            [sw[:, None], sw[:, None]], axis=1
+        ).reshape(rows, lanes)
     out = []
     for av, bv in zip(a, b):
         lo = jnp.where(cond, av, bv)

@@ -247,6 +247,11 @@ def make_sorted_orbit_step(
     output order still follows the original load order, so savefile
     parity with the reference is unaffected.
 
+    On the ``fused`` path the event tensors are at most ``[H, P]`` wide
+    (a row cannot produce more than P apsides): ``event_capacity > P``
+    is clamped, so ``CompactEvents`` widths are ``min(K, P)`` there
+    (the non-fused paths keep width ``K``).
+
     ``compact_impl``: ``"lax_sort"`` extracts the next carry + events
     with one 2P variadic sort; ``"pallas"`` uses the log-shift stream
     compaction kernel instead (plus a small ``[H, K]`` sort that puts

@@ -226,3 +226,28 @@ def test_slab_resident_pm_through_integrator(rng):
         st, members, cfg, force_fn=make_pm_force_fn(grid)
     )
     assert np.array_equal(np.asarray(tr.counts), np.asarray(tr2.counts))
+
+
+def test_slab_resident_pm_overflow_is_loud(rng):
+    """Bucket overflow must surface as NaN forces, never silent zeros."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 (virtual) devices")
+
+    from orbitanalysis_tpu.models.pm_sharded import (
+        make_slab_resident_pm_force_fn,
+    )
+    from orbitanalysis_tpu.parallel.mesh import make_mesh
+
+    grid, box, n = 32, 50.0, 2048
+    # all particles in one thin X-slab: every bucket but one overflows
+    pos = rng.uniform(0, box, size=(n, 3)).astype(np.float32)
+    pos[:, 0] = rng.uniform(0, box / 16, size=n)
+    mass = np.ones(n, np.float32)
+    f = make_slab_resident_pm_force_fn(
+        make_mesh({"x": 8}), grid, bucket_factor=1.0
+    )
+    acc = np.asarray(f(jnp.asarray(pos), jnp.asarray(mass), box_size=box))
+    assert np.isnan(acc).any(), "overflow must produce NaN forces"

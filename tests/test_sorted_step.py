@@ -248,7 +248,8 @@ def test_sorted_step_fuzz(seed):
     _run_pair(snaps, n_halos, cap, box, mode, K=cap)
 
 
-def test_sorted_step_static_membership_fast_path():
+@pytest.mark.parametrize("mode", ["pericentric", "apocentric"])
+def test_sorted_step_static_membership_fast_path(mode):
     """Fixed membership (ids identical step-to-step) routes through the
     aligned static kernel under fused+presorted — events and carry must
     match the general step exactly.  A churn snapshot mid-sequence must
@@ -287,10 +288,10 @@ def test_sorted_step_static_membership_fast_path():
         snaps.append(snap)
 
     step_g = jax.jit(
-        make_orbit_step(mode="pericentric", box_size=box, event_capacity=K)
+        make_orbit_step(mode=mode, box_size=box, event_capacity=K)
     )
     step_s = jax.jit(
-        make_sorted_orbit_step(K, mode="pericentric", box_size=box,
+        make_sorted_orbit_step(K, mode=mode, box_size=box,
                                fused=True, cur_presorted=True)
     )
     carry_g = init_carry(n_halos, cap)
