@@ -8,6 +8,7 @@ from orbitanalysis_tpu.models.nbody import (  # noqa: F401
     point_mass_forces,
     simulate_with_tracking,
 )
+from orbitanalysis_tpu.models.p3m import make_p3m_force_fn  # noqa: F401
 from orbitanalysis_tpu.models.pm import make_pm_force_fn, pm_forces  # noqa: F401
 from orbitanalysis_tpu.models.pm_sharded import (  # noqa: F401
     make_sharded_pm_force_fn,
@@ -25,6 +26,7 @@ __all__ = [
     "make_direct_force_fn",
     "point_mass_forces",
     "simulate_with_tracking",
+    "make_p3m_force_fn",
     "make_pm_force_fn",
     "pm_forces",
     "pm_sharded",

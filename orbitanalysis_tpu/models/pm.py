@@ -93,9 +93,19 @@ def cic_interpolate(field3, pos, grid, box_size):
     return jnp.stack(out, axis=-1)                  # [N, 3]
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "deconvolve"))
-def pm_forces_grid(rho, grid, box_size, G=1.0, deconvolve=False):
-    """Force field ``[3, G, G, G]`` from a deposited density mesh."""
+@functools.partial(
+    jax.jit, static_argnames=("grid", "deconvolve", "smoothing")
+)
+def pm_forces_grid(rho, grid, box_size, G=1.0, deconvolve=False,
+                   smoothing=None):
+    """Force field ``[3, G, G, G]`` from a deposited density mesh.
+
+    ``smoothing`` (physical length sigma) multiplies the Green's
+    function by ``exp(-k_phys^2 sigma^2 / 2)`` — the Gaussian-split
+    long-range part of an Ewald/P3M decomposition
+    (:mod:`orbitanalysis_tpu.models.p3m` supplies the matching
+    short-range erfc pair correction).
+    """
     box_size = jnp.asarray(box_size, rho.dtype)
     rho_k = jnp.fft.rfftn(rho)
 
@@ -108,6 +118,10 @@ def pm_forces_grid(rho, grid, box_size, G=1.0, deconvolve=False):
     # Green's function: phi_k = -4 pi G rho_k / k_phys^2, k_phys = k / h
     green = jnp.where(k2 > 0, -4 * jnp.pi / jnp.maximum(k2, 1e-30), 0.0)
     green = green * (h * h) / (h ** 3)  # k->physical + mass->density
+    if smoothing is not None:
+        green = green * jnp.exp(
+            -k2 * (float(smoothing) / h) ** 2 / 2.0
+        )
     if deconvolve:
         # divide out the CIC window squared: W = prod sinc^2(k_i/2)
         sinc = lambda t: jnp.sinc(t / (2 * jnp.pi))  # noqa: E731
