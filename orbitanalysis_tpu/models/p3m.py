@@ -76,6 +76,35 @@ def _bin_particles(pos, mass, c_dims, box_size, cap):
     return cell_pos, cell_mass, dest, ok
 
 
+def short_range_pair_block(tgt_pos, src_pos, src_mass, box_size,
+                           sigma, r_cut, softening):
+    """Erfc-correction acceleration of one target/source cell batch.
+
+    ``tgt_pos [B, T, 3]``, ``src_pos [B, S, 3]``, ``src_mass [B, S]``
+    -> ``acc [B, T, 3]``.  Self/padded pairs (r2 == 0) and pairs past
+    ``r_cut`` contribute zero; the minimum image is applied per pair.
+    """
+    inv_s = 1.0 / (math.sqrt(2.0) * sigma)
+    pref = math.sqrt(2.0 / math.pi) / sigma
+    eps2 = softening * softening
+
+    d = tgt_pos[:, :, None, :] - src_pos[:, None, :, :]
+    d = d - box_size * jnp.round(d / box_size)
+    r2 = jnp.sum(d * d, axis=-1)
+    # guarded radius: self/padded pairs (r2 == 0, possibly eps2 == 0
+    # too) must yield finite garbage, not NaN — a NaN survives the
+    # zero mask (0 * nan = nan)
+    r = jnp.sqrt(jnp.maximum(r2 + eps2, 1e-30))
+    u = r * inv_s
+    # pair magnitude / r (so F_vec = -mag_over_r * d)
+    mag = jax.lax.erfc(u) / (r * r) + pref * jnp.exp(-u * u) / r
+    w = (
+        (r2 < r_cut * r_cut)
+        & (r2 > 0)                  # drop self/padded pairs
+    ).astype(tgt_pos.dtype) * src_mass[:, None, :]
+    return -jnp.einsum("cts,ctsi->cti", w * mag / r, d)
+
+
 def _short_range_forces(cell_pos, cell_mass, c_dims, box_size,
                         sigma, r_cut, softening, G):
     """Erfc-correction pair forces, 27 neighbour-cell roll batches.
@@ -86,9 +115,6 @@ def _short_range_forces(cell_pos, cell_mass, c_dims, box_size,
     c3, cap, _ = cell_pos.shape
     grid_pos = cell_pos.reshape(c_dims, c_dims, c_dims, cap, 3)
     grid_mass = cell_mass.reshape(c_dims, c_dims, c_dims, cap)
-    inv_s = 1.0 / (math.sqrt(2.0) * sigma)
-    pref = math.sqrt(2.0 / math.pi) / sigma
-    eps2 = softening * softening
 
     # neighbour offsets dedup'd mod the grid: for c_dims < 3 several of
     # the 27 rolls alias the same source cells and would double-count
@@ -98,32 +124,15 @@ def _short_range_forces(cell_pos, cell_mass, c_dims, box_size,
     })
     acc = jnp.zeros((c3, cap, 3), cell_pos.dtype)
     for dx, dy, dz in offsets:
-                src_p = jnp.roll(
-                    grid_pos, (dx, dy, dz), axis=(0, 1, 2)
-                ).reshape(c3, cap, 3)
-                src_m = jnp.roll(
-                    grid_mass, (dx, dy, dz), axis=(0, 1, 2)
-                ).reshape(c3, cap)
-                # displacement target<-source with minimum image
-                d = cell_pos[:, :, None, :] - src_p[:, None, :, :]
-                d = d - box_size * jnp.round(d / box_size)
-                r2 = jnp.sum(d * d, axis=-1)
-                # guarded radius: self/padded pairs (r2 == 0, possibly
-                # eps2 == 0 too) must yield finite garbage, not NaN —
-                # a NaN survives the zero mask (0 * nan = nan)
-                r = jnp.sqrt(jnp.maximum(r2 + eps2, 1e-30))
-                u = r * inv_s
-                # pair magnitude / r (so F_vec = -mag_over_r * d)
-                mag = (
-                    jax.lax.erfc(u) / (r * r) + pref * jnp.exp(-u * u) / r
-                )
-                w = (
-                    (r2 < r_cut * r_cut)
-                    & (r2 > 0)                  # drop self/padded pairs
-                ).astype(cell_pos.dtype) * src_m[:, None, :]
-                acc = acc - jnp.einsum(
-                    "cts,ctsi->cti", w * mag / r, d
-                )
+        src_p = jnp.roll(
+            grid_pos, (dx, dy, dz), axis=(0, 1, 2)
+        ).reshape(c3, cap, 3)
+        src_m = jnp.roll(
+            grid_mass, (dx, dy, dz), axis=(0, 1, 2)
+        ).reshape(c3, cap)
+        acc = acc + short_range_pair_block(
+            cell_pos, src_p, src_m, box_size, sigma, r_cut, softening
+        )
     return G * acc
 
 

@@ -39,6 +39,7 @@ def make_sharded_pm_grid_solver(
     grid: int,
     axis: str = "x",
     deconvolve: bool = False,
+    smoothing_cells: float | None = None,
 ):
     """Build ``solve(rho, box_size, G) -> force [3, G, G, G]`` with the
     FFT pipeline sharded over ``mesh``'s ``axis``.
@@ -79,6 +80,12 @@ def make_sharded_pm_grid_solver(
         green = jnp.where(
             k2 > 0, -4 * jnp.pi / jnp.maximum(k2, 1e-30), 0.0
         ) / h
+        if smoothing_cells is not None:
+            # Gaussian-split long range (P3M): sigma in cell units, so
+            # k (cell units) * sigma_cells == k_phys * sigma_phys
+            green = green * jnp.exp(
+                -k2 * float(smoothing_cells) ** 2 / 2.0
+            )
         if deconvolve:
             sinc = lambda t: jnp.sinc(t / (2 * jnp.pi))  # noqa: E731
             w = (sinc(kx) * sinc(ky_l) * sinc(kz)) ** 2
@@ -150,6 +157,9 @@ def make_slab_resident_pm_force_fn(
     axis: str = "x",
     deconvolve: bool = False,
     bucket_factor: float = 4.0,
+    p3m_sigma_cells: float | None = None,
+    p3m_cutoff_sigmas: float = 3.5,
+    p3m_cell_factor: float = 4.0,
 ):
     """Fully grid-resident distributed PM: per-device memory is
     ``O(grid^3 / n_dev)`` — the configuration for 1024^3-2048^3 meshes
@@ -177,16 +187,26 @@ def make_slab_resident_pm_force_fn(
     on the next integrator step) — size buckets generously for
     clustered configurations, checking with ``slab_occupancy(pos)``
     which returns the per-slab particle counts for a chosen factor.
+
+    ``p3m_sigma_cells`` switches the solver to distributed **P3M**
+    (pass ``deconvolve=True`` with it — see
+    :func:`orbitanalysis_tpu.models.p3m.make_p3m_force_fn`): the PM
+    long range is Gaussian-smoothed and the erfc short-range pair
+    correction is computed on a slab-local cell grid whose boundary
+    cell planes are exchanged via ``ppermute`` — per-device memory and
+    pair work both stay ``O(1/n_dev)``.  Each device's slab must be at
+    least one cutoff wide (``box / n_dev >= cutoff_sigmas * sigma``).
     """
     from orbitanalysis_tpu.models.pm import cic_deposit  # noqa: F401 (doc xref)
 
     solver = make_sharded_pm_grid_solver(
-        mesh, grid, axis=axis, deconvolve=deconvolve
+        mesh, grid, axis=axis, deconvolve=deconvolve,
+        smoothing_cells=p3m_sigma_cells,
     )
     loc = solver.slab
     n_dev = int(mesh.shape[axis])
 
-    def local_force(pos_l, mass_l, box_size):
+    def local_force(pos_l, mass_l, box_size, softening):
         i = jax.lax.axis_index(axis)
         n_l = pos_l.shape[0]
         cap = max(128, int(np.ceil(bucket_factor * n_l / n_dev / 128)) * 128)
@@ -262,6 +282,145 @@ def make_slab_resident_pm_force_fn(
             acc_r.append(jnp.sum(vals * w, axis=0))
         acc_r = jnp.stack(acc_r, axis=-1)                    # [n_dev*cap, 3]
 
+        if p3m_sigma_cells is not None:
+            # ---- P3M short range on a slab-local cell grid ----
+            from orbitanalysis_tpu.models.p3m import short_range_pair_block
+
+            sigma = p3m_sigma_cells * h
+            r_cut = p3m_cutoff_sigmas * sigma
+            nr = n_dev * cap
+            # global SR cell count: divisible by n_dev, cell >= r_cut.
+            # STATIC shapes require a static c_dims: bound r_cut by the
+            # worst case over traced box... box_size is traced, so pick
+            # c_dims from the PM geometry instead: cells of `sr_cells`
+            # PM cells each.
+            sr_cells = int(np.ceil(p3m_cutoff_sigmas * p3m_sigma_cells))
+            c_dims = grid // sr_cells
+            c_dims = max(n_dev, (c_dims // n_dev) * n_dev)
+            if grid / c_dims < p3m_cutoff_sigmas * p3m_sigma_cells:
+                raise ValueError(
+                    f"P3M cell grid {c_dims} too fine for the cutoff "
+                    f"({p3m_cutoff_sigmas}x{p3m_sigma_cells} PM cells) "
+                    f"with {n_dev} devices; reduce devices or sigma"
+                )
+            c_loc = c_dims // n_dev
+            mean = nr / (c_loc * c_dims * c_dims)
+            cap_sr = max(8, int(np.ceil(p3m_cell_factor * mean / 8)) * 8)
+
+            # slab-aligned binning: the x bin derives from the EXACT
+            # routing formula (same floor/mod arithmetic), so every
+            # routed real particle is guaranteed local — a separate
+            # float path would disagree at slab boundaries.  SR x-cells
+            # are sr_cells PM cells wide (the slab's last one absorbs
+            # any remainder: larger is fine, every cell stays >= r_cut).
+            pm_cell = jnp.mod(
+                jnp.floor(bx / h - 0.5).astype(jnp.int32), grid
+            )
+            local_pm = pm_cell - i * loc
+            lx = jnp.minimum(local_pm // sr_cells, c_loc - 1)
+            gy = jnp.minimum(
+                (by / box_size * c_dims).astype(jnp.int32), c_dims - 1
+            )
+            gz = jnp.minimum(
+                (bz / box_size * c_dims).astype(jnp.int32), c_dims - 1
+            )
+            lcid = (lx * c_dims + gy) * c_dims + gz
+            # zero-mass entries (bucket padding, and the documented
+            # zero-mass count-padding convention) are excluded from the
+            # short range: they would otherwise flood one cell's
+            # capacity; they receive the long-range force only
+            in_slab = (local_pm >= 0) & (local_pm < loc) & (bm > 0)
+            c3l = c_loc * c_dims * c_dims
+            order_sr = jax.lax.sort(
+                (jnp.where(in_slab, lcid, c3l),
+                 jnp.arange(nr, dtype=jnp.int32)),
+                dimension=0, num_keys=1,
+            )[1]
+            lcid_s = jnp.take(
+                jnp.where(in_slab, lcid, c3l), order_sr, axis=0
+            )
+            counts_sr = jnp.zeros(c3l, jnp.int32).at[lcid_s].add(
+                1, mode="drop"
+            )
+            starts_sr = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_sr)[:-1]]
+            )
+            rank_sr = (
+                jnp.arange(nr, dtype=jnp.int32)
+                - jnp.take(starts_sr, jnp.clip(lcid_s, 0, c3l - 1))
+            )
+            ok_sr = (rank_sr < cap_sr) & (lcid_s < c3l)
+            dest_sr = jnp.where(
+                ok_sr, lcid_s * cap_sr + rank_sr, c3l * cap_sr
+            )
+            pos_rt = jnp.stack([bx, by, bz], axis=-1)
+
+            def to_cells(v):
+                return jnp.zeros(
+                    (c3l * cap_sr,) + v.shape[1:], v.dtype
+                ).at[dest_sr].set(
+                    jnp.take(v, order_sr, axis=0), mode="drop"
+                )
+
+            cpos = to_cells(pos_rt).reshape(c3l, cap_sr, 3)
+            cmass = to_cells(bm).reshape(c3l, cap_sr)
+
+            # extend the slab with neighbour boundary cell planes
+            gp = cpos.reshape(c_loc, c_dims, c_dims, cap_sr, 3)
+            gm = cmass.reshape(c_loc, c_dims, c_dims, cap_sr)
+            fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]
+            bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+            left_p = jax.lax.ppermute(gp[c_loc - 1], axis, fwd)
+            left_m = jax.lax.ppermute(gm[c_loc - 1], axis, fwd)
+            right_p = jax.lax.ppermute(gp[0], axis, bwd)
+            right_m = jax.lax.ppermute(gm[0], axis, bwd)
+            ext_p = jnp.concatenate(
+                [left_p[None], gp, right_p[None]], axis=0
+            )
+            ext_m = jnp.concatenate(
+                [left_m[None], gm, right_m[None]], axis=0
+            )
+
+            yz_offsets = sorted({
+                (dy % c_dims, dz % c_dims)
+                for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+            })
+            # x offsets dedup'd like p3m's roll offsets: for tiny global
+            # cell counts the left/right halo planes alias the same
+            # source cells and would double-count
+            x_offsets = (
+                (-1, 0, 1) if c_dims >= 3 else (0, 1) if c_dims == 2
+                else (0,)
+            )
+            acc_sr = jnp.zeros((c3l, cap_sr, 3), jnp.float32)
+            for dx in x_offsets:
+                sx_p = ext_p[1 + dx: 1 + dx + c_loc]
+                sx_m = ext_m[1 + dx: 1 + dx + c_loc]
+                for dy, dz in yz_offsets:
+                    src_p = jnp.roll(
+                        sx_p, (dy, dz), axis=(1, 2)
+                    ).reshape(c3l, cap_sr, 3)
+                    src_m = jnp.roll(
+                        sx_m, (dy, dz), axis=(1, 2)
+                    ).reshape(c3l, cap_sr)
+                    acc_sr = acc_sr + short_range_pair_block(
+                        cpos, src_p, src_m, box_size, sigma, r_cut,
+                        softening,
+                    )
+            acc_sr_flat = acc_sr.reshape(c3l * cap_sr, 3)
+            bm_s = jnp.take(bm, order_sr, axis=0)
+            sr_sorted = jnp.where(
+                ok_sr[:, None],
+                jnp.take(acc_sr_flat,
+                         jnp.where(ok_sr, dest_sr, 0), axis=0),
+                # cell overflow for a REAL particle: fail loud (NaN);
+                # zero-mass padding just contributes no short range
+                jnp.where(bm_s[:, None] > 0, jnp.nan, 0.0),
+            )
+            acc_r = acc_r + jnp.zeros((nr, 3), jnp.float32).at[
+                order_sr
+            ].set(sr_sorted)
+
         # ---- 5. route forces back, restore original order ----
         acc_b = jax.lax.all_to_all(
             acc_r.reshape(n_dev, cap, 3), axis, split_axis=0,
@@ -283,12 +442,12 @@ def make_slab_resident_pm_force_fn(
     mapped = shard_map(
         local_force,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(), P()),
         out_specs=P(axis),
         **_SHARD_MAP_KW,
     )
 
-    def force(pos, mass, box_size=None, G=1.0, **_):
+    def force(pos, mass, box_size=None, G=1.0, softening=0.0, **_):
         if box_size is None:
             raise ValueError("PM forces require a periodic box_size")
         n = pos.shape[0]
@@ -302,6 +461,7 @@ def make_slab_resident_pm_force_fn(
         return G * mapped(
             pos.astype(jnp.float32), mass.astype(jnp.float32),
             jnp.asarray(box_size, jnp.float32),
+            jnp.asarray(softening, jnp.float32),
         )
 
     def slab_occupancy(pos, box_size):

@@ -143,3 +143,36 @@ def test_p3m_through_integrator(cloud):
     )
     assert np.asarray(tr.counts).sum() >= 0  # runs clean, no NaNs
     assert not np.isnan(np.asarray(tr.counts)).any()
+
+
+def test_sharded_p3m_matches_single_device(cloud):
+    """Slab-resident distributed P3M (halo-exchanged short-range cells)
+    == the single-device P3M force, on the virtual CPU mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    from orbitanalysis_tpu.models.pm_sharded import (
+        make_slab_resident_pm_force_fn,
+    )
+    from orbitanalysis_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n, box, grid = 4096, 20.0, 64
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    soft = 0.05
+
+    ref = np.asarray(make_p3m_force_fn(grid, sigma_cells=1.5)(
+        pos, mass, box_size=box, softening=soft))
+    assert not np.isnan(ref).any()
+    for d in (2, 8):
+        f = make_slab_resident_pm_force_fn(
+            make_mesh({"x": d}), grid, deconvolve=True,
+            p3m_sigma_cells=1.5,
+        )
+        got = np.asarray(jax.jit(
+            lambda p, m: f(p, m, box_size=box, softening=soft)
+        )(pos, mass))
+        assert not np.isnan(got).any(), d
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 1e-4 * scale, d
