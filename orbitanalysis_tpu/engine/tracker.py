@@ -552,7 +552,11 @@ def track_orbits(
             cap = capacity or required_capacity(lengths, headroom)
             if join_impl == "sorted":
                 cap = max(round_up_pow2(cap), 128)
-                if cap > MAX_FUSED_CAPACITY:
+                # 'auto' stays at <= 65536 (P=131072 kernels are
+                # validated but take ~10 min of Mosaic compile — only
+                # an explicit join_impl='sorted' opts into that)
+                limit = 65536 if join_was_auto else MAX_FUSED_CAPACITY
+                if cap > limit:
                     # a whole 2*capacity merged row must fit in VMEM
                     if join_was_auto:
                         join_impl = "general"

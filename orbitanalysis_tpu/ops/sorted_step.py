@@ -52,8 +52,11 @@ from orbitanalysis_tpu.ops.geometry import region_frame
 from orbitanalysis_tpu.utils.padding import invalid_id_for
 
 #: Largest per-row capacity the fused kernel fits in VMEM (the whole
-#: 2P merged row stays on-chip; P=131072 fails to compile on v5e).
-MAX_FUSED_CAPACITY = 65536
+#: 2P merged row stays on-chip).  P=131072 compiles and matches the
+#: lax_sort reference on v5e since the unmerge redesign freed the
+#: former compaction buffers; P=262144 exceeds practical Mosaic
+#: compile times (>9 min) and is untested.
+MAX_FUSED_CAPACITY = 131072
 
 #: key_B value for merged entries that are neither part of the next
 #: carry nor an apsis event (departed / padding / matched-away prev).
