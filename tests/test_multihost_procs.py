@@ -71,3 +71,83 @@ def test_multihost_two_processes(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER{pid}_OK" in out
+
+
+_WORKER_COLLECTIVES = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+    KW = {"check_vma": False}
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+    KW = {"check_rep": False}
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+from orbitanalysis_tpu.parallel import multihost
+
+multihost.initialize(addr, 2, pid)
+mesh = Mesh(np.array(jax.devices()), ("x",))
+sharding = NamedSharding(mesh, P("x"))
+local = np.full((4,), float(pid), np.float32)
+garr = jax.make_array_from_process_local_data(sharding, local, (8,))
+
+def f(x):
+    other = jax.lax.ppermute(x, "x", [(0, 1), (1, 0)])
+    tot = jax.lax.psum(jnp.sum(x), "x")
+    return other + tot
+
+y = jax.jit(
+    shard_map(f, mesh=mesh, in_specs=P("x"), out_specs=P("x"), **KW)
+)(garr)
+mine = np.asarray(y.addressable_shards[0].data)
+# my shard = other process's constant + global sum (0*4 + 1*4 = 4)
+exp = (1.0 - pid) + 4.0
+assert np.allclose(mine, exp), (pid, mine, exp)
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+@pytest.mark.timeout(120)
+def test_multihost_shard_map_collectives(tmp_path):
+    """ppermute + psum inside shard_map across two real processes —
+    the collective substrate the distributed PM/P3M paths ride."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_COLLECTIVES, addr, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=100)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER{pid}_OK" in out
