@@ -63,6 +63,15 @@ def pack_snapshot(
     invalid = invalid_id_for(id_dtype)
 
     if np.issubdtype(ids.dtype, np.integer) and ids.size:
+        if ids.min(initial=0) < 0:
+            # the join packs ids into unsigned sort keys ((id << 1) |
+            # side) and -1 aliases the padding sentinel — a negative ID
+            # would silently drop from matching, so fail loudly
+            raise ValueError(
+                "negative particle IDs are not supported (the sort-merge "
+                "join packs IDs into unsigned keys); remap IDs to >= 0 "
+                "in the loader"
+            )
         if ids.max(initial=0) >= invalid:
             raise ValueError(
                 f"particle IDs exceed {np.dtype(id_dtype)} range; pass a wider "

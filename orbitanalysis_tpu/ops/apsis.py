@@ -51,6 +51,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orbitanalysis_tpu.ops.geometry import region_frame
 from orbitanalysis_tpu.ops.join import merge_join
@@ -118,6 +119,23 @@ def init_carry(
         vrad=jnp.zeros((n_halos, capacity), dtype=pos_dtype),
         angles=jnp.zeros((n_halos, capacity), dtype=angle_dtype),
     )
+
+
+def _compact_events(apsis, ids, apsis_angle, event_capacity):
+    """On-device event compaction: sort apsis entries to the row front
+    in load-slot order, returning ``(count, ids[:, :K], angles[:, :K])``
+    (all ``None`` when ``event_capacity`` is) — hosts fetch these fixed
+    ``[H, K]`` lists instead of full masks."""
+    if event_capacity is None:
+        return None, None, None
+    cap = apsis.shape[-1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, apsis.shape, dimension=1)
+    sort_key = jnp.where(apsis, slot, slot + cap)
+    _, ids_c, ang_c = jax.lax.sort(
+        (sort_key, ids, apsis_angle), dimension=-1, num_keys=1
+    )
+    count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+    return count, ids_c[:, :event_capacity], ang_c[:, :event_capacity]
 
 
 def make_orbit_step(
@@ -228,20 +246,9 @@ def make_orbit_step(
         apsis_angle, angles_new = mj.to_prev[1], mj.to_cur[1]
         dtheta = mj.to_prev[2] if with_dtheta else None
 
-        ev_count = ev_ids = ev_angles = None
-        if event_capacity is not None:
-            cap = snap.ids.shape[-1]
-            slot = jax.lax.broadcasted_iota(
-                jnp.int32, apsis.shape, dimension=1
-            )
-            # events sort to the front of the row, in slot order
-            sort_key = jnp.where(apsis, slot, slot + cap)
-            _, ids_c, ang_c = jax.lax.sort(
-                (sort_key, carry.ids, apsis_angle), dimension=-1, num_keys=1
-            )
-            ev_count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
-            ev_ids = ids_c[:, :event_capacity]
-            ev_angles = ang_c[:, :event_capacity]
+        ev_count, ev_ids, ev_angles = _compact_events(
+            apsis, carry.ids, apsis_angle, event_capacity
+        )
 
         new_carry = Carry(
             ids=snap.ids,
@@ -324,19 +331,9 @@ def make_static_orbit_step(
         apsis_angle = jnp.where(apsis, angle_acc, 0).astype(angle_dtype)
         angles_new = jnp.where(apsis, 0, angle_acc).astype(angle_dtype)
 
-        ev_count = ev_ids = ev_angles = None
-        if event_capacity is not None:
-            cap = snap.ids.shape[-1]
-            slot = jax.lax.broadcasted_iota(
-                jnp.int32, apsis.shape, dimension=1
-            )
-            sort_key = jnp.where(apsis, slot, slot + cap)
-            _, ids_c, ang_c = jax.lax.sort(
-                (sort_key, carry.ids, apsis_angle), dimension=-1, num_keys=1
-            )
-            ev_count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
-            ev_ids = ids_c[:, :event_capacity]
-            ev_angles = ang_c[:, :event_capacity]
+        ev_count, ev_ids, ev_angles = _compact_events(
+            apsis, carry.ids, apsis_angle, event_capacity
+        )
 
         new_carry = Carry(
             ids=snap.ids,
@@ -366,7 +363,18 @@ def make_static_orbit_step(
     return step
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "box_size"))
 def orbit_step(carry: Carry, snap: SnapshotBatch, mode: str = "pericentric", box_size=None):
-    """Convenience jitted single step (fresh trace per (mode, box))."""
+    """Convenience jitted single step (fresh trace per (mode, box)).
+
+    ``box_size`` may be a scalar or ``(3,)`` array_like (the loader
+    contract allows both) — array boxes are hashed as tuples so they
+    can ride the jit static argument.
+    """
+    if box_size is not None and np.ndim(box_size) > 0:
+        box_size = tuple(float(b) for b in np.asarray(box_size))
+    return _orbit_step_jit(carry, snap, mode, box_size)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "box_size"))
+def _orbit_step_jit(carry, snap, mode, box_size):
     return make_orbit_step(mode=mode, box_size=box_size)(carry, snap)

@@ -26,8 +26,6 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from orbitanalysis_tpu.utils.numerics import periodic_displacement
-
 _EPS = 1e-30  # python float: a jnp scalar here would
 #   initialize the XLA backend at import (breaks jax.distributed)
 
@@ -80,7 +78,13 @@ def region_frame(
         vel3 = jnp.moveaxis(vel, -1, 0)
     rel = pos3 - center.T[:, :, None]
     if box_size is not None:
-        rel = periodic_displacement(rel, box_size)
+        box = jnp.asarray(box_size, dtype=pos.dtype)
+        if box.ndim == 1:
+            # per-dimension box against the SoA [3, H, P] layout: the
+            # component axis is LEADING here, so a bare (3,) vector
+            # must not broadcast against the trailing particle axis
+            box = box[:, None, None]
+        rel = rel - box * jnp.round(rel / box)
     # Zero out padding so garbage slots can't produce inf/nan that would
     # propagate through reductions.
     rel = rel * w[None]

@@ -29,9 +29,7 @@ import time
 import h5py
 import numpy as np
 
-from orbitanalysis_tpu.utils.numerics import (
-    periodic_displacement,
-)
+from orbitanalysis_tpu.engine.io_hdf5 import apsis_tag
 
 
 def _match_order(a, b):
@@ -68,7 +66,7 @@ class Apsides:
 
     @property
     def _tag(self):
-        return self.mode[:-3] + "er"
+        return apsis_tag(self.mode)
 
     def collate_apsides(
         self,
@@ -206,7 +204,16 @@ class Apsides:
             gfin = hf[skeys[-1]]
             ids_final = gfin["particle_IDs"][:]
             counts_final = gfin[self._tag + "_counts"][:]
-            halo_ids = gfin["halo_IDs"][:]
+            # match in z=0 descendant space: when the collation stopped
+            # mid-sequence the last group's halo_IDs are snapshot-local
+            # progenitor IDs, but its final_descendant_IDs dataset (only
+            # absent on the true final snapshot) gives the z=0 space the
+            # earlier groups' final_descendant_IDs live in
+            halo_ids = (
+                gfin["final_descendant_IDs"][:]
+                if "final_descendant_IDs" in gfin
+                else gfin["halo_IDs"][:]
+            )
             offsets_final = np.concatenate(
                 (gfin["halo_offsets"][:], [len(ids_final)])
             )
@@ -262,7 +269,7 @@ class OrbitDecomposition:
 
     @property
     def _tag(self):
-        return self.mode[:-3] + "er"
+        return apsis_tag(self.mode)
 
     def get_halo_decomposition_at_snapshot(
         self,
@@ -333,7 +340,10 @@ class OrbitDecomposition:
             vel = np.asarray(snapshot_data["velocities"], dtype=np.float64)
             rel = pos - self.halo_position
             if box_size is not None:
-                rel = np.asarray(periodic_displacement(rel, box_size))
+                # pure-NumPy minimum image: keeps the float64 precision
+                # this method deliberately casts to (a JAX round-trip
+                # would downcast to f32 with x64 disabled)
+                rel = rel - box_size * np.round(rel / box_size)
             vrel = vel - self.halo_velocity
             r = np.sqrt((rel**2).sum(-1))
             with np.errstate(invalid="ignore"):

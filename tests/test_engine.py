@@ -451,3 +451,46 @@ def test_sorted_join_halo_born_mid_run(tmp_path, churn_setup):
     track_orbits(snap_nums, branches, regions, loader, got,
                  join_impl="sorted", verbose=False)
     _assert_files_equal(ref, got)
+
+
+def test_negative_ids_rejected(tmp_path, churn_setup):
+    """Negative particle IDs would alias the padding sentinel in the
+    unsigned join keys — the engine must fail loudly at packing."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+
+    def loader_neg(s, rp, rr):
+        out = dict(loader(s, rp, rr))
+        ids = np.asarray(out["ids"]).copy()
+        ids[0] = -1
+        out["ids"] = ids
+        return out
+
+    with pytest.raises(ValueError, match="negative particle IDs"):
+        track_orbits(snap_nums, branches, regions, loader_neg,
+                     str(tmp_path / "neg.h5"), verbose=False)
+
+
+def test_orbit_step_vector_box(rng):
+    """(3,) box_size must work through orbit_step and match the scalar
+    box when all components are equal."""
+    from orbitanalysis_tpu.ops.apsis import (
+        SnapshotBatch, init_carry, orbit_step,
+    )
+    from orbitanalysis_tpu.utils import INVALID_ID
+
+    n_halos, cap = 2, 128
+    ids = np.full((n_halos, cap), INVALID_ID, np.int32)
+    ids[:, :100] = np.arange(2 * 100).reshape(2, 100)
+    batch = SnapshotBatch(
+        ids=ids,
+        pos=rng.uniform(0, 100.0, size=(n_halos, cap, 3)).astype(np.float32),
+        vel=rng.normal(size=(n_halos, cap, 3)).astype(np.float32),
+        center=rng.uniform(0, 100.0, size=(n_halos, 3)).astype(np.float32),
+        mass=None, bulk_vel=None, hubble_drag=0.0,
+    )
+    c0 = init_carry(n_halos, cap)
+    c_vec, _ = orbit_step(c0, batch, box_size=np.array([100.0] * 3))
+    c_scal, _ = orbit_step(c0, batch, box_size=100.0)
+    np.testing.assert_allclose(
+        np.asarray(c_vec.vrad), np.asarray(c_scal.vrad), atol=1e-6
+    )

@@ -210,3 +210,61 @@ def test_central_ids_device_matches_host(rng):
         ), h
         # both radius-ordered: first entries identical
         assert a_ids[offs[h]] == b_ids[offs[h]]
+
+
+def test_mid_sequence_final_counts(tmp_path):
+    """save_final_counts with a mid-sequence collation target must map
+    through the z=0 descendant space (per-snapshot halo IDs differ from
+    z=0 IDs in real catalogs)."""
+    import h5py
+
+    from orbitanalysis_tpu.models.synthetic import churn_snapshots
+
+    box = 60.0
+    n_halos, n_snap = 3, 6
+    snaps, centers = churn_snapshots(n_halos, 120, n_snap, box_size=box,
+                                     seed=77)
+    # per-snapshot halo IDs: distinct at every snapshot (progenitors)
+    branches = np.stack([
+        np.arange(n_halos) + 1000 * s for s in range(n_snap)
+    ])
+
+    def regions(snapshot_number, halo_ids):
+        rows = np.asarray(halo_ids) % 1000
+        s = snaps[int(snapshot_number)]
+        return (np.stack([s[h]["center"] for h in rows]),
+                np.full(len(rows), 50.0))
+
+    def loader(snapshot_number, region_positions, region_radii):
+        s = snaps[int(snapshot_number)]
+        keys = []
+        for rp in np.atleast_2d(region_positions):
+            keys += [h for h in s
+                     if np.allclose(s[h]["center"], rp, atol=1e-9)]
+        lens = [len(s[h]["ids"]) for h in keys]
+        return dict(
+            ids=np.concatenate([s[h]["ids"] for h in keys]),
+            coordinates=np.concatenate([s[h]["pos"] for h in keys]),
+            velocities=np.concatenate([s[h]["vel"] for h in keys]),
+            region_offsets=np.concatenate(([0], np.cumsum(lens)))[:-1],
+            box_size=box,
+        )
+
+    save = str(tmp_path / "mid.h5")
+    track_orbits(np.arange(n_snap), branches, regions, loader, save,
+                 verbose=False)
+    coll = str(tmp_path / "coll.h5")
+    # collate only up to snapshot 4 (mid-sequence): the last collated
+    # group's halo_IDs are progenitor IDs, not z=0 IDs
+    Apsides(save).collate_apsides(
+        snapshot_number=4, savefile=coll, save_final_counts=True,
+        verbose=False,
+    )
+    with h5py.File(coll) as hf:
+        keys = sorted(hf.keys())
+        assert keys[-1] == "snapshot_004"
+        for k in keys[:-1]:
+            assert "pericenter_counts_final" in hf[k], k
+            assert np.issubdtype(
+                hf[k]["pericenter_counts_final"].dtype, np.integer
+            )
