@@ -43,7 +43,7 @@ possible (``track_orbits.py:390-394``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
