@@ -2,7 +2,10 @@
 
 Times the framework's fused per-snapshot orbit step driven by the
 ``lax.scan`` sequence driver (:mod:`orbitanalysis_tpu.engine.scan`) on the
-default JAX device, against a clean-room NumPy implementation of the
+default JAX device — headline number on a ~7 %/snapshot membership-churn
+workload (the full merge-join path real tracking runs), secondary number
+on fixed membership (the static fast path) — against a clean-room NumPy
+implementation of the
 reference algorithm's per-halo snapshot loop (the cost profile of
 ``/root/reference/orbitanalysis/track_orbits.py:247-351``: per-halo
 recenter + bulk velocity + radial velocity, double-argsort ID join,
@@ -29,8 +32,20 @@ def log(*a):
 # synthetic benchmark data: smooth orbital motion, fixed membership
 # ----------------------------------------------------------------------
 
-def make_sequence(n_halos, capacity, n_snaps, seed=0):
-    """[S]-stacked SnapshotBatch of particles on noisy circular orbits."""
+INVALID_I32 = np.iinfo(np.int32).max
+
+
+def make_sequence(n_halos, capacity, n_snaps, seed=0, churn=0.0):
+    """[S]-stacked SnapshotBatch of particles on noisy circular orbits.
+
+    ``churn`` > 0 turns over that fraction of each halo's membership per
+    snapshot (swapping members against a reserve pool, constant count),
+    exercising the full merge-join path the tracker runs on real data
+    (the reference's dynamic entered/departed sets,
+    ``track_orbits.py:300-309``); padding slots carry the int32-max
+    sentinel.  ``churn=0`` keeps fixed membership — the static fast
+    path.  Returns ``(ids_seq, pos, vel, centers_seq, n_valid)``.
+    """
     rng = np.random.default_rng(seed)
     center = rng.uniform(20.0, 80.0, size=(n_halos, 3)).astype(np.float32)
     r0 = rng.uniform(0.5, 5.0, size=(n_halos, capacity)).astype(np.float32)
@@ -82,33 +97,57 @@ def make_sequence(n_halos, capacity, n_snaps, seed=0):
                 -sph[..., None] * axis_x + cph[..., None] * axis_y
             )
         )
-    ids_seq = np.broadcast_to(ids, (n_snaps, n_halos, capacity))
     centers_seq = np.broadcast_to(center, (n_snaps, n_halos, 3))
-    return ids_seq, pos, vel, centers_seq
+    if churn <= 0.0:
+        ids_seq = np.broadcast_to(ids, (n_snaps, n_halos, capacity))
+        return ids_seq, pos, vel, centers_seq, capacity
+
+    # membership churn: each row tracks n_valid of its `capacity`-sized
+    # orbit pool; per snapshot, k members swap against the reserve
+    n_valid = int(capacity * 0.9)
+    k = min(int(round(churn * n_valid)), capacity - n_valid)
+    ids_seq = np.full((n_snaps, n_halos, capacity), INVALID_I32, np.int32)
+    pos_c = np.zeros_like(pos)
+    vel_c = np.zeros_like(vel)
+    for h in range(n_halos):
+        member = np.zeros(capacity, dtype=bool)
+        member[rng.choice(capacity, n_valid, replace=False)] = True
+        for s in range(n_snaps):
+            if s > 0 and k > 0:
+                drop = rng.choice(np.flatnonzero(member), k, replace=False)
+                add = rng.choice(np.flatnonzero(~member), k, replace=False)
+                member[drop] = False
+                member[add] = True
+            sel = np.flatnonzero(member)
+            rng.shuffle(sel)  # load order is arbitrary, like real data
+            ids_seq[s, h, :n_valid] = ids[h][sel]
+            pos_c[s, h, :n_valid] = pos[s, h][sel]
+            vel_c[s, h, :n_valid] = vel[s, h][sel]
+    return ids_seq, pos_c, vel_c, centers_seq, n_valid
 
 
 # ----------------------------------------------------------------------
 # NumPy baseline: reference-style per-halo loop (clean-room)
 # ----------------------------------------------------------------------
 
-def _myin1d(a, b):
-    """Indices into ``a`` of the values ``b`` (all present), in b's order
-    — the reference's double-argsort idiom (``utils.py:4-11``)."""
-    return np.argsort(a)[np.argsort(np.argsort(b))] if len(a) else b
-
 def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
                                  box=100.0):
-    n_snaps, n_halos, npart = ids_seq.shape
+    n_snaps, n_halos, _ = ids_seq.shape
     t0 = time.perf_counter()
     n_events = 0
+    n_updates = 0
     prev = [None] * n_halos
     for s in range(n_snaps):
         for h in range(n_halos):
-            ids = ids_seq[s, h]
-            rel = pos_seq[s, h] - centers_seq[s, h]
+            valid = ids_seq[s, h] != INVALID_I32
+            ids = ids_seq[s, h][valid]
+            npart = len(ids)
+            if s > 0:
+                n_updates += npart
+            rel = pos_seq[s, h][valid] - centers_seq[s, h]
             rel -= box * np.round(rel / box)
-            bulk = vel_seq[s, h].mean(0)
-            vrel = vel_seq[s, h] - bulk
+            bulk = vel_seq[s, h][valid].mean(0)
+            vrel = vel_seq[s, h][valid] - bulk
             r = np.sqrt(np.einsum("ij,ij->i", rel, rel))
             rhat = rel / r[:, None]
             vr = np.einsum("ij,ij->i", vrel, rhat)
@@ -116,8 +155,12 @@ def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
                 ids0, vr0, rhat0, ang0 = prev[h]
                 in_prev = np.isin(ids, ids0)
                 matched = ids[in_prev]
-                ci = _myin1d(ids, matched)
-                pi = _myin1d(ids0, matched)
+                # positions of the matched set on both sides (the
+                # double-argsort _myin1d shortcut is only valid when the
+                # sets coincide, i.e. the static-membership case)
+                ci = np.flatnonzero(in_prev)
+                sorter = np.argsort(ids0)
+                pi = sorter[np.searchsorted(ids0, matched, sorter=sorter)]
                 flip = (vr0[pi] < 0) & (vr[ci] > 0)
                 dth = np.arccos(
                     np.clip(
@@ -133,8 +176,7 @@ def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
                 ang_new = np.zeros(npart, dtype=np.float32)
             prev[h] = (ids, vr, rhat, ang_new)
     dt = time.perf_counter() - t0
-    updates = (n_snaps - 1) * n_halos * npart
-    return updates / dt, n_events
+    return n_updates / dt, n_events
 
 
 # ----------------------------------------------------------------------
@@ -142,7 +184,7 @@ def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
 # ----------------------------------------------------------------------
 
 def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
-                         box=100.0, repeats=3):
+                         n_valid=None, box=100.0, repeats=3):
     import jax
     import jax.numpy as jnp
 
@@ -199,7 +241,7 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
         n_ev, _mx, _ids, _angles = fn(carry0, snaps)
         n_ev = int(np.asarray(n_ev))
         best = min(best, time.perf_counter() - t0)
-    updates = n_snaps * n_halos * capacity
+    updates = n_snaps * n_halos * (n_valid or capacity)
     return updates / best, events, best
 
 
@@ -215,30 +257,42 @@ def main():
         n_halos, capacity, n_snaps = 8, 2048, 8
 
     log(f"config: H={n_halos} P={capacity} S={n_snaps}")
-    ids_seq, pos_seq, vel_seq, centers_seq = make_sequence(
+
+    # headline: membership churn (~7 %/snapshot) — the honest tracking
+    # workload, running the full bitonic merge-join every step (the
+    # reference's dynamic entered/departed sets, track_orbits.py:300-309)
+    ids_c, pos_c, vel_c, centers_c, n_valid = make_sequence(
+        n_halos, capacity, n_snaps, churn=0.07
+    )
+    churn_ups, churn_events, t_c = device_updates_per_s(
+        ids_c, pos_c, vel_c, centers_c, n_valid=n_valid
+    )
+    log(f"device churn: {churn_ups:.3e} updates/s "
+        f"({churn_events} apsis events, {t_c:.3f} s/scan)")
+
+    # secondary: fixed membership — the lax.cond static fast path
+    ids_seq, pos_seq, vel_seq, centers_seq, _ = make_sequence(
         n_halos, capacity, n_snaps
     )
-
-    ups, events, t = device_updates_per_s(
+    static_ups, s_events, t_s = device_updates_per_s(
         ids_seq, pos_seq, vel_seq, centers_seq
     )
-    log(f"device: {ups:.3e} updates/s ({events} apsis events, {t:.3f} s/scan)")
+    log(f"device static: {static_ups:.3e} updates/s "
+        f"({s_events} apsis events, {t_s:.3f} s/scan)")
 
-    # baseline on a slice small enough to finish quickly, same layout
+    # baseline on a size small enough to finish quickly, same workload
     bh, bp, bs = min(n_halos, 8), min(capacity, 4096), min(n_snaps, 6)
-    b_ups, b_events = numpy_baseline_updates_per_s(
-        ids_seq[:bs, :bh, :bp],
-        pos_seq[:bs, :bh, :bp],
-        vel_seq[:bs, :bh, :bp],
-        centers_seq[:bs, :bh],
-    )
-    log(f"numpy baseline: {b_ups:.3e} updates/s ({b_events} events)")
+    bids, bpos, bvel, bcent, _ = make_sequence(bh, bp, bs, churn=0.07,
+                                               seed=1)
+    b_ups, b_events = numpy_baseline_updates_per_s(bids, bpos, bvel, bcent)
+    log(f"numpy baseline (churn): {b_ups:.3e} updates/s ({b_events} events)")
 
     print(json.dumps({
-        "metric": "orbit_updates_per_sec_per_chip",
-        "value": round(ups, 1),
+        "metric": "orbit_updates_per_sec_per_chip_churn",
+        "value": round(churn_ups, 1),
         "unit": "particle-snapshot updates/s",
-        "vs_baseline": round(ups / b_ups, 2),
+        "vs_baseline": round(churn_ups / b_ups, 2),
+        "static_updates_per_sec": round(static_ups, 1),
     }))
 
 

@@ -46,6 +46,7 @@ from orbitanalysis_tpu.ops.apsis import (
     make_static_orbit_step,
 )
 from orbitanalysis_tpu.ops.sorted_step import (
+    AUTO_FUSED_CAPACITY,
     MAX_FUSED_CAPACITY,
     SortedCarry,
     init_sorted_carry,
@@ -92,6 +93,100 @@ def _call_regions(regions, snapshot_number, halo_ids):
         np.atleast_1d(np.asarray(radii)),
         None if bulk_vels is None else np.atleast_2d(np.asarray(bulk_vels)),
     )
+
+
+def _load_item(regions, load_snapshot_data, halo_ids, snapshot_number):
+    """Run both user callbacks for one snapshot; ``None`` payload means
+    nothing to process (no live branches / empty load)."""
+    rows = np.argwhere(np.asarray(halo_ids) != -1).flatten()
+    if len(rows) == 0:
+        return rows, None
+    region_positions, region_radii, region_bulk_vels = _call_regions(
+        regions, snapshot_number, halo_ids[rows]
+    )
+    snapshot = load_snapshot_data(
+        snapshot_number, region_positions, region_radii
+    )
+    return rows, (region_positions, region_radii, region_bulk_vels, snapshot)
+
+
+class _SnapshotFeed:
+    """Snapshot ingestion, optionally prefetched on a background thread.
+
+    The reference loads each snapshot synchronously inside the time loop
+    (``track_orbits.py:118-122``); here the callback I/O for snapshot
+    s+1 runs while the host packs/writes snapshot s and the device
+    computes it — the load latency drops off the critical path.  Calls
+    into the user callbacks stay strictly sequential (one at a time, in
+    snapshot order, from a single thread), so no new thread-safety
+    demands are placed on them.  A loader exception is re-delivered at
+    the iteration that requested the snapshot, exactly like the
+    synchronous path, and halts prefetching.
+    """
+
+    def __init__(self, items, regions, load_snapshot_data, depth: int):
+        self._items = items
+        self._regions = regions
+        self._load = load_snapshot_data
+        self._depth = depth
+        self._queue = None
+        self._stop = None
+        self._thread = None
+        self._next = 0
+        if depth > 0 and len(items) > 1:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=depth)
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._run, name="orbit-snapshot-prefetch", daemon=True
+            )
+            self._thread.start()
+
+    def _run(self):
+        for halo_ids, snapshot_number in self._items:
+            if self._stop.is_set():
+                return
+            try:
+                out = (None, _load_item(self._regions, self._load,
+                                        halo_ids, snapshot_number))
+            except BaseException as exc:  # re-raised on the main thread
+                out = (exc, None)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(out, timeout=0.1)
+                    break
+                except Exception:  # queue.Full
+                    continue
+            if out[0] is not None:
+                return
+
+    def get(self, index: int):
+        """Blocking fetch of item ``index`` (must be called in order)."""
+        assert index == self._next, "feed consumed out of order"
+        self._next += 1
+        if self._thread is None:
+            halo_ids, snapshot_number = self._items[index]
+            return _load_item(self._regions, self._load,
+                              halo_ids, snapshot_number)
+        exc, payload = self._queue.get()
+        if exc is not None:
+            self.close()
+            raise exc
+        return payload
+
+    def close(self):
+        if self._thread is not None:
+            self._stop.set()
+            # unblock a put() stuck on a full queue, then reap
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except Exception:
+                pass
+            self._thread.join(timeout=5)
+            self._thread = None
 
 
 class _DeviceEngine:
@@ -288,12 +383,54 @@ def track_orbits(
     metrics: Optional[Metrics] = None,
     profile_dir: Optional[str] = None,
     join_impl: str = "auto",
+    prefetch: int = 1,
     npool=None,  # noqa: ARG001 — accepted for reference API compat, unused
 ):
     """Track pericentric/apocentric passages over a snapshot sequence.
 
-    Parameters mirror the reference driver (``track_orbits.py:9-71``);
-    see that docstring's data contract.  TPU-specific additions:
+    Parameters mirror the reference driver (``track_orbits.py:9-71``).
+
+    snapshot_numbers : (S,) int array-like
+        Snapshot numbers to process, any order (sorted ascending
+        internally; ``main_branches`` is reordered with them).
+    main_branches : (S, n_halos) int array-like
+        Per-snapshot progenitor halo IDs of each tracked branch, aligned
+        with ``snapshot_numbers``.  Entry ``-1`` means the branch has no
+        progenitor at that snapshot (halo not yet born): the row is
+        skipped and its per-particle state starts fresh when the branch
+        first appears.  The last row holds the final descendant IDs
+        recorded in the savefile.
+    regions : callable
+        ``regions(snapshot_number, halo_ids) -> (positions, radii)`` or
+        ``-> (positions, radii, bulk_velocities)``.  ``halo_ids`` is the
+        ``main_branches`` row with ``-1`` entries removed; returns the
+        region centers ``(n, 3)``, radii ``(n,)``, and optionally
+        catalog bulk velocities ``(n, 3)`` (if omitted, the bulk
+        velocity is the mass-weighted mean of each region's particles).
+    load_snapshot_data : callable
+        ``load_snapshot_data(snapshot_number, region_positions,
+        region_radii) -> dict``.  Must return the particles inside each
+        requested region, block-concatenated **in request order**, as:
+
+        - ``ids (N,) int`` — unique non-negative particle IDs;
+        - ``coordinates (N, 3)``, ``velocities (N, 3)`` — comoving
+          positions and peculiar velocities;
+        - ``masses`` — ``(N,)`` array or scalar (scalar/equal-mass means
+          the plain mean is used for bulk velocities);
+        - ``region_offsets (n,) int`` — start index of each region's
+          block (block ``i`` spans ``offsets[i]:offsets[i+1]``);
+        - optional ``box_size`` (enables periodic wrapping),
+          ``redshift``, ``H0``, ``Omega_m``, ``Omega_L``, ``Omega_k``
+          (all present ⇒ the Hubble-flow term ``H·r/(1+z)`` is added to
+          radial velocities, matching the reference's offline mode).
+
+        Blocks must cover exactly the requested regions — returning all
+        halos when a subset was requested corrupts the packing.
+    savefile : str
+        Output HDF5 path (reference schema: one ``snapshot_%03d`` group
+        per processed snapshot).
+
+    TPU-specific additions:
 
     capacity : int, optional
         Particle-axis capacity per halo row. Default: sized from the first
@@ -324,6 +461,11 @@ def track_orbits(
         halo-sharded via ``shard_map`` (halo axis only).  ``'auto'``
         picks ``'sorted'`` on TPU when its constraints hold (32-bit
         IDs, f32 angles, no 'particles' mesh axis), else ``'general'``.
+    prefetch : int
+        Snapshots to load ahead on a background thread (queue depth).
+        The callbacks are still invoked one at a time in snapshot
+        order; their I/O just overlaps the previous snapshot's pack /
+        device step / savefile write.  ``0`` loads synchronously.
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -499,27 +641,26 @@ def track_orbits(
                 angle_store_dtype=angles_flat.dtype,
             )
 
-    with trace(profile_dir):
-      for i, (halo_ids, snapshot_number) in enumerate(
-        zip(main_branches, snapshot_numbers)
-      ):
+    items = list(zip(main_branches, snapshot_numbers))
+    feed = _SnapshotFeed(
+        items, regions, load_snapshot_data, depth=max(int(prefetch), 0)
+    )
+    try:
+      with trace(profile_dir):
+       for i, (halo_ids, snapshot_number) in enumerate(items):
         if verbose:
             print("-" * 30, "\n")
             print("Snapshot {}\n".format("%03d" % snapshot_number))
         phases = {}
 
-        rows = np.argwhere(halo_ids != -1).flatten()
-        if len(rows) == 0:
-            continue
-        halo_ids_active = halo_ids[rows]
-
+        # blocking fetch from the prefetch pipeline: the recorded
+        # 'load' phase is the residual wait, near zero when the
+        # background load finished while the previous step computed
         with phase_timer(phases, "load"):
-            region_positions, region_radii, region_bulk_vels = _call_regions(
-                regions, snapshot_number, halo_ids_active
-            )
-            snapshot = load_snapshot_data(
-                snapshot_number, region_positions, region_radii
-            )
+            rows, payload = feed.get(i)
+        if payload is None:
+            continue
+        region_positions, region_radii, region_bulk_vels, snapshot = payload
         if len(snapshot["coordinates"]) == 0:
             continue
 
@@ -552,10 +693,10 @@ def track_orbits(
             cap = capacity or required_capacity(lengths, headroom)
             if join_impl == "sorted":
                 cap = max(round_up_pow2(cap), 128)
-                # 'auto' stays at <= 65536 (P=131072 kernels are
-                # validated but take ~10 min of Mosaic compile — only
-                # an explicit join_impl='sorted' opts into that)
-                limit = 65536 if join_was_auto else MAX_FUSED_CAPACITY
+                limit = (
+                    AUTO_FUSED_CAPACITY if join_was_auto
+                    else MAX_FUSED_CAPACITY
+                )
                 if cap > limit:
                     # a whole 2*capacity merged row must fit in VMEM
                     if join_was_auto:
@@ -686,7 +827,9 @@ def track_orbits(
         prev_ids_host = packed.ids
         prev_rows = rows
 
-      flush_pending()
+       flush_pending()
+    finally:
+        feed.close()
 
     if verbose:
         print(

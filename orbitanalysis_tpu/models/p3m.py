@@ -168,6 +168,16 @@ def make_p3m_force_fn(
         h = box_size / grid
         sigma = sigma_cells * h
         r_cut = cutoff_sigmas * sigma
+        if r_cut > box_size / 2:
+            # the erfc short range sees only the minimum image per pair
+            # while the smoothed k-space long range sums all periodic
+            # images — the Ewald split stops cancelling exactly
+            raise ValueError(
+                f"P3M short-range cutoff {r_cut:.3g} exceeds half the "
+                f"box ({box_size / 2:.3g}); raise `grid` or lower "
+                "`sigma_cells`/`cutoff_sigmas` (same constraint as the "
+                "distributed slab-width check)"
+            )
         c_dims = max(int(box_size / r_cut), 1)
         cell = box_size / c_dims  # >= r_cut
         if cell_cap is None:

@@ -24,33 +24,41 @@ _lock = threading.Lock()
 _lib = None
 
 
+def _compile() -> bool:
+    """Run g++ on the source (caller holds ``_lock``)."""
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                "-fPIC", _SRC, "-o", _SO + ".tmp",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
 def build(force: bool = False) -> bool:
     """Compile the native packer (g++ -O3 -fopenmp).  Returns success."""
     with _lock:
         if os.path.exists(_SO) and not force:
             return True
-        try:
-            subprocess.run(
-                [
-                    "g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                    "-fPIC", _SRC, "-o", _SO + ".tmp",
-                ],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            os.replace(_SO + ".tmp", _SO)
-            return True
-        except (OSError, subprocess.SubprocessError):
-            return False
+        return _compile()
+
+
+_load_failed = False
 
 
 def load():
     """The ctypes library handle, or None if unavailable/unbuilt."""
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    if _load_failed or not os.path.exists(_SO):
         return None
     with _lock:
         if _lib is None:
@@ -58,20 +66,15 @@ def load():
             if not hasattr(lib, "grid_count_sort"):
                 # stale prebuilt library from before the symbol was
                 # added (the .so is gitignored, so it survives source
-                # updates) — rebuild in place and reload
-                try:
-                    subprocess.run(
-                        [
-                            "g++", "-O3", "-march=native", "-fopenmp",
-                            "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
-                        ],
-                        check=True, capture_output=True, timeout=120,
-                    )
-                    os.replace(_SO + ".tmp", _SO)
-                    lib = ctypes.CDLL(_SO)
-                except (OSError, subprocess.SubprocessError):
+                # updates) — rebuild in place once and reload; cache
+                # failure so a broken toolchain doesn't re-run g++ on
+                # every call
+                if not _compile():
+                    _load_failed = True
                     return None
+                lib = ctypes.CDLL(_SO)
                 if not hasattr(lib, "grid_count_sort"):
+                    _load_failed = True
                     return None
             lib.pack_ragged_bytes.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,

@@ -64,6 +64,11 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
   // capped so per-thread histograms stay bounded on many-core hosts
   int nt = omp_get_max_threads();
   if (nt > 32) nt = 32;
+  // per-thread histograms are n_cells * 8 bytes; a very fine grid
+  // (n_cells >> n, user-supplied cell_size) would otherwise allocate
+  // gigabytes of transient memory — bound the team by a byte budget
+  const int64_t mem_nt = (512ll << 20) / (n_cells * 8 + 1);
+  if (nt > mem_nt) nt = static_cast<int>(mem_nt);
   if (nt < 1) nt = 1;
   std::vector<std::vector<int64_t>> hist(nt);
   for (int t = 0; t < nt; ++t) hist[t].assign(n_cells, 0);

@@ -24,6 +24,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from orbitanalysis_tpu.ops.pallas_config import default_interpret
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -165,7 +167,7 @@ def compact_rows(sel_a, ops_a, len_a, sel_b, ops_b, len_b):
         + (shape3(sel_b),)
         + tuple(shape3(b) for b in ops_b)
     )
-    interpret = jax.default_backend() != "tpu"
+    interpret = default_interpret()
     out = _compact_call(
         len(ops_a), len(ops_b), len_a, len_b, interpret, *arrays
     )

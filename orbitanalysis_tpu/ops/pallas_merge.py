@@ -32,6 +32,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from orbitanalysis_tpu.ops.pallas_config import default_interpret
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -224,7 +226,7 @@ def merge_rows(prev_ops, cur_ops, num_keys: int = 1):
     )
     # kernel expects prev channels then cur channels; interpret mode off
     # TPU (CPU test tier, same convention as ops/pallas_nbody.py)
-    interpret = jax.default_backend() != "tpu"
+    interpret = default_interpret()
     out = _merge_call(len(prev_ops) - 1, interpret, *arrays)
     return tuple(o.reshape(h, 2 * p) for o in out)
 

@@ -38,6 +38,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from orbitanalysis_tpu.ops.pallas_config import default_interpret
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -332,7 +334,7 @@ def fused_static_detect(
         a.reshape(h, r, _LANES)
         for a in tuple(prev_ops) + tuple(cur_asc_ops)
     )
-    interpret = jax.default_backend() != "tpu"
+    interpret = default_interpret()
     packed, evk, evsv, evang, count = _static_call(
         pericentric, int(invalid_id), k128, interpret, *arrays
     )
@@ -418,7 +420,7 @@ def fused_join_detect(
     arrays = tuple(
         a.reshape(h, r, _LANES) for a in tuple(prev_ops) + tuple(cur_ops)
     )
-    interpret = jax.default_backend() != "tpu"
+    interpret = default_interpret()
     packed, evk, evsv, evang, count = _fused_call(
         pericentric, int(invalid_id), k128, interpret, *arrays
     )

@@ -58,6 +58,12 @@ from orbitanalysis_tpu.utils.padding import invalid_id_for
 #: compile times (>9 min) and is untested.
 MAX_FUSED_CAPACITY = 131072
 
+#: Capacity ceiling the tracker's ``join_impl='auto'`` accepts before
+#: falling back to the general path: P=131072 compiles and is correct,
+#: but its ~10-minute Mosaic compile is opt-in (explicit
+#: ``join_impl='sorted'``), not something 'auto' should spring on a run.
+AUTO_FUSED_CAPACITY = 65536
+
 #: key_B value for merged entries that are neither part of the next
 #: carry nor an apsis event (departed / padding / matched-away prev).
 _DEAD_KEY = 1 << 30  # python int: a jnp scalar here would

