@@ -248,6 +248,9 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
 def main():
     import jax
 
+    from orbitanalysis_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     log(f"platform: {platform} ({len(jax.devices())} device(s))")
 

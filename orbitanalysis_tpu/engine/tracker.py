@@ -25,6 +25,7 @@ parallelism is the device mesh now.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -76,6 +77,32 @@ def _normalize_inputs(snapshot_numbers, main_branches):
         )
     order = np.argsort(snapshot_numbers)
     return snapshot_numbers[order], main_branches[order]
+
+
+def _fetch_host(x):
+    """``np.asarray`` that also handles multi-process-sharded arrays.
+
+    In a multi-host mesh run every process owns only its halo-row
+    shards; the savefile is single-writer (reference semantics,
+    ``track_orbits.py:366-397``), so device results are gathered to
+    every host (XLA all-gather over ICI/DCN via ``process_allgather``)
+    and process 0 writes.  Collective: every process must call this at
+    the same point — all fetch sites in the tracker do.
+    """
+    import jax as _jax
+
+    if isinstance(x, _jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+@functools.partial(jax.jit, static_argnames=("kf",))
+def _slice_cols(x, kf):
+    """Column-prefix slice as an SPMD program (eager slicing of a
+    non-addressable global array is not allowed)."""
+    return x[:, :kf]
 
 
 def _call_regions(regions, snapshot_number, halo_ids):
@@ -294,7 +321,7 @@ class _DeviceEngine:
         pad = new_capacity - self.capacity
         if pad <= 0:
             return
-        c = jax.device_get(self.carry)
+        c = jax.tree.map(_fetch_host, self.carry)
         if self.join == "sorted":
             # appended sentinel slots keep each row's ID-sortedness
             h = c.ids.shape[0]
@@ -328,6 +355,51 @@ class _DeviceEngine:
         # jitted executables for the old capacity are unreachable now
         self._steps.clear()
         self.carry = self._place(grown)
+
+    def to_general(self, new_capacity: int):
+        """Convert this sorted engine into a fresh general engine at
+        ``new_capacity`` — the capacity-growth path that costs an XLA
+        compile (seconds) instead of a fused-kernel Mosaic re-jit
+        (minutes).  The carry is scattered back from ID-sorted to
+        load-slot layout; the radial-velocity sign bits become ±1.0
+        placeholders (detection only ever compares signs,
+        ``track_orbits.py:311-314``, so results are unchanged).
+        Returns ``(general_engine, carry_ids_in_load_order)``.
+        """
+        assert self.join == "sorted"
+        new_capacity = round_up(new_capacity, 128)
+        c = jax.tree.map(_fetch_host, self.carry)
+        ids_s = np.asarray(c.ids)
+        slot = np.asarray(c.slot)
+        h, p = ids_s.shape
+        rhat_s = np.asarray(c.rhat)
+        ang_s = np.asarray(c.angles)
+        vrb = np.asarray(c.vrb)
+        vr_s = (
+            ((vrb >> 1) & 1).astype(rhat_s.dtype)
+            - (vrb & 1).astype(rhat_s.dtype)
+        )
+        ids_l = np.full((h, new_capacity), self.invalid, dtype=ids_s.dtype)
+        vr_l = np.zeros((h, new_capacity), dtype=rhat_s.dtype)
+        ang_l = np.zeros((h, new_capacity), dtype=ang_s.dtype)
+        rhat_l = np.zeros((3, h, new_capacity), dtype=rhat_s.dtype)
+        np.put_along_axis(ids_l, slot, ids_s, axis=-1)
+        np.put_along_axis(vr_l, slot, vr_s, axis=-1)
+        np.put_along_axis(ang_l, slot, ang_s, axis=-1)
+        np.put_along_axis(
+            rhat_l, np.broadcast_to(slot[None], rhat_s.shape), rhat_s,
+            axis=-1,
+        )
+        out = _DeviceEngine(
+            self.n_halos, new_capacity, self.mode, self.box_size,
+            self.id_dtype, self.angle_dtype, sharding=self.sharding,
+            event_capacity=self.event_capacity, join="general",
+        )
+        out.carry = out._place(
+            Carry(ids=jnp.asarray(ids_l), rhat=jnp.asarray(rhat_l),
+                  vrad=jnp.asarray(vr_l), angles=jnp.asarray(ang_l))
+        )
+        return out, ids_l
 
     def step(self, packed: PackedSnapshot, hubble_drag: float,
              static: bool = False):
@@ -384,6 +456,7 @@ def track_orbits(
     profile_dir: Optional[str] = None,
     join_impl: str = "auto",
     prefetch: int = 1,
+    grow_impl: str = "auto",
     npool=None,  # noqa: ARG001 — accepted for reference API compat, unused
 ):
     """Track pericentric/apocentric passages over a snapshot sequence.
@@ -466,12 +539,31 @@ def track_orbits(
         The callbacks are still invoked one at a time in snapshot
         order; their I/O just overlaps the previous snapshot's pack /
         device step / savefile write.  ``0`` loads synchronously.
+    grow_impl : {'auto', 'keep', 'general'}
+        What a mid-run capacity overflow does to a sorted-join engine:
+        ``'keep'`` re-jits the fused kernel at the grown capacity
+        (minutes of Mosaic compile unless the persistent compilation
+        cache has it); ``'general'`` converts the carry to the general
+        engine (seconds of XLA compile, ~4x slower steps after);
+        ``'auto'`` = 'general' when ``join_impl`` was auto-selected,
+        'keep' when 'sorted' was requested explicitly.
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
             "Orbit detection mode not recognized. Please specify either "
             "'pericentric' or 'apocentric'."
         )
+    # re-jits (capacity growth, restarts, resume) hit disk instead of
+    # paying the multi-minute Mosaic compile again
+    from orbitanalysis_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from orbitanalysis_tpu.parallel import multihost
+
+    # single-writer savefile semantics across processes (reference:
+    # one process owns the file, track_orbits.py:366-397); non-primary
+    # processes still participate in every device fetch (collectives)
+    primary = multihost.is_primary()
     snapshot_numbers, main_branches = _normalize_inputs(
         snapshot_numbers, main_branches
     )
@@ -497,6 +589,8 @@ def track_orbits(
 
     if join_impl not in ("auto", "general", "sorted"):
         raise ValueError(f"unknown join_impl: {join_impl!r}")
+    if grow_impl not in ("auto", "keep", "general"):
+        raise ValueError(f"unknown grow_impl: {grow_impl!r}")
     join_was_auto = join_impl == "auto"
     if join_impl == "auto":
         idt = np.dtype(id_dtype)
@@ -534,11 +628,11 @@ def track_orbits(
         if p["save"]:
             events = p["events"]
             with phase_timer(phases, "fetch"):
-                ev_count = np.asarray(
+                ev_count = _fetch_host(
                     events.count if engine.join == "sorted"
                     else events.ev_count
                 )
-                bulk_vel = np.asarray(events.bulk_vel)
+                bulk_vel = _fetch_host(events.bulk_vel)
             if verbose:
                 # pipelined: the elapsed time spans dispatch of this
                 # snapshot's step through the next snapshot's load/pack
@@ -564,9 +658,12 @@ def track_orbits(
                 kf = min(round_up(max(int(counts.max(initial=0)), 1), 256),
                          width)
                 with phase_timer(phases, "fetch"):
-                    ev_ids = np.asarray(events.ids[:, :kf])[saved_rows]
-                    ev_angles = np.asarray(events.angles[:, :kf])[saved_rows]
-                    ev_slots = np.asarray(events.slots[:, :kf])[saved_rows]
+                    ev_ids = _fetch_host(
+                        _slice_cols(events.ids, kf))[saved_rows]
+                    ev_angles = _fetch_host(
+                        _slice_cols(events.angles, kf))[saved_rows]
+                    ev_slots = _fetch_host(
+                        _slice_cols(events.slots, kf))[saved_rows]
                 sel = np.arange(kf)[None, :] < counts[:, None]
                 slot_key = np.where(sel, ev_slots, np.iinfo(np.int32).max)
                 order = np.argsort(slot_key, axis=-1, kind="stable")
@@ -578,8 +675,8 @@ def track_orbits(
             elif int(ev_count[saved_rows].max(initial=0)) > K:
                 # event-capacity overflow: fetch the full masks (rare)
                 with phase_timer(phases, "fetch"):
-                    apsis = np.asarray(events.apsis)
-                    apsis_angle = np.asarray(events.apsis_angle)
+                    apsis = _fetch_host(events.apsis)
+                    apsis_angle = _fetch_host(events.apsis_angle)
                 apsis_offsets, apsis_ids_flat, apsis_angles_flat = (
                     unpack_mask(
                         apsis, p["layout_ids"], apsis_angle, rows=saved_rows
@@ -587,8 +684,8 @@ def track_orbits(
                 )
             else:
                 with phase_timer(phases, "fetch"):
-                    ev_ids = np.asarray(events.ev_ids)[saved_rows]
-                    ev_angles = np.asarray(events.ev_angles)[saved_rows]
+                    ev_ids = _fetch_host(events.ev_ids)[saved_rows]
+                    ev_angles = _fetch_host(events.ev_angles)[saved_rows]
                 counts = ev_count[saved_rows]
                 sel = np.arange(K)[None, :] < counts[:, None]
                 apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
@@ -596,20 +693,21 @@ def track_orbits(
                 apsis_angles_flat = ev_angles[sel]
 
             with phase_timer(phases, "save"):
-                io_hdf5.append_snapshot(
-                    savefile,
-                    p["snapshot_number"],
-                    mode,
-                    apsis_ids=apsis_ids_flat,
-                    apsis_offsets=apsis_offsets,
-                    apsis_angles=apsis_angles_flat,
-                    halo_ids=p["halo_ids_saved"],
-                    final_descendant_ids=p["final_desc"],
-                    region_radii=p["region_radii_saved"],
-                    region_positions=p["region_positions_saved"],
-                    bulk_velocities=bulk_vel[saved_rows],
-                    verbose=verbose,
-                )
+                if primary:  # single-writer, reference semantics
+                    io_hdf5.append_snapshot(
+                        savefile,
+                        p["snapshot_number"],
+                        mode,
+                        apsis_ids=apsis_ids_flat,
+                        apsis_offsets=apsis_offsets,
+                        apsis_angles=apsis_angles_flat,
+                        halo_ids=p["halo_ids_saved"],
+                        final_descendant_ids=p["final_desc"],
+                        region_radii=p["region_radii_saved"],
+                        region_positions=p["region_positions_saved"],
+                        bulk_velocities=bulk_vel[saved_rows],
+                        verbose=verbose,
+                    )
             if metrics is not None:
                 metrics.log(
                     snapshot=int(p["snapshot_number"]),
@@ -624,7 +722,9 @@ def track_orbits(
             # donate them (see angles_host below); final drain fetches here
             angles_dev = p.get("angles_host")
             if angles_dev is None:
-                angles_dev = np.asarray(jax.device_get(engine.carry.angles))
+                angles_dev = _fetch_host(engine.carry.angles)
+            if not primary:
+                return
             valid = p["packed_ids"] != engine.invalid
             if engine.join == "sorted":
                 # carry is ID-sorted; scatter back to load order so the
@@ -715,25 +815,43 @@ def track_orbits(
                 sharding=sharding, event_capacity=event_capacity,
                 join=join_impl,
             )
-            if not resume:
+            if not resume and primary:
                 io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
         if lengths.size and int(lengths.max()) > engine.capacity:
             # growth re-pads device state: drain the pipeline first so
             # pending full-mask fallbacks keep their original shapes
             flush_pending()
             new_cap = required_capacity(lengths, headroom)
-            if verbose:
-                print(
-                    f"Growing particle capacity {engine.capacity} -> {new_cap} "
-                    "(recompiles the step)\n"
-                )
-            engine.grow(new_cap)
-            if prev_ids_host is not None:
-                prev_ids_host = np.pad(
-                    prev_ids_host,
-                    ((0, 0), (0, engine.capacity - prev_ids_host.shape[1])),
-                    constant_values=engine.invalid,
-                )
+            to_general = engine.join == "sorted" and (
+                grow_impl == "general"
+                or (grow_impl == "auto" and join_was_auto)
+            )
+            if to_general:
+                # auto-join contract: never stall a run on a surprise
+                # multi-minute fused-kernel recompile — hand the carry
+                # to the general engine (XLA compiles in seconds)
+                if verbose:
+                    print(
+                        f"Growing particle capacity {engine.capacity} -> "
+                        f"{new_cap}; switching to the general join engine "
+                        "(avoids a fused-kernel recompile)\n"
+                    )
+                engine, prev_ids_host = engine.to_general(new_cap)
+                join_impl = "general"
+            else:
+                if verbose:
+                    print(
+                        f"Growing particle capacity {engine.capacity} -> "
+                        f"{new_cap} (recompiles the step)\n"
+                    )
+                engine.grow(new_cap)
+                if prev_ids_host is not None:
+                    prev_ids_host = np.pad(
+                        prev_ids_host,
+                        ((0, 0),
+                         (0, engine.capacity - prev_ids_host.shape[1])),
+                        constant_values=engine.invalid,
+                    )
 
         with phase_timer(phases, "pack"):
             packed = pack_snapshot(
@@ -755,9 +873,7 @@ def track_orbits(
         if checkpoint and pending is not None:
             # the next dispatch donates the carry, so materialize the
             # pending snapshot's angles now (syncs on its step only)
-            pending["angles_host"] = np.asarray(
-                jax.device_get(engine.carry.angles)
-            )
+            pending["angles_host"] = _fetch_host(engine.carry.angles)
         layout_ids = prev_ids_host  # the dispatched step's prev layout
         with phase_timer(phases, "step"):
             events = engine.step(packed, hubble_drag, static=static)

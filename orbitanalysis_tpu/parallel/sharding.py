@@ -49,11 +49,28 @@ def halo_sharding(mesh: Mesh):
     return mesh
 
 
+def _put(leaf, ns: NamedSharding):
+    """device_put that also works when ``ns`` spans multiple processes:
+    each process places its addressable shards from its full host copy
+    (every process holds the same host array — the tracker's packing is
+    replicated host work) and the shards are assembled into one global
+    array."""
+    if jax.process_count() == 1 or all(
+        d.process_index == jax.process_index()
+        for d in ns.device_set
+    ):
+        return jax.device_put(leaf, ns)
+    arr = np.asarray(leaf)
+    idx_map = ns.addressable_devices_indices_map(arr.shape)
+    shards = [jax.device_put(arr[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(arr.shape, ns, shards)
+
+
 def shard_tree(tree, mesh: Mesh):
     """device_put a PyTree with per-leaf NamedShardings for ``mesh``."""
     specs = tree_sharding_specs(tree, mesh)
     return jax.tree.map(
-        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        lambda leaf, s: _put(leaf, NamedSharding(mesh, s)),
         tree,
         specs,
     )

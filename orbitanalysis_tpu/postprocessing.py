@@ -77,11 +77,20 @@ class Apsides:
         data_type=None,
         savefile=None,
         verbose=True,
+        device=False,
     ):
         """Accumulate apsis IDs per halo across snapshots (with the
         subhalo-rejecting ``angle_cut``, ``postprocessing.py:121-128``) and
         write per-snapshot unique-ID + orbit-count catalogs
-        (``postprocessing.py:133-162``)."""
+        (``postprocessing.py:133-162``).
+
+        ``device=True`` runs the accumulation on the JAX device: one
+        (halo, id) sort of all filtered events, then per-snapshot
+        segment-sum increments keep the cumulative unique-ID counts
+        resident — replacing the host path's per-halo ``np.append`` +
+        ``np.unique`` per snapshot, whose cost grows quadratically with
+        the accumulated catalog (full-box scale).  Output is identical.
+        """
         t_start = time.time()
 
         if halo_ids is None:
@@ -102,6 +111,20 @@ class Apsides:
             sind = int(
                 np.argwhere(self.snapshot_numbers == snapshot_number).flatten()[0]
             )
+
+        if device:
+            self._collate_apsides_device(
+                halo_ids, sind, angle_cut, data_type, savefile, verbose
+            )
+            if save_final_counts:
+                self.save_final_apsis_counts(savefile, verbose=verbose)
+            if verbose:
+                print(
+                    "{}s collated in {} s".format(
+                        self._tag, round(time.time() - t_start, 3)
+                    )
+                )
+            return
 
         n_req = len(halo_ids)
         accumulated = [None] * n_req  # lazily-typed per-halo ID accumulators
@@ -190,6 +213,158 @@ class Apsides:
                     self._tag, round(time.time() - t_start, 3)
                 )
             )
+
+    def _collate_apsides_device(
+        self, halo_ids, sind, angle_cut, data_type, savefile, verbose
+    ):
+        """Device-side collation core (see ``collate_apsides``).
+
+        Pass 1 stages every filtered apsis event as flat ``(halo-index,
+        particle-id, snapshot-index)`` arrays; the device then sorts by
+        ``(halo, id)`` once and a per-snapshot ``segment_sum`` over the
+        unique-pair segments maintains the cumulative counts.  The host
+        only trims and writes each snapshot's catalog.
+        """
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        n_req = len(halo_ids)
+        snaps = self.snapshot_numbers[: sind + 1]
+        final_snap = self.snapshot_numbers[-1]
+
+        metas = []
+        ev_id, ev_k, ev_s = [], [], []
+        orbtype = None
+        for si, s in enumerate(snaps):
+            with h5py.File(self.filename, "r") as hf:
+                g = hf["snapshot_%03d" % s]
+                meta = dict(
+                    s=s,
+                    si=si,
+                    region_positions=g["region_positions"][:],
+                    region_radii=g["region_radii"][:],
+                    bulk_velocities=g["bulk_velocities"][:],
+                    halo_ids_current=g["halo_IDs"][:],
+                )
+                halo_ids_final = (
+                    g["final_descendant_IDs"][:]
+                    if s != final_snap
+                    else meta["halo_ids_current"]
+                )
+                apsis_ids = g[self._tag + "_IDs"][:]
+                angles = g["angles"][:]
+                offsets = g["region_offsets"][:]
+            if len(apsis_ids) and orbtype is None:
+                orbtype = (
+                    apsis_ids.dtype if data_type is None
+                    else np.dtype(data_type)
+                )
+            present = np.isin(halo_ids, halo_ids_final)
+            req_inds = np.where(present)[0]
+            file_inds = _match_order(halo_ids_final, halo_ids[req_inds])
+            meta.update(
+                halo_ids_final=halo_ids_final,
+                req_inds=req_inds,
+                file_inds=file_inds,
+                has_events=len(apsis_ids) > 0,
+            )
+            metas.append(meta)
+            if len(apsis_ids) == 0:
+                continue
+            for k, fi in zip(req_inds, file_inds):
+                sl = slice(offsets[fi], offsets[fi + 1])
+                ids_h = apsis_ids[sl]
+                keep = angles[sl] > angle_cut
+                n_keep = int(keep.sum())
+                if n_keep:
+                    ev_id.append(ids_h[keep].astype(np.int64))
+                    ev_k.append(np.full(n_keep, k, np.int32))
+                    ev_s.append(np.full(n_keep, si, np.int32))
+
+        if ev_id:
+            k_j, id_j, s_j = jax.lax.sort(
+                (
+                    jnp.asarray(np.concatenate(ev_k)),
+                    jnp.asarray(np.concatenate(ev_id)),
+                    jnp.asarray(np.concatenate(ev_s)),
+                ),
+                num_keys=2,
+            )
+            first = jnp.concatenate(
+                [
+                    jnp.ones(1, bool),
+                    (k_j[1:] != k_j[:-1]) | (id_j[1:] != id_j[:-1]),
+                ]
+            )
+            uidx = jnp.cumsum(first.astype(jnp.int32)) - 1
+            first_h = np.asarray(first)
+            k_u = np.asarray(k_j)[first_h]
+            id_u = np.asarray(id_j)[first_h]
+            n_unique = len(k_u)
+
+            @functools.partial(jax.jit, static_argnames=("num",))
+            def incr(counts, si, s_arr, uidx_arr, num):
+                hit = (s_arr == si).astype(counts.dtype)
+                return counts + jax.ops.segment_sum(
+                    hit, uidx_arr, num_segments=num
+                )
+
+            counts_dev = jnp.zeros(n_unique, jnp.int32)
+        else:
+            k_u = np.zeros(0, np.int32)
+            id_u = np.zeros(0, np.int64)
+            counts_dev = None
+        if orbtype is None:
+            orbtype = id_u.dtype
+
+        for meta in metas:
+            if not meta["has_events"]:
+                continue
+            if counts_dev is not None:
+                counts_dev = incr(
+                    counts_dev, meta["si"], s_j, uidx, n_unique
+                )
+                counts_h = np.asarray(counts_dev)
+            else:
+                counts_h = np.zeros(0, np.int32)
+            req_inds = meta["req_inds"]
+            sel = counts_h > 0
+            in_req = sel & np.isin(k_u, req_inds)
+            ids_unique = id_u[in_req].astype(orbtype)
+            counts_sel = counts_h[in_req].astype(np.int64)
+            lens = np.bincount(k_u[in_req], minlength=n_req)[req_inds]
+            halo_offsets = np.cumsum([0] + list(lens))[:-1]
+
+            with h5py.File(savefile, "a") as hf:
+                g = hf.create_group("snapshot_%03d" % meta["s"])
+                g.create_dataset("particle_IDs", data=ids_unique)
+                g.create_dataset(self._tag + "_counts", data=counts_sel)
+                g.create_dataset("halo_offsets", data=halo_offsets)
+                if meta["s"] != final_snap:
+                    g.create_dataset(
+                        "final_descendant_IDs",
+                        data=meta["halo_ids_final"][meta["file_inds"]],
+                    )
+                g.create_dataset(
+                    "halo_IDs",
+                    data=meta["halo_ids_current"][meta["file_inds"]],
+                )
+                g.create_dataset(
+                    "halo_positions",
+                    data=meta["region_positions"][meta["file_inds"]],
+                )
+                g.create_dataset(
+                    "halo_velocities",
+                    data=meta["bulk_velocities"][meta["file_inds"]],
+                )
+                g.create_dataset(
+                    "region_radii",
+                    data=meta["region_radii"][meta["file_inds"]],
+                )
+            if verbose:
+                print("Snapshot {} collated".format("%03d" % meta["s"]))
 
     def save_final_apsis_counts(
         self, collated_file, snapshot_numbers=None, verbose=True

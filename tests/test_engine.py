@@ -94,6 +94,24 @@ def test_capacity_growth_mid_run(tmp_path, churn_setup):
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
+def test_grow_converts_sorted_to_general(tmp_path, churn_setup):
+    """Capacity overflow under grow_impl='general' hands the sorted
+    carry to the general engine mid-run with identical output (the
+    auto-join growth policy, minus the TPU-only auto selection)."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    save = str(tmp_path / "convert.h5")
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 join_impl="sorted", grow_impl="general",
+                 capacity=128, headroom=1.05, verbose=False)
+    ref = str(tmp_path / "ref.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref, verbose=False)
+    with h5py.File(save) as a, h5py.File(ref) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
 def test_halo_born_mid_run(tmp_path, churn_setup):
     box, snaps, regions, loader, snap_nums, branches = churn_setup
     branches = branches.copy()

@@ -74,6 +74,43 @@ def test_collation_counts_match_oracle(tracked):
             assert np.array_equal(got_counts, exp_counts), h
 
 
+def test_device_collation_matches_host(tracked):
+    """collate_apsides(device=True) must write a byte-identical catalog
+    (same groups, datasets, dtypes, values) as the host path."""
+    save, snaps, box, n_snap, _, _, tmp = tracked
+    host_f = tmp + "/coll_host.h5"
+    dev_f = tmp + "/coll_dev.h5"
+    for f, dev in ((host_f, False), (dev_f, True)):
+        Apsides(save).collate_apsides(
+            savefile=f, angle_cut=0.1, save_final_counts=True,
+            verbose=False, device=dev,
+        )
+    with h5py.File(host_f) as a, h5py.File(dev_f) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            assert sorted(a[k].keys()) == sorted(b[k].keys()), k
+            for ds in a[k]:
+                assert a[k][ds].dtype == b[k][ds].dtype, (k, ds)
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_device_collation_subset_and_midpoint(tracked):
+    """Device collation with a halo subset and a mid-sequence stop."""
+    save, snaps, box, n_snap, _, _, tmp = tracked
+    host_f = tmp + "/coll_host_sub.h5"
+    dev_f = tmp + "/coll_dev_sub.h5"
+    for f, dev in ((host_f, False), (dev_f, True)):
+        Apsides(save).collate_apsides(
+            halo_ids=np.array([2, 0]), snapshot_number=n_snap - 3,
+            savefile=f, verbose=False, device=dev,
+        )
+    with h5py.File(host_f) as a, h5py.File(dev_f) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
 def test_final_counts_retro_mapping(tracked):
     save, snaps, box, n_snap, _, _, tmp = tracked
     coll = tmp + "/collated_final.h5"
