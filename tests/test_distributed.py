@@ -241,6 +241,7 @@ def test_sharded_nbody_forces_and_sim(rng):
     assert np.array_equal(np.asarray(tr.counts), np.asarray(tr2.counts))
 
 
+@pytest.mark.slow
 def test_sharded_sorted_step_equals_single_device(rng):
     """Halo-sharded sorted/fused step (shard_map around the Pallas
     kernels) must reproduce the unsharded step exactly."""

@@ -457,6 +457,7 @@ def _assert_files_equal(pa, pb):
                     assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
+@pytest.mark.slow
 def test_sorted_join_tracker_identical(tmp_path, churn_setup):
     """join_impl='sorted' (fused Pallas kernel, ID-sorted host packing)
     must write a savefile identical to the general engine's —
@@ -477,6 +478,7 @@ def test_sorted_join_tracker_identical(tmp_path, churn_setup):
         )
 
 
+@pytest.mark.slow
 def test_sorted_join_growth_and_resume(tmp_path, churn_setup):
     box, snaps, regions, loader, snap_nums, branches = churn_setup
     ref = str(tmp_path / "ref.h5")

@@ -145,6 +145,7 @@ def test_p3m_through_integrator(cloud):
     assert not np.isnan(np.asarray(tr.counts)).any()
 
 
+@pytest.mark.slow
 def test_sharded_p3m_matches_single_device(cloud):
     """Slab-resident distributed P3M (halo-exchanged short-range cells)
     == the single-device P3M force, on the virtual CPU mesh."""

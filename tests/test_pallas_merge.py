@@ -94,6 +94,7 @@ def test_sort_descending_u32(rng):
     )
 
 
+@pytest.mark.slow
 def test_fused_kernel_full_row_apsis_count():
     """Regression: a row where EVERY particle is matched and flips v_r
     drives the event-rank cumsum field to P << 16 = 2^31 at P=32768 —

@@ -95,6 +95,7 @@ def test_pm_driven_tracking_runs():
     assert np.asarray(track.counts).min() >= 0
 
 
+@pytest.mark.slow
 def test_sharded_pm_grid_matches_single_device(rng):
     """Pencil-decomposed FFT solve == single-device solve on the
     virtual CPU mesh (2/4/8-way)."""
@@ -124,6 +125,7 @@ def test_sharded_pm_grid_matches_single_device(rng):
         make_sharded_pm_grid_solver(make_mesh({"x": 8}), grid=36)
 
 
+@pytest.mark.slow
 def test_sharded_pm_force_path_matches_single_device(rng):
     """Particle-sharded deposit -> pencil solve -> interp == the
     single-device pm_forces, including through the fused integrator."""
@@ -195,6 +197,7 @@ def test_slab_resident_pm_matches_single_device(rng):
     assert occ.sum() == n and len(occ) == 8
 
 
+@pytest.mark.slow
 def test_slab_resident_pm_through_integrator(rng):
     """Fused integrator counts identical with the slab-resident force."""
     import jax
@@ -228,6 +231,7 @@ def test_slab_resident_pm_through_integrator(rng):
     assert np.array_equal(np.asarray(tr.counts), np.asarray(tr2.counts))
 
 
+@pytest.mark.slow
 def test_slab_resident_pm_overflow_is_loud(rng):
     """Bucket overflow must surface as NaN forces, never silent zeros."""
     import jax

@@ -121,6 +121,7 @@ def test_sorted_step_fused_kernel(mode):
     _run_pair(snaps, n_halos, cap, box, mode, K=cap, fused=True)
 
 
+@pytest.mark.slow
 def test_sorted_step_soa_staging_matches_aos():
     """SoA-staged batches (presort_snapshot(soa=True) + soa_batch=True)
     give identical events and carry to AoS staging."""
@@ -248,6 +249,7 @@ def test_sorted_step_fuzz(seed):
     _run_pair(snaps, n_halos, cap, box, mode, K=cap)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["pericentric", "apocentric"])
 def test_sorted_step_static_membership_fast_path(mode):
     """Fixed membership (ids identical step-to-step) routes through the
