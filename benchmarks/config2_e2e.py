@@ -26,6 +26,7 @@ from orbitanalysis_tpu.utils.metrics import Metrics
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/config2_e2e"
 JOIN = sys.argv[2] if len(sys.argv) > 2 else "auto"
+PREFETCH = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 os.makedirs(outdir, exist_ok=True)
 
 N_HALOS = 100
@@ -88,6 +89,7 @@ track_orbits(
     snap_nums, branches, regions, load_snapshot_data, save,
     mode="pericentric", id_dtype=np.int64 if N_HALOS * 10**7 > 2**31
     else np.int32, verbose=False, metrics=metrics, join_impl=JOIN,
+    prefetch=PREFETCH,
 )
 wall = time.time() - t0
 updates = N_HALOS * N_PART * (N_SNAP - 1)

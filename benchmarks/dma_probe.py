@@ -168,10 +168,100 @@ def multi_variant(inner, n_planes=5):
     return fn
 
 
+def split_variant(chunk_rows=32, n_buf=4, n_dma=1):
+    """Separate in/out VMEM buffers (refill does not wait on the
+    write-back of the same slot) and optionally ``n_dma`` concurrent
+    DMAs per chunk over disjoint row halves (tests whether one DMA
+    descriptor is the rate limit)."""
+
+    def fn(x):
+        r = x.shape[0]
+        n_chunks = r // chunk_rows
+        sub = chunk_rows // n_dma
+
+        def kernel(x_hbm, o_hbm):
+            def body(ibuf, obuf, in_sem, out_sem):
+                def dma_in(slot, idx, d):
+                    return pltpu.make_async_copy(
+                        x_hbm.at[
+                            pl.ds(idx * chunk_rows + d * sub, sub), :
+                        ],
+                        ibuf.at[slot, pl.ds(d * sub, sub)],
+                        in_sem.at[slot, d],
+                    )
+
+                def dma_out(slot, idx, d):
+                    return pltpu.make_async_copy(
+                        obuf.at[slot, pl.ds(d * sub, sub)],
+                        o_hbm.at[
+                            pl.ds(idx * chunk_rows + d * sub, sub), :
+                        ],
+                        out_sem.at[slot, d],
+                    )
+
+                for w in range(n_buf - 1):
+                    if w < n_chunks:
+                        for d in range(n_dma):
+                            dma_in(w, w, d).start()
+
+                def loop(idx, _):
+                    slot = jax.lax.rem(idx, n_buf)
+                    nxt = idx + (n_buf - 1)
+
+                    @pl.when(nxt < n_chunks)
+                    def _():
+                        nslot = jax.lax.rem(nxt, n_buf)
+                        for d in range(n_dma):
+                            dma_in(nslot, nxt, d).start()
+
+                    for d in range(n_dma):
+                        dma_in(slot, idx, d).wait()
+                    # out slot safety: its previous write-back (chunk
+                    # idx - n_buf) must have drained
+                    @pl.when(idx >= n_buf)
+                    def _():
+                        for d in range(n_dma):
+                            dma_out(slot, idx - n_buf, d).wait()
+
+                    obuf[slot] = ibuf[slot] + 1.0
+                    for d in range(n_dma):
+                        dma_out(slot, idx, d).start()
+                    return ()
+
+                jax.lax.fori_loop(0, n_chunks, loop, ())
+                for idx in range(max(0, n_chunks - n_buf), n_chunks):
+                    for d in range(n_dma):
+                        dma_out(idx % n_buf, idx, d).wait()
+
+            pl.run_scoped(
+                body,
+                ibuf=pltpu.VMEM((n_buf, chunk_rows, LANES), jnp.float32),
+                obuf=pltpu.VMEM((n_buf, chunk_rows, LANES), jnp.float32),
+                in_sem=pltpu.SemaphoreType.DMA((n_buf, n_dma)),
+                out_sem=pltpu.SemaphoreType.DMA((n_buf, n_dma)),
+            )
+
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+        )(x)
+
+    return fn
+
+
 VARIANTS = {
     "xla": xla_variant,
     "xla5": lambda: multi_variant(xla_variant()),
     "pallas5": lambda: multi_variant(auto_variant(8)),
+    "man128x2": lambda: manual_variant(128, 2),
+    "split32x4": lambda: split_variant(32, 4, 1),
+    "dual32x4": lambda: split_variant(32, 4, 2),
+    "quad64x2": lambda: split_variant(64, 2, 4),
     "auto8": lambda: auto_variant(8),
     "auto32": lambda: auto_variant(32),
     "man16x4": lambda: manual_variant(16, 4),

@@ -1,0 +1,360 @@
+"""Hash-sharded particle-axis tracking: the full-box scale path.
+
+The halo-sharded paths put *whole halo rows* on one device — fine until
+a single snapshot's tracked set outgrows one chip.  This module shards
+the flat (halo, particle) pool by ``id % n_shards`` instead (SURVEY.md
+§7 "shard the particle axis by hash(id)"):
+
+- the prev/cur **ID join is shard-local by construction** — a particle's
+  records land on the same shard every snapshot, whichever halo region
+  it sits in, so membership churn and region migration
+  (``/root/reference/orbitanalysis/track_orbits.py:300-309``) never
+  move carry state between devices;
+- the only collectives per step are a ``psum`` of the per-halo
+  bulk-velocity moments (``[H, 3]`` + ``[H]`` — tiny against ICI) and
+  the host's initial routing of each snapshot to its owner shards;
+- per-device cost is ``O(N/D log(N/D))`` sort work and ``O(N/D)``
+  memory — the particle axis scales linearly with the mesh.
+
+Records are keyed by (halo, id) pairs, so a particle sitting in two
+overlapping halo regions is two independent records (the reference's
+per-halo independence), and a particle leaving region A for region B is
+a departure + an entry, never a cross-halo angle carry-over.
+
+Workflow::
+
+    mesh   = make_mesh({"shards": D})
+    step   = make_hash_sharded_step(mesh, event_capacity=K, mode=...)
+    carry  = init_hash_carry(D, C)                     # [D, C] pools
+    batch  = route_flat(flat_snapshot, D, C)           # host bucketing
+    carry, ev = jax.jit(step)(carry, batch)            # events [D, K]
+
+Event order: events ride (halo, prev-load-slot) so the host restores
+the reference's exact per-halo output order by one small sort.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # moved out of experimental in newer jax
+    from jax import shard_map
+    _SHARD_MAP_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+    _SHARD_MAP_KW = {"check_rep": False}
+
+from orbitanalysis_tpu.utils.numerics import periodic_displacement
+
+_INVALID = np.int32(np.iinfo(np.int32).max)
+
+
+class HashCarry(NamedTuple):
+    """Per-shard particle state, [D, C] (one row per shard)."""
+
+    halo: jnp.ndarray    # [D, C] int32 halo row (n_halos = padding)
+    ids: jnp.ndarray     # [D, C] int32 particle id (invalid = padding)
+    slot: jnp.ndarray    # [D, C] int32 global load slot of last snapshot
+    vrad: jnp.ndarray    # [D, C] f32 radial velocity
+    rhat: jnp.ndarray    # [D, C, 3] f32
+    angles: jnp.ndarray  # [D, C] f32 accumulated angle
+
+
+class HashBatch(NamedTuple):
+    """One routed snapshot, [D, C] per-shard blocks (host-built)."""
+
+    halo: jnp.ndarray    # [D, C] int32
+    ids: jnp.ndarray     # [D, C] int32
+    slot: jnp.ndarray    # [D, C] int32 global load slot
+    pos: jnp.ndarray     # [D, C, 3] f32
+    vel: jnp.ndarray     # [D, C, 3] f32
+    mass: Optional[jnp.ndarray] = None  # [D, C] f32
+
+
+def init_hash_carry(n_shards: int, cap: int, n_halos: int) -> HashCarry:
+    return HashCarry(
+        halo=jnp.full((n_shards, cap), n_halos, jnp.int32),
+        ids=jnp.full((n_shards, cap), _INVALID, jnp.int32),
+        slot=jnp.zeros((n_shards, cap), jnp.int32),
+        vrad=jnp.zeros((n_shards, cap), jnp.float32),
+        rhat=jnp.zeros((n_shards, cap, 3), jnp.float32),
+        angles=jnp.zeros((n_shards, cap), jnp.float32),
+    )
+
+
+def route_flat(flat: dict, n_shards: int, cap: int) -> HashBatch:
+    """Host-side bucketing of a flat (halo, id, pos, vel[, mass]) record
+    list into ``[n_shards, cap]`` padded blocks by ``id % n_shards``.
+
+    ``flat['slot']`` defaults to the record's position — the reference's
+    load order (region-major), which the event path preserves.
+    """
+    ids = np.asarray(flat["ids"], dtype=np.int64)
+    n = len(ids)
+    halo = np.asarray(flat["halo"], dtype=np.int32)
+    slot = np.asarray(
+        flat.get("slot", np.arange(n, dtype=np.int64)), dtype=np.int64
+    )
+    pos = np.asarray(flat["pos"], dtype=np.float32)
+    vel = np.asarray(flat["vel"], dtype=np.float32)
+    mass = flat.get("mass")
+
+    shard = (ids % n_shards).astype(np.int64)
+    order = np.argsort(shard, kind="stable")
+    counts = np.bincount(shard, minlength=n_shards)
+    if counts.max(initial=0) > cap:
+        raise ValueError(
+            f"shard capacity {cap} < largest bucket {int(counts.max())}; "
+            "raise cap (hash imbalance is O(sqrt) — a few % headroom)"
+        )
+
+    def alloc(shape, fill, dtype):
+        return np.full((n_shards, cap) + shape, fill, dtype)
+
+    out_halo = alloc((), 0, np.int32)
+    out_ids = alloc((), _INVALID, np.int32)
+    out_slot = alloc((), 0, np.int32)
+    out_pos = alloc((3,), 0, np.float32)
+    out_vel = alloc((3,), 0, np.float32)
+    out_mass = alloc((), 1, np.float32) if mass is not None else None
+
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    # positions within each bucket, in routed (stable load) order
+    col = np.arange(n) - starts[shard[order]]
+    rows = shard[order]
+    out_halo[rows, col] = halo[order]
+    out_ids[rows, col] = ids[order].astype(np.int32)
+    out_slot[rows, col] = slot[order].astype(np.int32)
+    out_pos[rows, col] = pos[order]
+    out_vel[rows, col] = vel[order]
+    if out_mass is not None:
+        out_mass[rows, col] = np.asarray(mass, np.float32)[order]
+    return HashBatch(
+        halo=jnp.asarray(out_halo),
+        ids=jnp.asarray(out_ids),
+        slot=jnp.asarray(out_slot),
+        pos=jnp.asarray(out_pos),
+        vel=jnp.asarray(out_vel),
+        mass=None if out_mass is None else jnp.asarray(out_mass),
+    )
+
+
+def make_hash_sharded_step(
+    mesh: Mesh,
+    n_halos: int,
+    event_capacity: int,
+    axis: str = "shards",
+    mode: str = "pericentric",
+    box_size=None,
+    angle_dtype=jnp.float32,
+):
+    """Build ``step(carry, batch, centers, bulk_vels, hubble_drag) ->
+    (carry, (ev_count, ev_halo, ev_ids, ev_slot, ev_angles, bulk))``.
+
+    ``centers``: [H, 3] replicated; ``bulk_vels``: [H, 3] catalog bulk
+    velocities or None (then the mass-weighted mean over each halo's
+    particles is psum-reduced across shards, reference semantics
+    ``track_orbits.py:267-284``).  Events come back per shard,
+    ``[D, K]``, with exact per-shard counts.
+    """
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh needs a {axis!r} axis")
+    pericentric = mode == "pericentric"
+    K = int(event_capacity)
+    H = int(n_halos)
+
+    def local_step(carry, batch, centers, bulk_cat, hubble_drag):
+        # leading [1, ...] shard block -> local views
+        halo_c = batch.halo[0]
+        ids_c = batch.ids[0]
+        slot_c = batch.slot[0]
+        pos = batch.pos[0]
+        vel = batch.vel[0]
+        mass = None if batch.mass is None else batch.mass[0]
+        valid_c = ids_c != _INVALID
+        C = ids_c.shape[0]
+
+        # ---- per-halo bulk velocity: local segment moments + psum ----
+        if bulk_cat is None:
+            w = (
+                jnp.where(valid_c, mass, 0.0)
+                if mass is not None
+                else valid_c.astype(jnp.float32)
+            )
+            seg = jnp.where(valid_c, halo_c, H)
+            mom = jax.ops.segment_sum(
+                w[:, None] * vel, seg, num_segments=H + 1
+            )
+            tot = jax.ops.segment_sum(w, seg, num_segments=H + 1)
+            mom = jax.lax.psum(mom, axis)
+            tot = jax.lax.psum(tot, axis)
+            bulk = mom[:H] / jnp.maximum(tot[:H], 1e-30)[:, None]
+        else:
+            bulk = bulk_cat
+
+        # ---- region frame (flat records; center/bulk looked up by
+        # halo — tiny [H, 3] tables, gathers are fine at this width) ----
+        halo_ix = jnp.minimum(halo_c, H - 1)
+        rel = pos - centers[halo_ix]
+        if box_size is not None:
+            rel = periodic_displacement(rel, box_size)
+        vrel = vel - bulk[halo_ix] + hubble_drag * rel
+        r2 = jnp.sum(rel * rel, axis=-1)
+        rinv = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-30)), 0.0)
+        rhat = rel * rinv[:, None]
+        vr = jnp.sum(vrel * rhat, axis=-1)
+
+        # ---- shard-local sort-merge join on (halo, id, side) ----
+        halo_p = carry.halo[0]
+        ids_p = carry.ids[0]
+        side = jnp.concatenate(
+            [jnp.zeros(C, jnp.int32), jnp.ones(C, jnp.int32)]
+        )
+        m_halo = jnp.concatenate([halo_p, jnp.where(valid_c, halo_c, H)])
+        m_ids = jnp.concatenate([ids_p, ids_c])
+        m_slot = jnp.concatenate([carry.slot[0], slot_c])
+        m_vr = jnp.concatenate([carry.vrad[0], vr])
+        m_rx = jnp.concatenate([carry.rhat[0, :, 0], rhat[:, 0]])
+        m_ry = jnp.concatenate([carry.rhat[0, :, 1], rhat[:, 1]])
+        m_rz = jnp.concatenate([carry.rhat[0, :, 2], rhat[:, 2]])
+        m_ang = jnp.concatenate(
+            [carry.angles[0], jnp.zeros(C, jnp.float32)]
+        )
+        (m_halo, m_ids, side, m_slot, m_vr, m_rx, m_ry, m_rz,
+         m_ang) = jax.lax.sort(
+            (m_halo, m_ids, side, m_slot, m_vr, m_rx, m_ry, m_rz, m_ang),
+            num_keys=3,
+        )
+
+        is_cur = side == 1
+        left_same = (
+            (jnp.roll(m_halo, 1) == m_halo)
+            & (jnp.roll(m_ids, 1) == m_ids)
+            & (jnp.roll(side, 1) == 0)
+        )
+        first = jnp.arange(2 * C) == 0
+        m_valid = (m_ids != _INVALID) & (m_halo < H)
+        matched = is_cur & left_same & m_valid & ~first
+
+        vr_l = jnp.roll(m_vr, 1)
+        cos = jnp.clip(
+            jnp.roll(m_rx, 1) * m_rx
+            + jnp.roll(m_ry, 1) * m_ry
+            + jnp.roll(m_rz, 1) * m_rz,
+            -1.0, 1.0,
+        )
+        dtheta = jnp.where(matched, jnp.arccos(cos), 0.0)
+        if pericentric:
+            flip = (vr_l < 0) & (m_vr > 0)
+        else:
+            flip = (vr_l > 0) & (m_vr < 0)
+        apsis = matched & flip
+        angle_acc = jnp.roll(m_ang, 1) + dtheta
+        apsis_angle = jnp.where(apsis, angle_acc, 0.0)
+        angle_new = jnp.where(
+            apsis | ~matched, 0.0, angle_acc
+        )
+
+        # ---- new carry: compact the cur side back out (stable sort by
+        # ~is_cur keeps (halo, id) order within the kept half) ----
+        (_, c_halo, c_ids, c_slot, c_vr, c_rx, c_ry, c_rz,
+         c_ang) = jax.lax.sort(
+            ((~is_cur).astype(jnp.int32), m_halo, m_ids, m_slot, m_vr,
+             m_rx, m_ry, m_rz, angle_new),
+            num_keys=1,
+            is_stable=True,
+        )
+        new_carry = HashCarry(
+            halo=c_halo[None, :C],
+            ids=c_ids[None, :C],
+            slot=c_slot[None, :C],
+            vrad=c_vr[None, :C],
+            rhat=jnp.stack(
+                [c_rx[:C], c_ry[:C], c_rz[:C]], axis=-1
+            )[None],
+            angles=c_ang[None, :C],
+        )
+
+        # ---- events: prev-partner slot rides one position left ----
+        ev_slot_src = jnp.roll(m_slot, 1)
+        count = jnp.sum(apsis, dtype=jnp.int32)
+        (_, e_halo, e_ids, e_slot, e_ang) = jax.lax.sort(
+            ((~apsis).astype(jnp.int32), m_halo, m_ids,
+             ev_slot_src, apsis_angle),
+            num_keys=1,
+            is_stable=True,
+        )
+        events = (
+            count[None],
+            e_halo[None, :K],
+            e_ids[None, :K],
+            e_slot[None, :K],
+            e_ang[None, :K].astype(angle_dtype),
+            bulk[None],
+        )
+        return new_carry, events
+
+    def step(carry, batch, centers, bulk_cat=None, hubble_drag=0.0):
+        spec_dc = P(axis)
+        in_specs = (
+            jax.tree.map(lambda _: spec_dc, carry),
+            jax.tree.map(lambda _: spec_dc, batch),
+            P(),  # centers replicated
+            None if bulk_cat is None else P(),
+            P(),
+        )
+        out_specs = (
+            jax.tree.map(lambda _: spec_dc, carry),
+            (spec_dc, spec_dc, spec_dc, spec_dc, spec_dc, P()),
+        )
+        if bulk_cat is None:
+            f = shard_map(
+                lambda c, b, ce, hd: local_step(c, b, ce, None, hd),
+                mesh=mesh,
+                in_specs=(in_specs[0], in_specs[1], P(), P()),
+                out_specs=out_specs,
+                **_SHARD_MAP_KW,
+            )
+            return f(carry, batch, centers,
+                     jnp.asarray(hubble_drag, jnp.float32))
+        f = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(in_specs[0], in_specs[1], P(), P(), P()),
+            out_specs=out_specs,
+            **_SHARD_MAP_KW,
+        )
+        return f(carry, batch, centers, bulk_cat,
+                 jnp.asarray(hubble_drag, jnp.float32))
+
+    return step
+
+
+def events_to_reference_order(ev_count, ev_halo, ev_ids, ev_slot,
+                              ev_angles, n_halos: int):
+    """Host-side: merge per-shard event lists into the reference's
+    per-halo, prev-load-order layout (offsets + flat ids/angles)."""
+    ev_count = np.asarray(ev_count)
+    parts = []
+    for d in range(len(ev_count)):
+        k = int(ev_count[d])
+        parts.append((
+            np.asarray(ev_halo[d][:k]),
+            np.asarray(ev_ids[d][:k]),
+            np.asarray(ev_slot[d][:k]),
+            np.asarray(ev_angles[d][:k]),
+        ))
+    halo = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    slot = np.concatenate([p[2] for p in parts])
+    ang = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((slot, halo))
+    halo, ids, slot, ang = halo[order], ids[order], slot[order], ang[order]
+    counts = np.bincount(halo, minlength=n_halos)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return offsets, ids, ang

@@ -1,0 +1,143 @@
+"""Hash-sharded particle-axis tracking (parallel/hash_sharded.py):
+the join stays shard-local under membership churn; events must equal
+the oracle's per-halo sets exactly on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from orbitanalysis_tpu.models.synthetic import churn_snapshots
+from orbitanalysis_tpu.parallel import make_mesh
+from orbitanalysis_tpu.parallel.hash_sharded import (
+    events_to_reference_order,
+    init_hash_carry,
+    make_hash_sharded_step,
+    route_flat,
+)
+
+from oracle import OracleTracker
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _flatten(snap, n_halos):
+    """Per-halo dict -> flat (halo, id, pos, vel[, mass]) records in the
+    reference's region-major load order."""
+    halos, ids, pos, vel, mass = [], [], [], [], []
+    for h in range(n_halos):
+        if h not in snap:
+            continue
+        d = snap[h]
+        n = len(d["ids"])
+        halos.append(np.full(n, h, np.int32))
+        ids.append(np.asarray(d["ids"]))
+        pos.append(np.asarray(d["pos"]))
+        vel.append(np.asarray(d["vel"]))
+        if d.get("mass") is not None:
+            mass.append(np.asarray(d["mass"]))
+    flat = dict(
+        halo=np.concatenate(halos),
+        ids=np.concatenate(ids),
+        pos=np.concatenate(pos),
+        vel=np.concatenate(vel),
+    )
+    if mass:
+        flat["mass"] = np.concatenate(mass)
+    flat["centers"] = np.stack(
+        [snap[h]["center"] for h in range(n_halos)]
+    ).astype(np.float32)
+    return flat
+
+
+@pytest.mark.parametrize("n_shards", [8, 4])
+def test_hash_sharded_matches_oracle(n_shards):
+    box = 60.0
+    n_halos, n_part, n_snap = 3, 150, 6
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=13
+    )
+    mesh = make_mesh({"shards": n_shards}, jax.devices()[:n_shards])
+    cap = 256
+    K = 128
+    step = jax.jit(
+        make_hash_sharded_step(
+            mesh, n_halos, K, mode="pericentric", box_size=box
+        )
+    )
+    carry = init_hash_carry(n_shards, cap, n_halos)
+
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    for s, snap in enumerate(snaps):
+        flat = _flatten(snap, n_halos)
+        batch = route_flat(flat, n_shards, cap)
+        carry, (cnt, eh, ei, es, ea, bulk) = step(
+            carry, batch, flat["centers"]
+        )
+        expected = oracle.step(snap)
+        offsets, ids, ang = events_to_reference_order(
+            cnt, eh, ei, es, ea, n_halos
+        )
+        for h in range(n_halos):
+            got = np.sort(ids[offsets[h]:offsets[h + 1]])
+            exp = np.sort(np.asarray(expected[h][0]))
+            assert np.array_equal(got, exp), (s, h)
+            # angles too (oracle returns [ids, angles, ...])
+            got_a = ang[offsets[h]:offsets[h + 1]][
+                np.argsort(ids[offsets[h]:offsets[h + 1]], kind="stable")
+            ]
+            exp_a = np.asarray(expected[h][1])[
+                np.argsort(np.asarray(expected[h][0]), kind="stable")
+            ]
+            assert np.allclose(got_a, exp_a, atol=1e-4), (s, h)
+
+
+def test_hash_sharded_mass_weighted_bulk():
+    """Per-particle masses route through the psum'd bulk-velocity
+    moments (mass-weighted mean, track_orbits.py:267-272)."""
+    box = 60.0
+    n_halos, n_part, n_snap = 2, 120, 4
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=29
+    )
+    rng = np.random.default_rng(3)
+    for snap in snaps:
+        for h in snap:
+            snap[h]["mass"] = rng.uniform(
+                0.5, 4.0, len(snap[h]["ids"])
+            ).astype(np.float32)
+    n_shards, cap, K = 8, 128, 128
+    mesh = make_mesh({"shards": n_shards}, jax.devices()[:n_shards])
+    step = jax.jit(
+        make_hash_sharded_step(
+            mesh, n_halos, K, mode="pericentric", box_size=box
+        )
+    )
+    carry = init_hash_carry(n_shards, cap, n_halos)
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    for s, snap in enumerate(snaps):
+        flat = _flatten(snap, n_halos)
+        batch = route_flat(flat, n_shards, cap)
+        carry, (cnt, eh, ei, es, ea, bulk) = step(
+            carry, batch, flat["centers"]
+        )
+        expected = oracle.step(snap)
+        offsets, ids, _ = events_to_reference_order(
+            cnt, eh, ei, es, ea, n_halos
+        )
+        for h in range(n_halos):
+            got = np.sort(ids[offsets[h]:offsets[h + 1]])
+            exp = np.sort(np.asarray(expected[h][0]))
+            assert np.array_equal(got, exp), (s, h)
+
+
+def test_route_flat_capacity_guard():
+    flat = dict(
+        halo=np.zeros(16, np.int32),
+        ids=np.arange(16) * 8,  # all land on shard 0
+        pos=np.zeros((16, 3), np.float32),
+        vel=np.zeros((16, 3), np.float32),
+    )
+    with pytest.raises(ValueError, match="shard capacity"):
+        route_flat(flat, 8, 8)
