@@ -436,6 +436,108 @@ class _DeviceEngine:
         )
 
 
+class _HashEngine:
+    """Hash-sharded particle-pool engine (full-box scale): flat
+    (halo, id) records sharded by ``id % n_shards`` over the mesh's
+    'shards' axis — see :mod:`orbitanalysis_tpu.parallel.hash_sharded`.
+    The churn join is shard-local; per-step collectives are only the
+    psum'd bulk-velocity moments."""
+
+    join = "hash"
+
+    def __init__(self, mesh, n_halos, mode, box_size, cap, angle_dtype):
+        from orbitanalysis_tpu.parallel.hash_sharded import (
+            init_hash_carry,
+            make_hash_sharded_step,
+        )
+
+        self.mesh = mesh
+        self.n_shards = int(mesh.shape["shards"])
+        self.n_halos = n_halos
+        self.mode = mode
+        self.box_size = box_size
+        self.angle_dtype = angle_dtype
+        self.capacity = cap
+        self.event_capacity = cap  # event lists span the shard: no overflow
+        self.invalid = invalid_id_for(np.int32)
+        self._make = make_hash_sharded_step
+        self._init = init_hash_carry
+        self._build()
+        self.carry = init_hash_carry(self.n_shards, cap, n_halos)
+
+    def _build(self):
+        self._step = jax.jit(self._make(
+            self.mesh, self.n_halos, self.capacity, mode=self.mode,
+            box_size=self.box_size, angle_dtype=self.angle_dtype,
+        ))
+
+    def route(self, flat):
+        from orbitanalysis_tpu.parallel.hash_sharded import route_flat
+
+        ids = np.asarray(flat["ids"], dtype=np.int64)
+        if ids.size:
+            largest = int(np.bincount(
+                (ids % self.n_shards).astype(np.int64),
+                minlength=self.n_shards,
+            ).max())
+            if largest > self.capacity:
+                self.grow(largest)
+        return route_flat(flat, self.n_shards, self.capacity)
+
+    def grow(self, needed):
+        new_cap = round_up(int(np.ceil(needed * 1.2)), 128)
+        pad = new_cap - self.capacity
+        if pad <= 0:
+            return
+        c = jax.tree.map(_fetch_host, self.carry)
+        self.carry = type(c)(
+            halo=np.pad(c.halo, ((0, 0), (0, pad)),
+                        constant_values=self.n_halos),
+            ids=np.pad(c.ids, ((0, 0), (0, pad)),
+                       constant_values=self.invalid),
+            slot=np.pad(c.slot, ((0, 0), (0, pad))),
+            vrad=np.pad(c.vrad, ((0, 0), (0, pad))),
+            rhat=np.pad(c.rhat, ((0, 0), (0, pad), (0, 0))),
+            angles=np.pad(c.angles, ((0, 0), (0, pad))),
+        )
+        self.capacity = new_cap
+        self.event_capacity = new_cap
+        self._build()
+
+    def step(self, batch, centers_full, bulk_full, hubble_drag):
+        self.carry, events = self._step(
+            self.carry, batch, jnp.asarray(centers_full),
+            None if bulk_full is None else jnp.asarray(bulk_full),
+            jnp.float32(hubble_drag),
+        )
+        return events
+
+    def capture_angles(self):
+        """Host copies of (slot, valid, angles) for the checkpoint."""
+        c = self.carry
+        return (
+            _fetch_host(c.slot),
+            _fetch_host(c.ids) != self.invalid,
+            _fetch_host(c.angles),
+        )
+
+    def angles_to_load_order(self, captured, n_particles):
+        slot, valid, angles = captured
+        flat = np.zeros(n_particles, dtype=angles.dtype)
+        flat[slot[valid]] = angles[valid]
+        return flat
+
+    def set_angles_flat(self, ck_angles):
+        """Resume: replace carry angles from the (load-order) sidecar."""
+        slot = _fetch_host(self.carry.slot)
+        valid = _fetch_host(self.carry.ids) != self.invalid
+        ck = np.asarray(ck_angles, dtype=np.float32)
+        new = np.where(
+            valid, ck[np.minimum(slot, len(ck) - 1)], 0.0
+        ).astype(np.float32)
+        self.carry = self.carry._replace(angles=jnp.asarray(new))
+
+
 def track_orbits(
     snapshot_numbers,
     main_branches,
@@ -516,7 +618,14 @@ def track_orbits(
         carry (``track_orbits.py:351``) bit-for-bit at the cost of
         accumulated rounding error; the default float32 is more accurate.
     mesh : jax.sharding.Mesh, optional
-        Shard the halo axis over this mesh (axis name 'halos').
+        Shard over this mesh.  Axis name 'halos' shards the halo axis
+        (whole rows per device, zero collectives; optionally with a
+        'particles' axis on the general engine).  Axis name 'shards'
+        selects the hash-sharded particle-pool engine instead
+        (:mod:`orbitanalysis_tpu.parallel.hash_sharded`): the flat
+        (halo, id) record pool is distributed by ``id % n_shards``, the
+        churn join stays shard-local, and per-step collectives reduce
+        to psum'd bulk-velocity moments — the full-box scaling path.
     event_capacity : int, optional
         Per-halo on-device event-compaction width (default: capacity/16,
         min 128).  Hosts fetch [n_halos, event_capacity] event lists per
@@ -581,7 +690,8 @@ def track_orbits(
 
     sharding = None
     n_rows = n_halos
-    if mesh is not None:
+    hash_mesh = mesh is not None and "shards" in mesh.axis_names
+    if mesh is not None and not hash_mesh:
         from orbitanalysis_tpu.parallel.sharding import halo_sharding
         sharding = halo_sharding(mesh)
         # pad the halo axis so it divides evenly over the mesh
@@ -592,7 +702,17 @@ def track_orbits(
     if grow_impl not in ("auto", "keep", "general"):
         raise ValueError(f"unknown grow_impl: {grow_impl!r}")
     join_was_auto = join_impl == "auto"
-    if join_impl == "auto":
+    if hash_mesh:
+        # a 'shards' mesh axis selects the hash-sharded particle-pool
+        # engine (parallel/hash_sharded.py): full-box scale, join
+        # shard-local under churn
+        if join_impl == "sorted":
+            raise ValueError(
+                "a 'shards' mesh runs the hash-sharded engine; "
+                "join_impl='sorted' does not apply — use 'auto'"
+            )
+        join_impl = "hash"
+    elif join_impl == "auto":
         idt = np.dtype(id_dtype)
         join_impl = (
             "sorted"
@@ -629,7 +749,7 @@ def track_orbits(
             events = p["events"]
             with phase_timer(phases, "fetch"):
                 ev_count = _fetch_host(
-                    events.count if engine.join == "sorted"
+                    events.count if engine.join in ("sorted", "hash")
                     else events.ev_count
                 )
                 bulk_vel = _fetch_host(events.bulk_vel)
@@ -648,7 +768,33 @@ def track_orbits(
 
             saved_rows = p["saved_rows"]
             K = engine.event_capacity
-            if engine.join == "sorted":
+            if engine.join == "hash":
+                # per-shard event lists -> reference per-halo order
+                # (events ride halo row + prev global load slot)
+                from orbitanalysis_tpu.parallel.hash_sharded import (
+                    events_to_reference_order,
+                )
+
+                with phase_timer(phases, "fetch"):
+                    eh = _fetch_host(events.halo)
+                    ei = _fetch_host(events.ids)
+                    es = _fetch_host(events.slots)
+                    ea = _fetch_host(events.angles)
+                offs_all, ids_flat, ang_flat = events_to_reference_order(
+                    ev_count, eh, ei, es, ea, n_rows
+                )
+                lens = np.diff(offs_all)[saved_rows]
+                if len(saved_rows):
+                    sel = np.concatenate([
+                        np.arange(offs_all[r], offs_all[r + 1])
+                        for r in saved_rows
+                    ]).astype(np.int64)
+                else:
+                    sel = np.zeros(0, np.int64)
+                apsis_ids_flat = ids_flat[sel]
+                apsis_angles_flat = ang_flat[sel]
+                apsis_offsets = np.concatenate(([0], np.cumsum(lens)))
+            elif engine.join == "sorted":
                 # overflow-free: the kernel event buffer spans the whole
                 # capacity; fetch a count-bounded slice (rounded to limit
                 # distinct slice shapes) and restore reference order from
@@ -721,21 +867,32 @@ def track_orbits(
             # carry angles were fetched before the *next* dispatch could
             # donate them (see angles_host below); final drain fetches here
             angles_dev = p.get("angles_host")
-            if angles_dev is None:
-                angles_dev = _fetch_host(engine.carry.angles)
-            if not primary:
-                return
-            valid = p["packed_ids"] != engine.invalid
-            if engine.join == "sorted":
-                # carry is ID-sorted; scatter back to load order so the
-                # checkpoint matches the reference's per-particle layout
-                slot = np.asarray(p["packed_slot"])
-                a_load = np.zeros_like(angles_dev)
-                np.put_along_axis(a_load, slot, angles_dev, axis=-1)
-                v_load = np.zeros(valid.shape, dtype=bool)
-                np.put_along_axis(v_load, slot, valid, axis=-1)
-                angles_dev, valid = a_load, v_load
-            _, angles_flat = unpack_mask(valid, angles_dev, rows=p["rows"])
+            if engine.join == "hash":
+                if angles_dev is None:
+                    angles_dev = engine.capture_angles()
+                if not primary:
+                    return
+                angles_flat = engine.angles_to_load_order(
+                    angles_dev, p["n_particles"]
+                )
+            else:
+                if angles_dev is None:
+                    angles_dev = _fetch_host(engine.carry.angles)
+                if not primary:
+                    return
+                valid = p["packed_ids"] != engine.invalid
+                if engine.join == "sorted":
+                    # carry is ID-sorted; scatter back to load order so
+                    # the checkpoint matches the reference layout
+                    slot = np.asarray(p["packed_slot"])
+                    a_load = np.zeros_like(angles_dev)
+                    np.put_along_axis(a_load, slot, angles_dev, axis=-1)
+                    v_load = np.zeros(valid.shape, dtype=bool)
+                    np.put_along_axis(v_load, slot, valid, axis=-1)
+                    angles_dev, valid = a_load, v_load
+                _, angles_flat = unpack_mask(
+                    valid, angles_dev, rows=p["rows"]
+                )
             io_hdf5.write_checkpoint(
                 savefile, angles_flat, p["snapshot_number"],
                 angle_store_dtype=angles_flat.dtype,
@@ -790,6 +947,21 @@ def track_orbits(
 
         if engine is None:
             box_size = snapshot.get("box_size")
+            if join_impl == "hash":
+                n_shards = int(mesh.shape["shards"])
+                cap = capacity or round_up(
+                    int(np.ceil(
+                        len(snapshot["ids"]) / n_shards * headroom
+                    )) + 1, 128,
+                )
+                engine = _HashEngine(
+                    mesh, n_rows, mode, box_size, cap, angle_dtype
+                )
+                if not resume and primary:
+                    io_hdf5.initialize_savefile(
+                        savefile, mode, box_size, verbose
+                    )
+        if engine is None:
             cap = capacity or required_capacity(lengths, headroom)
             if join_impl == "sorted":
                 cap = max(round_up_pow2(cap), 128)
@@ -817,7 +989,9 @@ def track_orbits(
             )
             if not resume and primary:
                 io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
-        if lengths.size and int(lengths.max()) > engine.capacity:
+        if engine.join != "hash" and lengths.size and (
+            int(lengths.max()) > engine.capacity
+        ):
             # growth re-pads device state: drain the pipeline first so
             # pending full-mask fallbacks keep their original shapes
             flush_pending()
@@ -853,30 +1027,63 @@ def track_orbits(
                         constant_values=engine.invalid,
                     )
 
-        with phase_timer(phases, "pack"):
-            packed = pack_snapshot(
-                snapshot, rows, n_rows, engine.capacity,
-                region_positions, region_bulk_vels, id_dtype=id_dtype,
-                sort_ids=(join_impl == "sorted"),
-            )
+        if engine.join == "hash":
+            with phase_timer(phases, "pack"):
+                halo_col = np.repeat(rows.astype(np.int32), lengths)
+                flat = dict(
+                    halo=halo_col,
+                    ids=snapshot["ids"],
+                    pos=snapshot["coordinates"],
+                    vel=snapshot["velocities"],
+                )
+                m = snapshot.get("masses")
+                if (
+                    isinstance(m, np.ndarray)
+                    and np.ndim(m) == 1
+                    and len(m) == len(snapshot["ids"])
+                ):
+                    flat["mass"] = m
+                batch = engine.route(flat)  # grows the shard cap if needed
+                centers_full = np.zeros((n_rows, 3), np.float32)
+                centers_full[rows] = region_positions
+                bulk_full = None
+                if region_bulk_vels is not None:
+                    bulk_full = np.zeros((n_rows, 3), np.float32)
+                    bulk_full[rows] = region_bulk_vels
+            packed = None
+            t0 = time.time()
+            if checkpoint and pending is not None:
+                pending["angles_host"] = engine.capture_angles()
+            layout_ids = None
+            with phase_timer(phases, "step"):
+                events = engine.step(
+                    batch, centers_full, bulk_full, hubble_drag
+                )
+        else:
+            with phase_timer(phases, "pack"):
+                packed = pack_snapshot(
+                    snapshot, rows, n_rows, engine.capacity,
+                    region_positions, region_bulk_vels, id_dtype=id_dtype,
+                    sort_ids=(join_impl == "sorted"),
+                )
 
-        t0 = time.time()
-        # static-membership fast path: identical ID layout to the previous
-        # snapshot means the sort-merge join is unnecessary (general
-        # engine only — the fused kernel has no static variant yet, so
-        # skip the host-side comparison there)
-        static = (
-            join_impl != "sorted"
-            and prev_ids_host is not None
-            and bool(np.array_equal(packed.ids, prev_ids_host))
-        )
-        if checkpoint and pending is not None:
-            # the next dispatch donates the carry, so materialize the
-            # pending snapshot's angles now (syncs on its step only)
-            pending["angles_host"] = _fetch_host(engine.carry.angles)
-        layout_ids = prev_ids_host  # the dispatched step's prev layout
-        with phase_timer(phases, "step"):
-            events = engine.step(packed, hubble_drag, static=static)
+            t0 = time.time()
+            # static-membership fast path: identical ID layout to the
+            # previous snapshot means the sort-merge join is unnecessary
+            # (general engine only — the fused kernel has no static
+            # variant yet, so skip the host-side comparison there)
+            static = (
+                join_impl != "sorted"
+                and prev_ids_host is not None
+                and bool(np.array_equal(packed.ids, prev_ids_host))
+            )
+            if checkpoint and pending is not None:
+                # the next dispatch donates the carry, so materialize the
+                # pending snapshot's angles now (syncs on its step only)
+                pending["angles_host"] = _fetch_host(engine.carry.angles)
+            layout_ids = prev_ids_host  # the dispatched step's prev layout
+            with phase_timer(phases, "step"):
+                events = engine.step(packed, hubble_drag, static=static)
 
         if not started:
             # First processed snapshot: seeds the carry; nothing to save
@@ -892,18 +1099,27 @@ def track_orbits(
                         "write — delete the last savefile group or the "
                         "checkpoint and re-run"
                     )
-                angles_padded = pack_ragged(
-                    np.asarray(ck_angles, dtype=angle_dtype),
-                    offsets, n_rows, engine.capacity, rows=rows, fill=0.0,
-                )
-                engine.set_angles(
-                    angles_padded,
-                    order=packed.slot if join_impl == "sorted" else None,
-                )
+                if engine.join == "hash":
+                    engine.set_angles_flat(
+                        np.asarray(ck_angles, dtype=angle_dtype)
+                    )
+                else:
+                    angles_padded = pack_ragged(
+                        np.asarray(ck_angles, dtype=angle_dtype),
+                        offsets, n_rows, engine.capacity, rows=rows,
+                        fill=0.0,
+                    )
+                    engine.set_angles(
+                        angles_padded,
+                        order=packed.slot if join_impl == "sorted"
+                        else None,
+                    )
             started = True
             new_pending = dict(
                 save=False, phases=phases, rows=rows,
-                packed_ids=packed.ids, packed_slot=packed.slot,
+                packed_ids=None if packed is None else packed.ids,
+                packed_slot=None if packed is None else packed.slot,
+                n_particles=len(snapshot["ids"]),
                 snapshot_number=snapshot_number,
             )
         else:
@@ -922,8 +1138,8 @@ def track_orbits(
                 rows=rows,
                 saved_rows=saved_rows,
                 layout_ids=layout_ids,
-                packed_ids=packed.ids,
-                packed_slot=packed.slot,
+                packed_ids=None if packed is None else packed.ids,
+                packed_slot=None if packed is None else packed.slot,
                 snapshot_number=snapshot_number,
                 n_particles=len(snapshot["ids"]),
                 halo_ids_saved=halo_ids[saved_rows],
@@ -940,7 +1156,7 @@ def track_orbits(
         flush_pending()
         pending = new_pending
 
-        prev_ids_host = packed.ids
+        prev_ids_host = None if packed is None else packed.ids
         prev_rows = rows
 
        flush_pending()

@@ -65,6 +65,17 @@ class HashCarry(NamedTuple):
     angles: jnp.ndarray  # [D, C] f32 accumulated angle
 
 
+class HashEvents(NamedTuple):
+    """Per-step events, one row per shard (exact counts, K-wide lists)."""
+
+    count: jnp.ndarray     # [D] int32
+    halo: jnp.ndarray      # [D, K] int32
+    ids: jnp.ndarray       # [D, K] int32
+    slots: jnp.ndarray     # [D, K] int32 prev global load slot
+    angles: jnp.ndarray    # [D, K]
+    bulk_vel: jnp.ndarray  # [H, 3] (replicated)
+
+
 class HashBatch(NamedTuple):
     """One routed snapshot, [D, C] per-shard blocks (host-built)."""
 
@@ -95,6 +106,11 @@ def route_flat(flat: dict, n_shards: int, cap: int) -> HashBatch:
     load order (region-major), which the event path preserves.
     """
     ids = np.asarray(flat["ids"], dtype=np.int64)
+    if ids.size and (ids.min() < 0 or ids.max() >= 2**31 - 1):
+        raise ValueError(
+            "hash-sharded tracking stores particle IDs as int32; remap "
+            "IDs into [0, 2^31-1) in the loader"
+        )
     n = len(ids)
     halo = np.asarray(flat["halo"], dtype=np.int32)
     slot = np.asarray(
@@ -289,13 +305,13 @@ def make_hash_sharded_step(
             num_keys=1,
             is_stable=True,
         )
-        events = (
-            count[None],
-            e_halo[None, :K],
-            e_ids[None, :K],
-            e_slot[None, :K],
-            e_ang[None, :K].astype(angle_dtype),
-            bulk[None],
+        events = HashEvents(
+            count=count[None],
+            halo=e_halo[None, :K],
+            ids=e_ids[None, :K],
+            slots=e_slot[None, :K],
+            angles=e_ang[None, :K].astype(angle_dtype),
+            bulk_vel=bulk,
         )
         return new_carry, events
 
@@ -310,7 +326,10 @@ def make_hash_sharded_step(
         )
         out_specs = (
             jax.tree.map(lambda _: spec_dc, carry),
-            (spec_dc, spec_dc, spec_dc, spec_dc, spec_dc, P()),
+            HashEvents(
+                count=spec_dc, halo=spec_dc, ids=spec_dc,
+                slots=spec_dc, angles=spec_dc, bulk_vel=P(),
+            ),
         )
         if bulk_cat is None:
             f = shard_map(

@@ -1,0 +1,105 @@
+"""track_orbits over a 'shards' mesh (hash-sharded particle engine):
+savefiles must match the general single-device run event-for-event,
+including crash-resume."""
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from orbitanalysis_tpu import track_orbits
+from orbitanalysis_tpu.models.synthetic import churn_snapshots
+from orbitanalysis_tpu.parallel import make_mesh
+
+from helpers import make_callbacks
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture
+def setup():
+    box = 60.0
+    n_halos, n_part, n_snap = 3, 150, 8
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=23
+    )
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(n_halos), (n_snap, 1))
+    return box, regions, loader, snap_nums, branches
+
+
+def _compare_savefiles(a_path, b_path):
+    with h5py.File(a_path) as a, h5py.File(b_path) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            assert sorted(a[k].keys()) == sorted(b[k].keys()), k
+            for ds in a[k]:
+                va, vb = a[k][ds][:], b[k][ds][:]
+                if ds in ("bulk_velocities",):
+                    # different reduction order (segment psum vs masked
+                    # row mean) -> float ulps
+                    assert np.allclose(va, vb, atol=1e-4), (k, ds)
+                elif ds == "angles":
+                    assert np.allclose(
+                        va.astype(np.float32), vb.astype(np.float32),
+                        atol=2e-3,
+                    ), (k, ds)
+                else:
+                    assert np.array_equal(va, vb), (k, ds)
+
+
+def test_tracker_hash_matches_general(tmp_path, setup):
+    box, regions, loader, snap_nums, branches = setup
+    mesh = make_mesh({"shards": 8})
+    save_h = str(tmp_path / "hash.h5")
+    track_orbits(snap_nums, branches, regions, loader, save_h,
+                 mesh=mesh, verbose=False)
+    save_g = str(tmp_path / "general.h5")
+    track_orbits(snap_nums, branches, regions, loader, save_g,
+                 join_impl="general", verbose=False)
+    _compare_savefiles(save_h, save_g)
+
+
+def test_tracker_hash_crash_resume(tmp_path, setup):
+    box, regions, loader, snap_nums, branches = setup
+    mesh = make_mesh({"shards": 8})
+    straight = str(tmp_path / "straight.h5")
+    track_orbits(snap_nums, branches, regions, loader, straight,
+                 mesh=mesh, checkpoint=True, verbose=False)
+
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 5 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    resumed = str(tmp_path / "resumed.h5")
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                     mesh=mesh, checkpoint=True, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                 mesh=mesh, checkpoint=True, resume=True, verbose=False)
+    with h5py.File(straight) as a, h5py.File(resumed) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_tracker_hash_halo_born_and_masses(tmp_path, setup):
+    box, regions, loader, snap_nums, branches = setup
+    branches = branches.copy()
+    branches[:4, 1] = -1  # halo 1 born at snapshot 4
+    mesh = make_mesh({"shards": 4}, jax.devices()[:4])
+    save_h = str(tmp_path / "hash_born.h5")
+    track_orbits(snap_nums, branches, regions, loader, save_h,
+                 mesh=mesh, verbose=False)
+    save_g = str(tmp_path / "general_born.h5")
+    track_orbits(snap_nums, branches, regions, loader, save_g,
+                 join_impl="general", verbose=False)
+    _compare_savefiles(save_h, save_g)
