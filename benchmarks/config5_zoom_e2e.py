@@ -186,12 +186,40 @@ def run_device_scale(args):
     )
     from orbitanalysis_tpu.utils.padding import round_up_pow2
 
-    N = int(args.device_scale * 1e6)
+    target = int(args.device_scale * 1e6)
     P = min(MAX_FUSED_CAPACITY, 65536)
-    H = max(1, N // P)
-    N = H * P
     S = 4
     dt, ecc = 0.3, 0.3
+
+    # the mass channel adds ~8 bytes/particle of batch+carry state over
+    # the massless fullbox config, so the single-chip ceiling sits
+    # below 1e8; back off on OOM and report the largest N that fits
+    H = max(1, target // P)
+    while H >= 1:
+        try:
+            _device_scale_attempt(args, H, P, S, dt, ecc)
+            return
+        except Exception as e:  # jaxlib wraps OOM differently per path
+            msg = f"{type(e).__name__}: {e}"
+            if "RESOURCE_EXHAUSTED" in msg or "ResourceExhausted" in msg:
+                print(f"{H * P / 1e6:.0f}M particles OOM on one chip "
+                      "(mass channel adds state) — halving", flush=True)
+                H //= 2
+            else:
+                raise
+
+
+def _device_scale_attempt(args, H, P, S, dt, ecc):
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import (
+        init_sorted_carry,
+        make_sorted_orbit_step,
+    )
+
+    N = H * P
     print(f"\ndevice-resident zoom step: H={H} x P={P} = {N / 1e6:.0f}M "
           "particles, 3-species mass channel", flush=True)
 

@@ -78,7 +78,18 @@ def _acos_f32(x):
     return jnp.where(ax > 0.5, acos_big, acos_small)
 
 
-def _fused_kernel(pericentric, invalid_id, n2, *refs):
+def _fused_kernel(pericentric, invalid_id, n2, rpp, *refs):
+    """``rpp`` halo rows per grid program: the merge/unmerge/compaction
+    stage chains of each row are data-independent serial dependency
+    chains; unrolling several rows in one program hands the Mosaic
+    scheduler independent work to interleave into each chain's latency
+    bubbles (measured latency-bound: a 6-channel and a 1-channel stage
+    cost the same wall time)."""
+    for s in range(rpp):
+        _fused_kernel_row(pericentric, invalid_id, n2, s, *refs)
+
+
+def _fused_kernel_row(pericentric, invalid_id, n2, s, *refs):
     (pk, psv, prx, pry, prz, pang,
      ck, csv, crx, cry, crz,
      out_packed, out_evk, out_evsv, out_evang, out_count) = refs
@@ -90,12 +101,12 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     # each stage's swap decisions in a positional bit plane so the
     # network can be replayed in reverse afterwards ----
     chans = [
-        jnp.concatenate([pk[0], ck[0]], axis=0),
-        jnp.concatenate([psv[0], csv[0]], axis=0),
-        jnp.concatenate([prx[0], crx[0]], axis=0),
-        jnp.concatenate([pry[0], cry[0]], axis=0),
-        jnp.concatenate([prz[0], crz[0]], axis=0),
-        jnp.concatenate([pang[0], jnp.zeros_like(pang[0])], axis=0),
+        jnp.concatenate([pk[s], ck[s]], axis=0),
+        jnp.concatenate([psv[s], csv[s]], axis=0),
+        jnp.concatenate([prx[s], crx[s]], axis=0),
+        jnp.concatenate([pry[s], cry[s]], axis=0),
+        jnp.concatenate([prz[s], crz[s]], axis=0),
+        jnp.concatenate([pang[s], jnp.zeros_like(pang[s])], axis=0),
     ]
     bits = jnp.zeros((rows2, _LANES), jnp.uint32)
     j = 0
@@ -156,7 +167,7 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     angle_new = jnp.where(apsis | ~match_cur, 0.0, angle_acc)
 
     apsis_i = apsis.astype(jnp.int32)
-    out_count[0] = jnp.full((8, _LANES), jnp.sum(apsis_i), jnp.int32)
+    out_count[s] = jnp.full((8, _LANES), jnp.sum(apsis_i), jnp.int32)
 
     # route the event to the prev partner slot (one position left)
     apsis_prev = _roll_flat(apsis_i, -1)
@@ -200,7 +211,7 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     # split: rows [:P] = prev side (event payload at the staged prev
     # positions), rows [P:] = cur side (carry angles in the staged —
     # descending — cur order; the caller flips this one plane back)
-    out_packed[0] = u[rows_p:]
+    out_packed[s] = u[rows_p:]
     flag = ((u[:rows_p] >> 31) & 1).astype(jnp.int32)
     evang_prev = pltpu.bitcast(
         u[:rows_p] & jnp.uint32(0x7FFFFFFF), jnp.float32
@@ -210,12 +221,12 @@ def _fused_kernel(pericentric, invalid_id, n2, *refs):
     # payloads come straight from the input refs — prev staging is the
     # carry itself, already in ID order ----
     evk, evsv, evang = _compact_group(
-        flag, [pk[0], psv[0], evang_prev], n2 // 2
+        flag, [pk[s], psv[s], evang_prev], n2 // 2
     )
     rows_k = out_evk.shape[1]
-    out_evk[0] = evk[:rows_k]
-    out_evsv[0] = evsv[:rows_k]
-    out_evang[0] = evang[:rows_k]
+    out_evk[s] = evk[:rows_k]
+    out_evsv[s] = evsv[:rows_k]
+    out_evang[s] = evang[:rows_k]
 
 
 def _static_kernel(pericentric, invalid_id, n, *refs):
@@ -349,13 +360,14 @@ def fused_static_detect(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pericentric", "invalid_id", "k128", "interpret"),
+    static_argnames=("pericentric", "invalid_id", "k128", "interpret",
+                     "rpp"),
 )
-def _fused_call(pericentric, invalid_id, k128, interpret, *arrays):
+def _fused_call(pericentric, invalid_id, k128, interpret, rpp, *arrays):
     h, r, _ = arrays[0].shape
     n2 = 2 * r * _LANES
     spec_in = pl.BlockSpec(
-        (1, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (rpp, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     kr = k128 // _LANES
     out_shapes = (
@@ -366,20 +378,20 @@ def _fused_call(pericentric, invalid_id, k128, interpret, *arrays):
         jax.ShapeDtypeStruct((h, 8, _LANES), jnp.int32),     # count tile
     )
     out_specs = (
-        pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((rpp, r, _LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((rpp, kr, _LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((rpp, kr, _LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((rpp, kr, _LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((rpp, 8, _LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_fused_kernel, pericentric, invalid_id, n2),
-        grid=(h,),
+        functools.partial(_fused_kernel, pericentric, invalid_id, n2, rpp),
+        grid=(h // rpp,),
         out_shape=out_shapes,
         in_specs=[spec_in] * 11,
         out_specs=out_specs,
@@ -421,8 +433,20 @@ def fused_join_detect(
         a.reshape(h, r, _LANES) for a in tuple(prev_ops) + tuple(cur_ops)
     )
     interpret = default_interpret()
+    # rows per grid program (ORBIT_FUSED_RPP): unrolling 2 rows
+    # interleaves their stage chains, measured +3.5% per step at
+    # [1020, 65536] churn (136.7 -> 132.0 ms) but 5.7x the Mosaic
+    # compile time (45 -> 260 s; rpp=4 exceeded 25 min) — so the
+    # default stays 1 and the knob is an explicit opt-in for
+    # long-running jobs that amortize the compile
+    import os
+
+    rpp = int(os.environ.get("ORBIT_FUSED_RPP", "1"))
+    rpp = max(rpp, 1)
+    while h % rpp:
+        rpp -= 1
     packed, evk, evsv, evang, count = _fused_call(
-        pericentric, int(invalid_id), k128, interpret, *arrays
+        pericentric, int(invalid_id), k128, interpret, rpp, *arrays
     )
     return (
         packed.reshape(h, p),

@@ -42,6 +42,15 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         # (fast compiles anyway) stays uncached.
         if jax.default_backend() != "tpu":
             return None
+        # The 'axon' tunneled PJRT backend hangs deserializing cached
+        # executables (observed: a warm-cache run futex-waits forever in
+        # the first jit load); it ships its own remote compile cache, so
+        # the JAX persistent cache is both broken and redundant there.
+        version = getattr(
+            jax.devices()[0].client, "platform_version", ""
+        )
+        if "axon" in version:
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_enable_compilation_cache", True)
