@@ -193,20 +193,27 @@ def run_device_scale(args):
 
     # the mass channel adds ~8 bytes/particle of batch+carry state over
     # the massless fullbox config, so the single-chip ceiling sits
-    # below 1e8; back off on OOM and report the largest N that fits
+    # below 1e8.  An OOM wedges the tunneled backend for the rest of
+    # the process (leaked server-side allocations), so back off by
+    # re-exec'ing at half scale in a fresh process.
     H = max(1, target // P)
-    while H >= 1:
-        try:
-            _device_scale_attempt(args, H, P, S, dt, ecc)
-            return
-        except Exception as e:  # jaxlib wraps OOM differently per path
-            msg = f"{type(e).__name__}: {e}"
-            if "RESOURCE_EXHAUSTED" in msg or "ResourceExhausted" in msg:
-                print(f"{H * P / 1e6:.0f}M particles OOM on one chip "
-                      "(mass channel adds state) — halving", flush=True)
-                H //= 2
-            else:
-                raise
+    try:
+        _device_scale_attempt(args, H, P, S, dt, ecc)
+        return
+    except Exception as e:  # jaxlib wraps OOM differently per path
+        msg = f"{type(e).__name__}: {e}"
+        if "RESOURCE_EXHAUSTED" not in msg and "ResourceExhausted" not in msg:
+            raise
+        if H <= 1:
+            raise
+        print(f"{H * P / 1e6:.0f}M particles OOM on one chip "
+              "(mass channel adds state) — re-exec at half scale",
+              flush=True)
+        os.execv(sys.executable, [
+            sys.executable, os.path.abspath(__file__), "--skip-e2e",
+            f"--device-scale={H // 2 * P / 1e6}",
+            "--outdir", args.outdir,
+        ])
 
 
 def _device_scale_attempt(args, H, P, S, dt, ecc):
