@@ -529,9 +529,11 @@ class _HashEngine:
 
     def set_angles_flat(self, ck_angles):
         """Resume: replace carry angles from the (load-order) sidecar."""
+        ck = np.asarray(ck_angles, dtype=np.float32)
+        if ck.size == 0:
+            return  # empty resume snapshot: carry angles stay zero
         slot = _fetch_host(self.carry.slot)
         valid = _fetch_host(self.carry.ids) != self.invalid
-        ck = np.asarray(ck_angles, dtype=np.float32)
         new = np.where(
             valid, ck[np.minimum(slot, len(ck) - 1)], 0.0
         ).astype(np.float32)

@@ -91,6 +91,20 @@ def test_tracker_hash_crash_resume(tmp_path, setup):
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
+def test_hash_engine_empty_checkpoint_resume():
+    """Resuming from a checkpoint whose angle sidecar is empty (zero
+    tracked particles at the crash snapshot) must not index into the
+    empty array; carry angles stay zero."""
+    from orbitanalysis_tpu.engine.tracker import _HashEngine
+
+    mesh = make_mesh({"shards": 4}, jax.devices()[:4])
+    eng = _HashEngine(mesh, n_halos=2, mode="pericentric",
+                      box_size=60.0, cap=64, angle_dtype=np.float32)
+    before = np.asarray(eng.carry.angles)
+    eng.set_angles_flat(np.zeros(0, dtype=np.float32))
+    assert np.array_equal(np.asarray(eng.carry.angles), before)
+
+
 def test_tracker_hash_halo_born_and_masses(tmp_path, setup):
     box, regions, loader, snap_nums, branches = setup
     branches = branches.copy()
