@@ -160,27 +160,19 @@ def route_flat(flat: dict, n_shards: int, cap: int) -> HashBatch:
     )
 
 
-def make_hash_sharded_step(
-    mesh: Mesh,
+def _make_local_step(
     n_halos: int,
     event_capacity: int,
-    axis: str = "shards",
-    mode: str = "pericentric",
-    box_size=None,
-    angle_dtype=jnp.float32,
+    pericentric: bool,
+    box_size,
+    angle_dtype,
+    axis: str,
 ):
-    """Build ``step(carry, batch, centers, bulk_vels, hubble_drag) ->
-    (carry, (ev_count, ev_halo, ev_ids, ev_slot, ev_angles, bulk))``.
-
-    ``centers``: [H, 3] replicated; ``bulk_vels``: [H, 3] catalog bulk
-    velocities or None (then the mass-weighted mean over each halo's
-    particles is psum-reduced across shards, reference semantics
-    ``track_orbits.py:267-284``).  Events come back per shard,
-    ``[D, K]``, with exact per-shard counts.
-    """
-    if axis not in mesh.axis_names:
-        raise ValueError(f"mesh needs a {axis!r} axis")
-    pericentric = mode == "pericentric"
+    """Shard-local step body (runs inside ``shard_map``): join + detect
+    on this shard's [1, C] carry/batch rows; the only collective is the
+    ``psum`` of the bulk-velocity moments.  Shared by the per-step
+    wrapper (:func:`make_hash_sharded_step`) and the scan-resident
+    driver (:func:`make_hash_scan`)."""
     K = int(event_capacity)
     H = int(n_halos)
 
@@ -315,6 +307,34 @@ def make_hash_sharded_step(
         )
         return new_carry, events
 
+    return local_step
+
+
+def make_hash_sharded_step(
+    mesh: Mesh,
+    n_halos: int,
+    event_capacity: int,
+    axis: str = "shards",
+    mode: str = "pericentric",
+    box_size=None,
+    angle_dtype=jnp.float32,
+):
+    """Build ``step(carry, batch, centers, bulk_vels, hubble_drag) ->
+    (carry, (ev_count, ev_halo, ev_ids, ev_slot, ev_angles, bulk))``.
+
+    ``centers``: [H, 3] replicated; ``bulk_vels``: [H, 3] catalog bulk
+    velocities or None (then the mass-weighted mean over each halo's
+    particles is psum-reduced across shards, reference semantics
+    ``track_orbits.py:267-284``).  Events come back per shard,
+    ``[D, K]``, with exact per-shard counts.
+    """
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh needs a {axis!r} axis")
+    local_step = _make_local_step(
+        n_halos, event_capacity, mode == "pericentric", box_size,
+        angle_dtype, axis,
+    )
+
     def step(carry, batch, centers, bulk_cat=None, hubble_drag=0.0):
         spec_dc = P(axis)
         in_specs = (
@@ -352,6 +372,263 @@ def make_hash_sharded_step(
                  jnp.asarray(hubble_drag, jnp.float32))
 
     return step
+
+
+class FlatRecords(NamedTuple):
+    """Unrouted records sharded by *position*, [D, L] row blocks in load
+    order (device d holds global slots ``[d*L, (d+1)*L)``).  This is the
+    natural layout of data that is already device-resident — an
+    integrator's particle blocks, or a snapshot stack staged in HBM —
+    before ownership routing."""
+
+    halo: jnp.ndarray   # [D, L] int32
+    ids: jnp.ndarray    # [D, L] int32 (_INVALID = padding)
+    slot: jnp.ndarray   # [D, L] int32 global load slot
+    pos: jnp.ndarray    # [D, L, 3] f32
+    vel: jnp.ndarray    # [D, L, 3] f32
+    mass: Optional[jnp.ndarray]  # [D, L] f32 or None
+
+
+def flat_to_position_shards(
+    flat: dict, n_shards: int, pad_to: Optional[int] = None
+) -> FlatRecords:
+    """Host-side: chunk a flat load-order record list into the
+    position-sharded ``[D, L]`` layout consumed by the device router.
+    Consecutive chunks preserve load order, so the routed per-shard
+    blocks come out in the exact order :func:`route_flat` produces."""
+    ids = np.asarray(flat["ids"], dtype=np.int64)
+    if ids.size and (ids.min() < 0 or ids.max() >= 2**31 - 1):
+        raise ValueError(
+            "hash-sharded tracking stores particle IDs as int32; remap "
+            "IDs into [0, 2^31-1) in the loader"
+        )
+    n = len(ids)
+    D = int(n_shards)
+    L = int(pad_to) if pad_to is not None else -(-n // D) if n else 1
+    if D * L < n:
+        raise ValueError(f"pad_to={L} too small: {D}x{L} < {n} records")
+    slot = np.asarray(
+        flat.get("slot", np.arange(n, dtype=np.int64)), dtype=np.int64
+    )
+    mass = flat.get("mass")
+
+    def pad(v, fill, dtype):
+        v = np.asarray(v, dtype=dtype)
+        out = np.full((D * L,) + v.shape[1:], fill, dtype)
+        out[:n] = v
+        return jnp.asarray(out.reshape((D, L) + v.shape[1:]))
+
+    return FlatRecords(
+        halo=pad(flat["halo"], 0, np.int32),
+        ids=pad(ids, _INVALID, np.int32),
+        slot=pad(slot, 0, np.int32),
+        pos=pad(flat["pos"], 0, np.float32),
+        vel=pad(flat["vel"], 0, np.float32),
+        mass=None if mass is None else pad(mass, 1, np.float32),
+    )
+
+
+def _make_local_route(n_shards: int, cap: int, block: int, axis: str):
+    """Device-side ownership routing (runs inside ``shard_map``): each
+    device buckets its [1, L] load-order chunk by ``id % D`` into
+    fixed-``block`` send buffers, one ``all_to_all`` exchanges them over
+    ICI, and the receive side compacts its ``[D, block]`` blocks into
+    the [1, cap] :class:`HashBatch` row — the device-resident equivalent
+    of :func:`route_flat` (same within-shard record order, since source
+    chunks are consecutive in load order).
+
+    Returns ``local_route(FlatRecords row) -> (HashBatch row, dropped)``
+    where ``dropped`` counts records lost to ``block``/``cap`` overflow
+    on this device (fail-loud: the caller asserts zero; hash imbalance
+    is O(sqrt), so a few % headroom suffices)."""
+    D = int(n_shards)
+    if D * block < cap:
+        raise ValueError(
+            f"block={block} too small: D*block={D * block} cannot fill "
+            f"cap={cap}"
+        )
+
+    def local_route(flat):
+        ids = flat.ids[0]
+        L = ids.shape[0]
+        valid = ids != _INVALID
+        dst = jnp.where(valid, ids % D, D).astype(jnp.int32)
+        perm = jnp.argsort(dst)  # stable: load order within buckets
+        dst_s = dst[perm]
+        counts = jnp.bincount(dst, length=D + 1)
+        starts = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+        )
+        rank = (
+            jnp.arange(L, dtype=jnp.int32)
+            - starts[dst_s].astype(jnp.int32)
+        )
+        ok = (rank < block) & (dst_s < D)
+        bucket = jnp.where(ok, dst_s * block + rank, D * block)
+        dropped_send = jnp.sum(
+            (rank >= block) & (dst_s < D), dtype=jnp.int32
+        )
+
+        def exchange(v, fill):
+            vs = v[perm]
+            buf = jnp.full(
+                (D * block,) + vs.shape[1:], fill, vs.dtype
+            ).at[bucket].set(vs, mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape((D, block) + vs.shape[1:]),
+                axis, split_axis=0, concat_axis=0, tiled=True,
+            ).reshape((D * block,) + vs.shape[1:])
+
+        r_ids = exchange(ids, _INVALID)
+        valid_r = r_ids != _INVALID
+        # stable: valid first, (source shard, in-bucket rank) order ==
+        # global load order restricted to this shard
+        perm2 = jnp.argsort(~valid_r)[:cap]
+        n_valid = jnp.sum(valid_r, dtype=jnp.int32)
+        dropped_recv = jnp.maximum(n_valid - cap, 0)
+
+        batch = HashBatch(
+            halo=exchange(flat.halo[0], 0)[perm2][None],
+            ids=r_ids[perm2][None],
+            slot=exchange(flat.slot[0], 0)[perm2][None],
+            pos=exchange(flat.pos[0], 0.0)[perm2][None],
+            vel=exchange(flat.vel[0], 0.0)[perm2][None],
+            mass=(
+                None if flat.mass is None
+                else exchange(flat.mass[0], 1.0)[perm2][None]
+            ),
+        )
+        return batch, (dropped_send + dropped_recv)[None]
+
+    return local_route
+
+
+def make_device_router(
+    mesh: Mesh,
+    cap: int,
+    block: Optional[int] = None,
+    axis: str = "shards",
+):
+    """Jittable ownership router: ``route(FlatRecords [D, L]) ->
+    (HashBatch [D, cap], dropped [D])``.  ``block`` is the per-(source,
+    destination) bucket width (default: 2x the uniform-hash expectation,
+    and at least ``cap / D`` so a full batch can be assembled)."""
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh needs a {axis!r} axis")
+    D = int(mesh.shape[axis])
+
+    def route(flat: FlatRecords):
+        L = flat.ids.shape[1]
+        blk = block if block is not None else max(
+            -(-2 * L // D), -(-cap // D)
+        )
+        local = _make_local_route(D, cap, blk, axis)
+        spec = jax.tree.map(lambda _: P(axis), flat)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=(
+                jax.tree.map(lambda _: P(axis), HashBatch(
+                    halo=0, ids=0, slot=0, pos=0, vel=0,
+                    mass=None if flat.mass is None else 0,
+                )),
+                P(axis),
+            ),
+            **_SHARD_MAP_KW,
+        )(flat)
+
+    return route
+
+
+def make_hash_scan(
+    mesh: Mesh,
+    n_halos: int,
+    event_capacity: int,
+    cap: int,
+    block: Optional[int] = None,
+    axis: str = "shards",
+    mode: str = "pericentric",
+    box_size=None,
+    angle_dtype=jnp.float32,
+):
+    """Scan-resident hash-sharded tracking: route + join + detect for a
+    whole snapshot sequence in ONE jitted ``lax.scan``, no host in the
+    loop — the multi-chip counterpart of
+    :func:`orbitanalysis_tpu.engine.scan.scan_events_sorted` (reference
+    walks snapshots on the host, ``track_orbits.py:104``).
+
+    Returns ``scan(carry, flat_seq, centers_seq, bulk_seq=None,
+    hubble_drag=0.0) -> (carry, HashEvents [S, D, ...], dropped [S, D])``
+    where ``flat_seq`` is a :class:`FlatRecords` with leaves ``[S, D, L]``
+    (position-sharded load-order chunks per snapshot), ``centers_seq``
+    is ``[S, H, 3]``, ``bulk_seq`` optionally ``[S, H, 3]``, and
+    ``hubble_drag`` a scalar or ``[S]``.  Each step's ownership routing
+    is a device-side ``all_to_all`` (see :func:`make_device_router`);
+    ``dropped`` must come back all-zero (bucket overflow is fail-loud).
+    """
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh needs a {axis!r} axis")
+    D = int(mesh.shape[axis])
+    H = int(n_halos)
+    local_step = _make_local_step(
+        n_halos, event_capacity, mode == "pericentric", box_size,
+        angle_dtype, axis,
+    )
+
+    def scan(carry, flat_seq, centers_seq, bulk_seq=None, hubble_drag=0.0):
+        S, _, L = flat_seq.ids.shape
+        blk = block if block is not None else max(
+            -(-2 * L // D), -(-cap // D)
+        )
+        local_route = _make_local_route(D, cap, blk, axis)
+        drag = jnp.broadcast_to(
+            jnp.asarray(hubble_drag, jnp.float32), (S,)
+        )
+        centers_seq = jnp.asarray(centers_seq, jnp.float32)
+
+        def mapped(carry, flats, centers_s, bulks, drags):
+            def body(c, x):
+                fl, ce, bu, dr = x
+                batch, dropped = local_route(fl)
+                c2, ev = local_step(c, batch, ce, bu, dr)
+                return c2, (ev, dropped)
+
+            return jax.lax.scan(
+                body, carry, (flats, centers_s, bulks, drags)
+            )
+
+        spec_c = jax.tree.map(lambda _: P(axis), carry)
+        spec_f = jax.tree.map(lambda _: P(None, axis), flat_seq)
+        ev_spec = HashEvents(
+            count=P(None, axis), halo=P(None, axis), ids=P(None, axis),
+            slots=P(None, axis), angles=P(None, axis), bulk_vel=P(),
+        )
+        if bulk_seq is None:
+            f = shard_map(
+                lambda c, fl, ce, dr: mapped(c, fl, ce, None, dr),
+                mesh=mesh,
+                in_specs=(spec_c, spec_f, P(), P()),
+                out_specs=(spec_c, (ev_spec, P(None, axis))),
+                **_SHARD_MAP_KW,
+            )
+            carry, (events, dropped) = f(carry, flat_seq, centers_seq,
+                                         drag)
+        else:
+            f = shard_map(
+                mapped,
+                mesh=mesh,
+                in_specs=(spec_c, spec_f, P(), P(), P()),
+                out_specs=(spec_c, (ev_spec, P(None, axis))),
+                **_SHARD_MAP_KW,
+            )
+            carry, (events, dropped) = f(
+                carry, flat_seq, centers_seq,
+                jnp.asarray(bulk_seq, jnp.float32), drag,
+            )
+        return carry, events, dropped
+
+    return scan
 
 
 def events_to_reference_order(ev_count, ev_halo, ev_ids, ev_slot,

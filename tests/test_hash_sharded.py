@@ -3,6 +3,7 @@ the join stays shard-local under membership churn; events must equal
 the oracle's per-halo sets exactly on the virtual 8-device CPU mesh."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -10,7 +11,10 @@ from orbitanalysis_tpu.models.synthetic import churn_snapshots
 from orbitanalysis_tpu.parallel import make_mesh
 from orbitanalysis_tpu.parallel.hash_sharded import (
     events_to_reference_order,
+    flat_to_position_shards,
     init_hash_carry,
+    make_device_router,
+    make_hash_scan,
     make_hash_sharded_step,
     route_flat,
 )
@@ -130,6 +134,97 @@ def test_hash_sharded_mass_weighted_bulk():
             got = np.sort(ids[offsets[h]:offsets[h + 1]])
             exp = np.sort(np.asarray(expected[h][0]))
             assert np.array_equal(got, exp), (s, h)
+
+
+def test_device_router_matches_host_router():
+    """The all_to_all ownership router must reproduce route_flat's
+    [D, cap] blocks bit-for-bit: consecutive position chunks preserve
+    global load order within each destination bucket."""
+    rng = np.random.default_rng(5)
+    n, D, cap = 1000, 8, 256
+    flat = dict(
+        halo=rng.integers(0, 3, n).astype(np.int32),
+        ids=rng.permutation(5000)[:n].astype(np.int64),
+        pos=rng.normal(size=(n, 3)).astype(np.float32),
+        vel=rng.normal(size=(n, 3)).astype(np.float32),
+        mass=rng.uniform(0.5, 2.0, n).astype(np.float32),
+    )
+    host = route_flat(flat, D, cap)
+    mesh = make_mesh({"shards": D})
+    route = jax.jit(make_device_router(mesh, cap))
+    dev, dropped = route(flat_to_position_shards(flat, D))
+    assert int(np.sum(np.asarray(dropped))) == 0
+    for name in ("halo", "ids", "slot", "pos", "vel", "mass"):
+        a = np.asarray(getattr(host, name))
+        b = np.asarray(getattr(dev, name))
+        assert np.array_equal(a, b), name
+
+
+def test_device_router_overflow_fail_loud():
+    """Bucket overflow must be *reported*, not silent: all IDs landing
+    on one shard with a too-small block width drops records and the
+    dropped counts say so."""
+    n, D = 64, 8
+    flat = dict(
+        halo=np.zeros(n, np.int32),
+        ids=(np.arange(n) * D).astype(np.int64),  # all on shard 0
+        pos=np.zeros((n, 3), np.float32),
+        vel=np.zeros((n, 3), np.float32),
+    )
+    mesh = make_mesh({"shards": D})
+    route = jax.jit(make_device_router(mesh, cap=64, block=8))
+    _, dropped = route(flat_to_position_shards(flat, D))
+    # 64 records -> 8 sources x block 8 = exactly fits; shrink block
+    route2 = jax.jit(make_device_router(mesh, cap=32, block=4))
+    _, dropped2 = route2(flat_to_position_shards(flat, D))
+    assert int(np.sum(np.asarray(dropped))) == 0
+    assert int(np.sum(np.asarray(dropped2))) == n - D * 4
+
+
+def test_hash_scan_matches_oracle():
+    """Scan-resident sequence driver (device-side all_to_all routing,
+    one lax.scan, no host in the loop) must equal the oracle's per-halo
+    event sets and angles, like the per-step path."""
+    box = 60.0
+    n_halos, n_part, n_snap = 3, 150, 6
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=13
+    )
+    D, cap, K = 8, 256, 128
+    mesh = make_mesh({"shards": D})
+
+    flats = [_flatten(s, n_halos) for s in snaps]
+    L = -(-max(len(f["ids"]) for f in flats) // D)
+    seqs = [flat_to_position_shards(f, D, pad_to=L) for f in flats]
+    flat_seq = jax.tree.map(lambda *xs: jnp.stack(xs), *seqs)
+    centers_seq = np.stack([f["centers"] for f in flats])
+
+    scan = jax.jit(make_hash_scan(
+        mesh, n_halos, K, cap, mode="pericentric", box_size=box
+    ))
+    carry = init_hash_carry(D, cap, n_halos)
+    carry, evs, dropped = scan(carry, flat_seq, centers_seq)
+    assert int(np.sum(np.asarray(dropped))) == 0
+
+    oracle = OracleTracker(mode="pericentric", box_size=box)
+    for s, snap in enumerate(snaps):
+        expected = oracle.step(snap)
+        offsets, ids, ang = events_to_reference_order(
+            np.asarray(evs.count[s]), np.asarray(evs.halo[s]),
+            np.asarray(evs.ids[s]), np.asarray(evs.slots[s]),
+            np.asarray(evs.angles[s]), n_halos,
+        )
+        for h in range(n_halos):
+            got = np.sort(ids[offsets[h]:offsets[h + 1]])
+            exp = np.sort(np.asarray(expected[h][0]))
+            assert np.array_equal(got, exp), (s, h)
+            got_a = ang[offsets[h]:offsets[h + 1]][
+                np.argsort(ids[offsets[h]:offsets[h + 1]], kind="stable")
+            ]
+            exp_a = np.asarray(expected[h][1])[
+                np.argsort(np.asarray(expected[h][0]), kind="stable")
+            ]
+            assert np.allclose(got_a, exp_a, atol=1e-4), (s, h)
 
 
 def test_route_flat_capacity_guard():
