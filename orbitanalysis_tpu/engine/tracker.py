@@ -36,7 +36,9 @@ import numpy as np
 from orbitanalysis_tpu.engine import io_hdf5
 from orbitanalysis_tpu.engine.packing import (
     PackedSnapshot,
+    StableLayout,
     pack_snapshot,
+    pack_snapshot_aligned,
     required_capacity,
 )
 from orbitanalysis_tpu.ops.apsis import (
@@ -51,6 +53,7 @@ from orbitanalysis_tpu.ops.sorted_step import (
     MAX_FUSED_CAPACITY,
     SortedCarry,
     init_sorted_carry,
+    make_aligned_orbit_step,
     make_sorted_orbit_step,
 )
 from orbitanalysis_tpu.utils.metrics import Metrics, phase_timer, trace
@@ -243,17 +246,17 @@ class _DeviceEngine:
         self.sharding = sharding
         self.join = join
         if (
-            join == "sorted"
+            join in ("sorted", "aligned")
             and sharding is not None
             and "particles" in sharding.axis_names
         ):
             raise ValueError(
-                "join_impl='sorted' shards the halo axis only (the fused "
+                f"join_impl={join!r} shards the halo axis only (the fused "
                 "kernel needs whole particle rows in VMEM); use a mesh "
                 "without a 'particles' axis or join_impl='general'"
             )
         self._steps = {}
-        init = init_sorted_carry if join == "sorted" else init_carry
+        init = init_sorted_carry if join in ("sorted", "aligned") else init_carry
         self.carry = self._place(init(
             n_halos, capacity, id_dtype=id_dtype, angle_dtype=angle_dtype
         ))
@@ -291,6 +294,25 @@ class _DeviceEngine:
                     )
                 else:
                     raw = make_sorted_orbit_step(self.capacity, **kw)
+            elif self.join == "aligned":
+                # stable-layout staging: no device-side join at all —
+                # churn runs at the static kernel's speed
+                kw = dict(
+                    mode=self.mode,
+                    box_size=self.box_size,
+                    id_dtype=self.id_dtype,
+                    angle_dtype=self.angle_dtype,
+                    events_id_order=True,
+                )
+                if self.sharding is not None:
+                    from orbitanalysis_tpu.parallel.sorted_sharded import (
+                        make_sharded_aligned_step,
+                    )
+                    raw = make_sharded_aligned_step(
+                        self.sharding, self.capacity, **kw
+                    )
+                else:
+                    raw = make_aligned_orbit_step(self.capacity, **kw)
             else:
                 make = make_static_orbit_step if static else make_orbit_step
                 raw = make(
@@ -305,13 +327,14 @@ class _DeviceEngine:
 
     def grow(self, new_capacity):
         """Re-pad the carry's particle axis (rare; triggers a re-jit)."""
-        if self.join == "sorted":
-            # bitonic merge network: row length must be a power of two
+        if self.join in ("sorted", "aligned"):
+            # bitonic merge network / static kernel: row length must be
+            # a power of two
             new_capacity = max(round_up_pow2(new_capacity), 128)
             if new_capacity > MAX_FUSED_CAPACITY:
                 raise ValueError(
                     f"region growth needs capacity {new_capacity}, beyond "
-                    f"the sorted engine's per-row VMEM ceiling "
+                    f"the fused engine's per-row VMEM ceiling "
                     f"({MAX_FUSED_CAPACITY}); re-run with "
                     "join_impl='general' (resume=True continues from the "
                     "savefile)"
@@ -322,8 +345,9 @@ class _DeviceEngine:
         if pad <= 0:
             return
         c = jax.tree.map(_fetch_host, self.carry)
-        if self.join == "sorted":
-            # appended sentinel slots keep each row's ID-sortedness
+        if self.join in ("sorted", "aligned"):
+            # appended sentinel slots keep each row's slot permutation
+            # (and, for the sorted engine, its ID-sortedness)
             h = c.ids.shape[0]
             grown = SortedCarry(
                 ids=np.pad(c.ids, ((0, 0), (0, pad)),
@@ -357,16 +381,17 @@ class _DeviceEngine:
         self.carry = self._place(grown)
 
     def to_general(self, new_capacity: int):
-        """Convert this sorted engine into a fresh general engine at
-        ``new_capacity`` — the capacity-growth path that costs an XLA
-        compile (seconds) instead of a fused-kernel Mosaic re-jit
-        (minutes).  The carry is scattered back from ID-sorted to
-        load-slot layout; the radial-velocity sign bits become ±1.0
+        """Convert this sorted/aligned engine into a fresh general
+        engine at ``new_capacity`` — the capacity-growth path that costs
+        an XLA compile (seconds) instead of a fused-kernel Mosaic re-jit
+        (minutes).  The carry is scattered back from its device layout
+        (ID-sorted / stable-position) to load-slot layout via the slot
+        permutation; the radial-velocity sign bits become ±1.0
         placeholders (detection only ever compares signs,
         ``track_orbits.py:311-314``, so results are unchanged).
         Returns ``(general_engine, carry_ids_in_load_order)``.
         """
-        assert self.join == "sorted"
+        assert self.join in ("sorted", "aligned")
         new_capacity = round_up(new_capacity, 128)
         c = jax.tree.map(_fetch_host, self.carry)
         ids_s = np.asarray(c.ids)
@@ -417,7 +442,7 @@ class _DeviceEngine:
         fn = self._step_fn(
             packed.mass is not None,
             packed.bulk_vel is not None,
-            static=static and self.join != "sorted",
+            static=static and self.join not in ("sorted", "aligned"),
         )
         self.carry, events = fn(self.carry, batch)
         return events
@@ -637,27 +662,39 @@ def track_orbits(
     profile_dir : str, optional
         Capture a ``jax.profiler`` trace of the whole run into this
         directory (view in TensorBoard/Perfetto).
-    join_impl : {'auto', 'general', 'sorted'}
+    join_impl : {'auto', 'general', 'sorted', 'aligned'}
         Snapshot-join implementation.  ``'sorted'`` packs halo rows
         ID-sorted on the host and runs the fused Pallas
         merge+detect+compact kernel (~4x the general step on TPU;
-        savefile output is identical).  With ``mesh`` the kernel runs
-        halo-sharded via ``shard_map`` (halo axis only).  ``'auto'``
-        picks ``'sorted'`` on TPU when its constraints hold (32-bit
-        IDs, f32 angles, no 'particles' mesh axis), else ``'general'``.
+        savefile output is identical).  ``'aligned'`` goes further: the
+        host staging pipeline assigns every particle a *persistent*
+        row position (:class:`~orbitanalysis_tpu.engine.packing.
+        StableLayout` — survivors keep their position, entrants reuse
+        departures' holes), so consecutive snapshots are element-wise
+        aligned by construction and the device runs **no join at all**
+        — membership churn proceeds at the static-detection kernel's
+        speed (~2x the sorted engine's churn step), with the alignment
+        bookkeeping folded into the host pack phase that the prefetch
+        pipeline overlaps with device compute.  With ``mesh`` both
+        kernels run halo-sharded via ``shard_map`` (halo axis only).
+        ``'auto'`` picks ``'aligned'`` on TPU when its constraints hold
+        (32-bit IDs, f32 angles, no 'particles' mesh axis), else
+        ``'general'``.
     prefetch : int
         Snapshots to load ahead on a background thread (queue depth).
         The callbacks are still invoked one at a time in snapshot
         order; their I/O just overlaps the previous snapshot's pack /
         device step / savefile write.  ``0`` loads synchronously.
     grow_impl : {'auto', 'keep', 'general'}
-        What a mid-run capacity overflow does to a sorted-join engine:
-        ``'keep'`` re-jits the fused kernel at the grown capacity
-        (minutes of Mosaic compile unless the persistent compilation
-        cache has it); ``'general'`` converts the carry to the general
-        engine (seconds of XLA compile, ~4x slower steps after);
-        ``'auto'`` = 'general' when ``join_impl`` was auto-selected,
-        'keep' when 'sorted' was requested explicitly.
+        What a mid-run capacity overflow does to a sorted/aligned
+        engine: ``'keep'`` re-jits the fused kernel at the grown
+        capacity (minutes of Mosaic compile for the sorted merge
+        kernel, seconds for the aligned engine's static kernel — the
+        persistent compilation cache amortizes both); ``'general'``
+        converts the carry to the general engine (seconds of XLA
+        compile, slower steps after); ``'auto'`` = 'general' when
+        ``join_impl`` was auto-selected, 'keep' when 'sorted'/'aligned'
+        was requested explicitly.
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -699,7 +736,7 @@ def track_orbits(
         # pad the halo axis so it divides evenly over the mesh
         n_rows = round_up(n_halos, int(mesh.shape["halos"]))
 
-    if join_impl not in ("auto", "general", "sorted"):
+    if join_impl not in ("auto", "general", "sorted", "aligned"):
         raise ValueError(f"unknown join_impl: {join_impl!r}")
     if grow_impl not in ("auto", "keep", "general"):
         raise ValueError(f"unknown grow_impl: {grow_impl!r}")
@@ -708,16 +745,16 @@ def track_orbits(
         # a 'shards' mesh axis selects the hash-sharded particle-pool
         # engine (parallel/hash_sharded.py): full-box scale, join
         # shard-local under churn
-        if join_impl == "sorted":
+        if join_impl in ("sorted", "aligned"):
             raise ValueError(
                 "a 'shards' mesh runs the hash-sharded engine; "
-                "join_impl='sorted' does not apply — use 'auto'"
+                f"join_impl={join_impl!r} does not apply — use 'auto'"
             )
         join_impl = "hash"
     elif join_impl == "auto":
         idt = np.dtype(id_dtype)
         join_impl = (
-            "sorted"
+            "aligned"
             if (
                 (mesh is None or "particles" not in mesh.axis_names)
                 and jax.default_backend() == "tpu"
@@ -733,6 +770,20 @@ def track_orbits(
     box_size = None
     prev_ids_host = None       # [H, P] packed ids of last processed snapshot
     prev_rows = None           # active halo rows of last processed snapshot
+    stable_layout: Optional[StableLayout] = None  # join_impl='aligned'
+    resume_layout_flat = None  # checkpointed stable positions (aligned)
+    if resume and join_impl == "aligned":
+        # the aligned engine's layout is history-dependent; restore it
+        # from the sidecar so the resumed run reproduces the crashed
+        # run's positions bit-for-bit (older sidecars without the
+        # dataset fall back to a fresh layout: ~1-ulp bulk-velocity
+        # drift, events still oracle-correct)
+        try:
+            _, _, resume_layout_flat = io_hdf5.read_checkpoint(
+                savefile, with_layout=True
+            )
+        except OSError:
+            resume_layout_flat = None  # seed branch raises the real error
     started = False
 
     # Software pipeline: the step for snapshot s is *dispatched* (JAX
@@ -751,7 +802,8 @@ def track_orbits(
             events = p["events"]
             with phase_timer(phases, "fetch"):
                 ev_count = _fetch_host(
-                    events.count if engine.join in ("sorted", "hash")
+                    events.count
+                    if engine.join in ("sorted", "aligned", "hash")
                     else events.ev_count
                 )
                 bulk_vel = _fetch_host(events.bulk_vel)
@@ -796,7 +848,7 @@ def track_orbits(
                 apsis_ids_flat = ids_flat[sel]
                 apsis_angles_flat = ang_flat[sel]
                 apsis_offsets = np.concatenate(([0], np.cumsum(lens)))
-            elif engine.join == "sorted":
+            elif engine.join in ("sorted", "aligned"):
                 # overflow-free: the kernel event buffer spans the whole
                 # capacity; fetch a count-bounded slice (rounded to limit
                 # distinct slice shapes) and restore reference order from
@@ -869,6 +921,7 @@ def track_orbits(
             # carry angles were fetched before the *next* dispatch could
             # donate them (see angles_host below); final drain fetches here
             angles_dev = p.get("angles_host")
+            layout_flat = None
             if engine.join == "hash":
                 if angles_dev is None:
                     angles_dev = engine.capture_angles()
@@ -883,14 +936,33 @@ def track_orbits(
                 if not primary:
                     return
                 valid = p["packed_ids"] != engine.invalid
-                if engine.join == "sorted":
-                    # carry is ID-sorted; scatter back to load order so
+                if engine.join in ("sorted", "aligned"):
+                    # carry follows the device layout (ID-sorted /
+                    # stable-position); scatter back to load order so
                     # the checkpoint matches the reference layout
                     slot = np.asarray(p["packed_slot"])
                     a_load = np.zeros_like(angles_dev)
                     np.put_along_axis(a_load, slot, angles_dev, axis=-1)
                     v_load = np.zeros(valid.shape, dtype=bool)
                     np.put_along_axis(v_load, slot, valid, axis=-1)
+                    if engine.join == "aligned":
+                        # stable position of each load-order entry —
+                        # lets resume rebuild the history-dependent
+                        # layout exactly (see write_checkpoint)
+                        pos_of = np.zeros(slot.shape, dtype=np.int32)
+                        np.put_along_axis(
+                            pos_of, slot,
+                            np.broadcast_to(
+                                np.arange(
+                                    slot.shape[-1], dtype=np.int32
+                                ),
+                                slot.shape,
+                            ),
+                            axis=-1,
+                        )
+                        _, layout_flat = unpack_mask(
+                            v_load, pos_of, rows=p["rows"]
+                        )
                     angles_dev, valid = a_load, v_load
                 _, angles_flat = unpack_mask(
                     valid, angles_dev, rows=p["rows"]
@@ -898,6 +970,7 @@ def track_orbits(
             io_hdf5.write_checkpoint(
                 savefile, angles_flat, p["snapshot_number"],
                 angle_store_dtype=angles_flat.dtype,
+                layout_positions=layout_flat,
             )
 
     items = list(zip(main_branches, snapshot_numbers))
@@ -965,8 +1038,18 @@ def track_orbits(
                     )
         if engine is None:
             cap = capacity or required_capacity(lengths, headroom)
-            if join_impl == "sorted":
+            if join_impl in ("sorted", "aligned"):
                 cap = max(round_up_pow2(cap), 128)
+                if (
+                    resume_layout_flat is not None
+                    and resume_layout_flat.size
+                ):
+                    # the crashed run may have grown past what the seed
+                    # snapshot alone requires; its checkpointed
+                    # positions must stay addressable
+                    cap = max(cap, round_up_pow2(
+                        int(resume_layout_flat.max()) + 1
+                    ))
                 limit = (
                     AUTO_FUSED_CAPACITY if join_was_auto
                     else MAX_FUSED_CAPACITY
@@ -980,7 +1063,7 @@ def track_orbits(
                         )
                     else:
                         raise ValueError(
-                            f"join_impl='sorted' supports per-halo "
+                            f"join_impl={join_impl!r} supports per-halo "
                             f"capacities up to {MAX_FUSED_CAPACITY} "
                             f"(needed {cap}); use join_impl='general'"
                         )
@@ -989,6 +1072,10 @@ def track_orbits(
                 sharding=sharding, event_capacity=event_capacity,
                 join=join_impl,
             )
+            if join_impl == "aligned":
+                stable_layout = StableLayout(
+                    n_rows, engine.capacity, id_dtype=id_dtype
+                )
             if not resume and primary:
                 io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
         if engine.join != "hash" and lengths.size and (
@@ -998,7 +1085,7 @@ def track_orbits(
             # pending full-mask fallbacks keep their original shapes
             flush_pending()
             new_cap = required_capacity(lengths, headroom)
-            to_general = engine.join == "sorted" and (
+            to_general = engine.join in ("sorted", "aligned") and (
                 grow_impl == "general"
                 or (grow_impl == "auto" and join_was_auto)
             )
@@ -1014,6 +1101,7 @@ def track_orbits(
                     )
                 engine, prev_ids_host = engine.to_general(new_cap)
                 join_impl = "general"
+                stable_layout = None
             else:
                 if verbose:
                     print(
@@ -1021,6 +1109,8 @@ def track_orbits(
                         f"{new_cap} (recompiles the step)\n"
                     )
                 engine.grow(new_cap)
+                if stable_layout is not None:
+                    stable_layout.grow(engine.capacity)
                 if prev_ids_host is not None:
                     prev_ids_host = np.pad(
                         prev_ids_host,
@@ -1063,19 +1153,34 @@ def track_orbits(
                 )
         else:
             with phase_timer(phases, "pack"):
-                packed = pack_snapshot(
-                    snapshot, rows, n_rows, engine.capacity,
-                    region_positions, region_bulk_vels, id_dtype=id_dtype,
-                    sort_ids=(join_impl == "sorted"),
-                )
+                if join_impl == "aligned":
+                    restore = None
+                    if not started and resume_layout_flat is not None:
+                        restore = pack_ragged(
+                            resume_layout_flat.astype(np.int32),
+                            offsets, n_rows, engine.capacity, rows=rows,
+                            fill=-1,
+                        )
+                    packed = pack_snapshot_aligned(
+                        snapshot, rows, n_rows, stable_layout,
+                        region_positions, region_bulk_vels,
+                        id_dtype=id_dtype, restore_dest=restore,
+                    )
+                else:
+                    packed = pack_snapshot(
+                        snapshot, rows, n_rows, engine.capacity,
+                        region_positions, region_bulk_vels,
+                        id_dtype=id_dtype,
+                        sort_ids=(join_impl == "sorted"),
+                    )
 
             t0 = time.time()
             # static-membership fast path: identical ID layout to the
             # previous snapshot means the sort-merge join is unnecessary
-            # (general engine only — the fused kernel has no static
-            # variant yet, so skip the host-side comparison there)
+            # (general engine only — the sorted engine branches on
+            # device, the aligned engine never joins at all)
             static = (
-                join_impl != "sorted"
+                join_impl not in ("sorted", "aligned")
                 and prev_ids_host is not None
                 and bool(np.array_equal(packed.ids, prev_ids_host))
             )
@@ -1113,7 +1218,8 @@ def track_orbits(
                     )
                     engine.set_angles(
                         angles_padded,
-                        order=packed.slot if join_impl == "sorted"
+                        order=packed.slot
+                        if join_impl in ("sorted", "aligned")
                         else None,
                     )
             started = True

@@ -63,17 +63,17 @@ def load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
-            if not hasattr(lib, "grid_count_sort"):
-                # stale prebuilt library from before the symbol was
-                # added (the .so is gitignored, so it survives source
-                # updates) — rebuild in place once and reload; cache
-                # failure so a broken toolchain doesn't re-run g++ on
-                # every call
+            if not hasattr(lib, "stable_align"):
+                # stale prebuilt library from before the newest symbol
+                # was added (the .so is gitignored, so it survives
+                # source updates) — rebuild in place once and reload;
+                # cache failure so a broken toolchain doesn't re-run
+                # g++ on every call
                 if not _compile():
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_SO)
-                if not hasattr(lib, "grid_count_sort"):
+                if not hasattr(lib, "stable_align"):
                     _load_failed = True
                     return None
             lib.pack_ragged_bytes.argtypes = [
@@ -91,6 +91,14 @@ def load():
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.grid_count_sort.restype = None
+            lib.stable_align.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.stable_align.restype = ctypes.c_int64
             _lib = lib
     return _lib
 
@@ -160,6 +168,64 @@ def pack_ragged_native(
         elem_bytes,
     )
     return out
+
+
+def stable_align_native(
+    layout: np.ndarray,
+    ids: np.ndarray,
+    pos: np.ndarray,
+    vel: np.ndarray,
+    mass: np.ndarray | None,
+    invalid: int,
+):
+    """Native counterpart of the stable-layout alignment in
+    :func:`orbitanalysis_tpu.engine.packing.align_packed` (match +
+    entrant placement + scatter in one multithreaded pass, updating
+    ``layout`` in place).  Returns ``(ids_o, pos_o, vel_o, mass_o,
+    slot)`` or None when the native library is unavailable or the
+    dtypes aren't the i32/f32 fast path.  Raises ValueError on layout
+    overflow (entrants exceed free positions), like the NumPy path.
+    """
+    lib = ensure()
+    if lib is None:
+        return None
+    if (
+        layout.dtype != np.int32
+        or ids.dtype != np.int32
+        or pos.dtype != np.float32
+        or vel.dtype != np.float32
+        or (mass is not None and mass.dtype != np.float32)
+    ):
+        return None
+    H, P = ids.shape
+    if not (
+        layout.flags.c_contiguous
+        and layout.shape == (H, P)
+        and pos.shape == (H, P, 3)
+        and vel.shape == (H, P, 3)
+    ):
+        return None
+    ids = np.ascontiguousarray(ids)
+    pos = np.ascontiguousarray(pos)
+    vel = np.ascontiguousarray(vel)
+    mass = None if mass is None else np.ascontiguousarray(mass)
+    ids_o = np.empty_like(ids)
+    pos_o = np.empty_like(pos)
+    vel_o = np.empty_like(vel)
+    mass_o = None if mass is None else np.empty_like(mass)
+    slot = np.empty((H, P), np.int32)
+    overflowed = lib.stable_align(
+        layout.ctypes.data, ids.ctypes.data, pos.ctypes.data,
+        vel.ctypes.data,
+        None if mass is None else mass.ctypes.data,
+        H, P, ctypes.c_int32(int(invalid)), ids_o.ctypes.data,
+        pos_o.ctypes.data, vel_o.ctypes.data,
+        None if mass_o is None else mass_o.ctypes.data,
+        slot.ctypes.data,
+    )
+    if overflowed:
+        raise ValueError("stable layout overflow: grow capacity first")
+    return ids_o, pos_o, vel_o, mass_o, slot
 
 
 def grid_count_sort_native(flat: np.ndarray, n_cells: int):

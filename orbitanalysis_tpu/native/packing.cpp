@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -fopenmp -shared -fPIC packing.cpp -o _packing.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -98,6 +99,140 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
 #pragma omp for schedule(static)
     for (int64_t i = 0; i < n; ++i) order[off[keys[i]]++] = i;
   }
+}
+
+// Stable-layout alignment for the aligned tracking engine (see
+// engine/packing.py:StableLayout).  Per halo row (parallel over rows):
+// match the front-packed load-order ids against the persistent layout
+// via an open-addressing hash of the previous layout row (survivors
+// keep their position), assign entrants to free positions in ascending
+// position order, and scatter ids/pos/vel/mass straight into the
+// stable positions — replacing the NumPy path's per-snapshot
+// argsort + searchsorted + four fancy-index scatters (~1 s at 2M rows,
+// single-threaded) with an O(P)-per-row multithreaded pass.
+//
+// In/out:
+//   layout   [H, P] i32, in/out — persistent id-at-position table
+//   ids      [H, P] i32 load-order front-packed (invalid-padded tail)
+//   pos, vel [H, P, 3] f32 load-order; mass [H, P] f32 or null
+//   ids_o, pos_o, vel_o, mass_o, slot_o — outputs in stable positions;
+//   slot_o[h, j] = load index occupying position j, holes numbered
+//   n_valid.. in position order (a permutation of [0, P) per row).
+// Returns the number of rows that overflowed (entrants > free
+// positions — cannot happen while membership <= capacity).
+int64_t stable_align(
+    int32_t* layout,
+    const int32_t* ids,
+    const float* pos,
+    const float* vel,
+    const float* mass,
+    int64_t H,
+    int64_t P,
+    int32_t invalid,
+    int32_t* ids_o,
+    float* pos_o,
+    float* vel_o,
+    float* mass_o,
+    int32_t* slot_o) {
+  // hash table size: first power of two >= 2P
+  int64_t tsz = 1;
+  while (tsz < 2 * P) tsz <<= 1;
+  const uint32_t tmask = static_cast<uint32_t>(tsz - 1);
+  int64_t overflowed = 0;
+#pragma omp parallel reduction(+ : overflowed)
+  {
+    std::vector<int32_t> hkey(tsz), hpos(tsz);
+    std::vector<int32_t> dest(P);
+    std::vector<uint8_t> claimed(P);
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t h = 0; h < H; ++h) {
+      const int32_t* lay = layout + h * P;
+      const int32_t* id = ids + h * P;
+      // build id -> position over the previous layout row
+      std::fill(hkey.begin(), hkey.end(), invalid);
+      for (int64_t j = 0; j < P; ++j) {
+        const int32_t k = lay[j];
+        if (k == invalid) continue;
+        uint32_t s = (static_cast<uint32_t>(k) * 2654435761u) & tmask;
+        while (hkey[s] != invalid) s = (s + 1) & tmask;
+        hkey[s] = k;
+        hpos[s] = static_cast<int32_t>(j);
+      }
+      // survivors keep their position
+      std::fill(claimed.begin(), claimed.end(), 0);
+      int64_t n_valid = 0;
+      for (int64_t i = 0; i < P; ++i) {
+        const int32_t k = id[i];
+        if (k == invalid) {
+          dest[i] = -1;
+          continue;  // front-packed: could break, but stay tolerant
+        }
+        ++n_valid;
+        uint32_t s = (static_cast<uint32_t>(k) * 2654435761u) & tmask;
+        int32_t d = -1;
+        while (hkey[s] != invalid) {
+          if (hkey[s] == k) {
+            d = hpos[s];
+            break;
+          }
+          s = (s + 1) & tmask;
+        }
+        dest[i] = d;
+        if (d >= 0) claimed[d] = 1;
+      }
+      // entrants fill free positions in ascending position order
+      int64_t free_j = 0;
+      bool overflow = false;
+      for (int64_t i = 0; i < P; ++i) {
+        const int32_t k = id[i];
+        if (k == invalid || dest[i] >= 0) continue;
+        while (free_j < P && claimed[free_j]) ++free_j;
+        if (free_j == P) {
+          overflow = true;
+          break;
+        }
+        dest[i] = static_cast<int32_t>(free_j);
+        claimed[free_j] = 1;
+      }
+      if (overflow) {
+        ++overflowed;
+        continue;  // row outputs undefined; caller raises
+      }
+      // scatter into stable positions; holes zero/invalid-filled
+      int32_t* lay_o = layout + h * P;
+      int32_t* io = ids_o + h * P;
+      float* po = pos_o + h * P * 3;
+      float* vo = vel_o + h * P * 3;
+      int32_t* so = slot_o + h * P;
+      for (int64_t j = 0; j < P; ++j) {
+        io[j] = invalid;
+        so[j] = -1;
+      }
+      std::memset(po, 0, sizeof(float) * P * 3);
+      std::memset(vo, 0, sizeof(float) * P * 3);
+      if (mass) std::memset(mass_o + h * P, 0, sizeof(float) * P);
+      for (int64_t i = 0; i < P; ++i) {
+        const int32_t d = dest[i];
+        if (d < 0) continue;
+        io[d] = id[i];
+        so[d] = static_cast<int32_t>(i);
+        po[d * 3] = pos[(h * P + i) * 3];
+        po[d * 3 + 1] = pos[(h * P + i) * 3 + 1];
+        po[d * 3 + 2] = pos[(h * P + i) * 3 + 2];
+        vo[d * 3] = vel[(h * P + i) * 3];
+        vo[d * 3 + 1] = vel[(h * P + i) * 3 + 1];
+        vo[d * 3 + 2] = vel[(h * P + i) * 3 + 2];
+        if (mass) mass_o[h * P + d] = mass[h * P + i];
+      }
+      // holes take the unused slot numbers in position order
+      int32_t hole_slot = static_cast<int32_t>(n_valid);
+      for (int64_t j = 0; j < P; ++j)
+        if (so[j] < 0) so[j] = hole_slot++;
+      // the new layout row IS the stable-position id row
+      std::memcpy(lay_o, io, sizeof(int32_t) * P);
+    }
+  }
+  return overflowed;
 }
 
 }  // extern "C"

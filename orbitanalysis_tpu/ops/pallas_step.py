@@ -239,8 +239,21 @@ def _static_kernel(pericentric, invalid_id, n, *refs):
     the native integrator) makes this the common case; the reference pays
     its full ``myin1d`` join on every snapshot regardless
     (``/root/reference/orbitanalysis/track_orbits.py:293-327``).
+
+    The prev-side *key* channel is never consumed (IDs and the event
+    compaction key both come from ``ck``), so it is not an input — one
+    less DMA stream.  The stable-layout aligned engine
+    (:func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_orbit_step`)
+    relies on this: its prev side may hold a *different* (or no) tenant
+    at a position.  Such positions carry the FRESH flag in ``psv`` bit
+    27 (bit 3 of the unpacked vrb nibble): the sign bits are zero so no
+    flip can fire, and the accumulated angle restarts from exactly 0 —
+    the stale ``rhat``/``angles`` values streamed alongside are
+    suppressed without any caller-side selects.  The sorted engine's
+    static path never sets the bit (its vrb occupies bits 24-26), so
+    its behavior is unchanged.
     """
-    (pk, psv, prx, pry, prz, pang,
+    (psv, prx, pry, prz, pang,
      ck, csv, crx, cry, crz,
      out_packed, out_evk, out_evsv, out_evang, out_count) = refs
 
@@ -258,7 +271,8 @@ def _static_kernel(pericentric, invalid_id, n, *refs):
     else:
         flip = ((vrb_p & 2) > 0) & ((vrb_c & 1) > 0)
     apsis = valid & flip
-    angle_acc = pang[0] + dtheta
+    fresh = (vrb_p & 8) > 0
+    angle_acc = jnp.where(fresh, 0.0, pang[0] + dtheta)
     apsis_angle = jnp.where(apsis, angle_acc, 0.0)
     angle_new = jnp.where(apsis | ~valid, 0.0, angle_acc)
 
@@ -311,7 +325,7 @@ def _static_call(pericentric, invalid_id, k128, interpret, *arrays):
         functools.partial(_static_kernel, pericentric, invalid_id, n),
         grid=(h,),
         out_shape=out_shapes,
-        in_specs=[spec_in] * 11,
+        in_specs=[spec_in] * 10,
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -327,12 +341,19 @@ def fused_static_detect(
     invalid_id: int,
     event_capacity: int,
 ):
-    """Aligned (static-membership) detection + event compaction.
+    """Aligned detection + event compaction (no merge, no carry routing).
 
-    Preconditions: ``prev_ops[0] >> 1 == cur_asc_ops[0] >> 1`` row-wise
-    (same particle IDs in the same sorted order).  Same output contract
-    as :func:`fused_join_detect` — ``packed`` aligned to the ascending
-    cur order, compacted events in ID order, exact counts.
+    Preconditions: matched pairs sit at the *same position* in prev and
+    cur.  The prev key channel ``prev_ops[0]`` is accepted for signature
+    symmetry but never streamed or read — IDs, validity, and the event
+    compaction key all come from the cur side.  Positions whose tenant
+    changed (the stable-layout engine's entrants/holes) are flagged by
+    the caller with bit 27 of the prev ``sv`` channel (FRESH): the sign
+    bits are zero so no flip fires, and the kernel restarts the angle
+    accumulation at exactly 0, ignoring the stale prev ``rhat``/
+    ``angles`` streams.  Same output contract as
+    :func:`fused_join_detect` — ``packed`` aligned to the staged cur
+    order, compacted events with prev slots, exact counts.
     """
     h, p = prev_ops[0].shape
     if p % _LANES or (p & (p - 1)):
@@ -343,7 +364,7 @@ def fused_static_detect(
     r = p // _LANES
     arrays = tuple(
         a.reshape(h, r, _LANES)
-        for a in tuple(prev_ops) + tuple(cur_asc_ops)
+        for a in tuple(prev_ops[1:]) + tuple(cur_asc_ops)
     )
     interpret = default_interpret()
     packed, evk, evsv, evang, count = _static_call(

@@ -583,3 +583,129 @@ def make_sorted_orbit_step(
         return new_carry, events
 
     return step
+
+
+def make_aligned_orbit_step(
+    event_capacity: int,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+    angle_dtype=jnp.float32,
+    events_id_order: bool = True,
+    soa_batch: bool = False,
+):
+    """Stable-layout per-snapshot step: membership churn at static-path
+    speed, with **no device-side join at all**.
+
+    The insight over :func:`make_sorted_orbit_step`: the device never
+    needed ID-*sorted* rows — it needs rows whose layout is *stable
+    across snapshots*.  Since the host stages every snapshot anyway
+    (the tracker is host-fed by construction), the staging pipeline can
+    assign each particle a persistent position
+    (:class:`orbitanalysis_tpu.engine.packing.StableLayout`: a matched
+    particle keeps its position, an entrant reuses a departure's hole).
+    Prev carry and staged cur are then aligned element-wise by
+    construction and the whole merge/unmerge/compaction chain of the
+    fused join kernel disappears — the step is
+    :func:`~orbitanalysis_tpu.ops.pallas_step.fused_static_detect` plus
+    a few streamed selects.  The O(N log N) work the reference's
+    ``myin1d`` join does per snapshot
+    (``/root/reference/orbitanalysis/track_orbits.py:300-309``) becomes
+    integer bookkeeping on the host, overlapped with device compute by
+    the tracker's prefetch thread.
+
+    Positions whose tenant changed between snapshots (entrant, or a
+    reused hole) ride the FRESH flag (bit 27 of the prev ``sv``
+    channel): the kernel suppresses the stale prev state and restarts
+    the angle accumulation at exactly 0 — an entrant starts from zero,
+    the reference's semantics for newly tracked particles
+    (``/root/reference/orbitanalysis/track_orbits.py:337-344``) — and
+    zero prev sign bits mean no flip can fire on entry.
+
+    ``snap`` must be staged in the stable layout (``snap.slot`` maps
+    positions back to the row's load order, as produced by
+    ``pack_snapshot_aligned``).  Events come back compacted with prev
+    load slots (``events_id_order=True``: position order + slots, the
+    host restores reference order by one [H, K] sort — identical
+    contract to the fused sorted engine's).
+    """
+    if mode not in ("pericentric", "apocentric"):
+        raise ValueError(
+            "Orbit detection mode not recognized. Please specify either "
+            "'pericentric' or 'apocentric'."
+        )
+    if jnp.dtype(angle_dtype) != jnp.float32:
+        raise ValueError(
+            "the aligned engine packs the match bit into the f32 angle "
+            "sign bit; use angle_dtype=float32"
+        )
+    id_dt = jnp.dtype(id_dtype)
+    if id_dt.itemsize != 4 or not jnp.issubdtype(id_dt, jnp.signedinteger):
+        raise ValueError(
+            "the aligned engine requires 32-bit signed particle IDs "
+            "(packed uint32 keys)"
+        )
+    from orbitanalysis_tpu.ops.pallas_step import fused_static_detect
+
+    pericentric = mode == "pericentric"
+    invalid = invalid_id_for(id_dtype)
+    K = int(event_capacity)
+
+    def step(carry: SortedCarry, snap):
+        h, p = snap.ids.shape
+        valid_cur = snap.ids != invalid
+
+        frame = region_frame(
+            snap.pos,
+            snap.vel,
+            valid_cur,
+            snap.center,
+            mass=snap.mass,
+            bulk_vel=snap.bulk_vel,
+            box_size=box_size,
+            hubble_drag=snap.hubble_drag,
+            soa=soa_batch,
+        )
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
+        cur_vrb = _vr_bits(frame.vrad)
+        cur_slot = iota if snap.slot is None else snap.slot
+        cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
+        cur_sv = cur_slot | (cur_vrb.astype(jnp.int32) << 24)
+
+        # continuing tenant at this position <=> carry state applies;
+        # otherwise the FRESH flag (bit 27) makes the kernel ignore the
+        # stale prev streams — no rhat/angle selects needed
+        same = snap.ids == carry.ids
+        prev_sv = jnp.where(
+            same,
+            carry.slot | ((carry.vrb & 3).astype(jnp.int32) << 24),
+            jnp.int32(1 << 27),
+        )
+
+        k_eff = min(K, p)
+        packed, evk, evsv, evang, count = fused_static_detect(
+            (carry.ids.astype(jnp.uint32) << 1, prev_sv,
+             carry.rhat[0], carry.rhat[1], carry.rhat[2], carry.angles),
+            (cur_key, cur_sv, frame.rhat[0], frame.rhat[1], frame.rhat[2]),
+            pericentric, invalid, k_eff,
+        )
+        match_o, ang_o = _decode_packed_angles(packed)
+        new_carry = _carry_from_channels(
+            cur_key, cur_sv, frame.rhat[0], frame.rhat[1], frame.rhat[2],
+            ang_o, match_o, id_dt,
+        )
+        ev_ids, ev_angles, ev_slots = _finish_events(
+            count, (evk >> 1).astype(id_dt), evsv & 0x00FFFFFF,
+            evang, K, invalid, id_dt, angle_dtype,
+            id_order=events_id_order,
+        )
+        return new_carry, CompactEvents(
+            count=count,
+            ids=ev_ids,
+            angles=ev_angles,
+            bulk_vel=frame.bulk_vel,
+            slots=ev_slots,
+        )
+
+    return step

@@ -31,25 +31,24 @@ from orbitanalysis_tpu.ops.pallas_config import (
     devices_interpret,
     interpret_hint,
 )
-from orbitanalysis_tpu.ops.sorted_step import make_sorted_orbit_step
+from orbitanalysis_tpu.ops.sorted_step import (
+    make_aligned_orbit_step,
+    make_sorted_orbit_step,
+)
 from orbitanalysis_tpu.parallel.sharding import tree_sharding_specs
 
 
-def make_sharded_sorted_step(mesh: Mesh, event_capacity: int, **kwargs):
-    """Build a halo-sharded ``step(carry, batch) -> (carry, events)``.
-
-    ``mesh`` must have a ``'halos'`` axis and no ``'particles'`` axis;
-    the halo count must divide by the axis size.  Remaining kwargs go to
-    :func:`orbitanalysis_tpu.ops.sorted_step.make_sorted_orbit_step`.
-    """
+def _shard_step(step, mesh: Mesh):
+    """Wrap a per-row step in a halo-axis ``shard_map``: every halo row
+    is independent, so each device runs the full kernel on its row
+    block with zero collectives."""
     if "halos" not in mesh.axis_names:
         raise ValueError("mesh needs a 'halos' axis")
     if "particles" in mesh.axis_names:
         raise ValueError(
-            "the sorted step's kernels need whole rows per device; "
+            "the fused kernels need whole rows per device; "
             "shard the halo axis only"
         )
-    step = make_sorted_orbit_step(event_capacity, **kwargs)
     # Pallas interpret mode keys off the devices that actually execute
     # the kernels — the mesh's, not the process default backend (the
     # two differ on a virtual CPU mesh under a TPU-default process).
@@ -70,3 +69,22 @@ def make_sharded_sorted_step(mesh: Mesh, event_capacity: int, **kwargs):
             return f(carry, batch)
 
     return sharded
+
+
+def make_sharded_sorted_step(mesh: Mesh, event_capacity: int, **kwargs):
+    """Build a halo-sharded ``step(carry, batch) -> (carry, events)``.
+
+    ``mesh`` must have a ``'halos'`` axis and no ``'particles'`` axis;
+    the halo count must divide by the axis size.  Remaining kwargs go to
+    :func:`orbitanalysis_tpu.ops.sorted_step.make_sorted_orbit_step`.
+    """
+    return _shard_step(make_sorted_orbit_step(event_capacity, **kwargs), mesh)
+
+
+def make_sharded_aligned_step(mesh: Mesh, event_capacity: int, **kwargs):
+    """Halo-sharded stable-layout aligned step (same mesh contract as
+    :func:`make_sharded_sorted_step`; kwargs go to
+    :func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_orbit_step`)."""
+    return _shard_step(
+        make_aligned_orbit_step(event_capacity, **kwargs), mesh
+    )

@@ -1,0 +1,430 @@
+"""Stable-layout aligned engine (join_impl='aligned'): the host staging
+pipeline gives every particle a persistent row position, so the device
+runs no join at all — churn proceeds at static-kernel speed.
+
+Tiers: StableLayout unit invariants, step-level equality against the
+fused sorted engine, tracker savefile parity vs the general engine
+(incl. growth, resume, halo birth), and the halo-sharded mesh path.
+"""
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbitanalysis_tpu import track_orbits
+from orbitanalysis_tpu.engine.packing import (
+    StableLayout,
+    pack_snapshot_aligned,
+)
+from orbitanalysis_tpu.models.synthetic import churn_snapshots
+from orbitanalysis_tpu.utils.padding import invalid_id_for
+
+from helpers import make_callbacks
+from test_engine import _assert_files_equal, churn_setup  # noqa: F401
+
+
+INV = invalid_id_for(np.int32)
+
+
+def _random_membership(rng, pool, k):
+    return rng.choice(pool, size=k, replace=False).astype(np.int32)
+
+
+class TestStableLayout:
+    def test_survivors_keep_positions(self):
+        lay = StableLayout(2, 8)
+        ids0 = np.full((2, 8), INV, np.int32)
+        ids0[0, :5] = [3, 9, 4, 7, 1]
+        ids0[1, :3] = [10, 2, 5]
+        d0, v0 = lay.assign(ids0)
+        # entrants fill free positions in ascending order: 0..k-1
+        assert np.array_equal(d0[0, :5], np.arange(5))
+        assert np.array_equal(d0[1, :3], np.arange(3))
+        assert (d0[~v0] == -1).all()
+
+        # drop id 4 (pos 2), keep the rest shuffled, add 42 and 99;
+        # row 1 keeps the same membership reordered
+        ids1 = np.full((2, 8), INV, np.int32)
+        ids1[0, :6] = [7, 1, 42, 3, 9, 99]
+        ids1[1, :3] = [5, 10, 2]
+        d1, v1 = lay.assign(ids1)
+        # survivors keep their original positions
+        assert d1[0, 0] == 3   # id 7
+        assert d1[0, 1] == 4   # id 1
+        assert d1[0, 3] == 0   # id 3
+        assert d1[0, 4] == 1   # id 9
+        # entrants reuse the freed hole (2) then the first untouched (5)
+        assert sorted([d1[0, 2], d1[0, 5]]) == [2, 5]
+        # same-membership row keeps its layout
+        assert np.array_equal(lay.layout[1, :3], [10, 2, 5])
+        assert np.array_equal(d1[1, :3], [2, 0, 1])
+
+        # a row whose membership empties frees every position
+        ids2 = np.full((2, 8), INV, np.int32)
+        ids2[0, :6] = ids1[0, :6]
+        lay.assign(ids2)
+        assert (lay.layout[1] == INV).all()
+
+    def test_occupancy_never_exceeds_membership(self):
+        rng = np.random.default_rng(0)
+        lay = StableLayout(3, 64)
+        pool = np.arange(500)
+        for _ in range(30):
+            ids = np.full((3, 64), INV, np.int32)
+            for h in range(3):
+                k = rng.integers(1, 65)
+                ids[h, :k] = np.sort(_random_membership(rng, pool, k))
+            dest, valid = lay.assign(ids)
+            for h in range(3):
+                d = dest[h][valid[h]]
+                assert len(np.unique(d)) == len(d)  # injective
+                assert (d >= 0).all() and (d < 64).all()
+                occ = lay.layout[h] != INV
+                assert occ.sum() == valid[h].sum()
+
+    def test_layout_matches_assignment(self):
+        rng = np.random.default_rng(1)
+        lay = StableLayout(1, 32)
+        prev_dest = {}
+        pool = np.arange(100)
+        for _ in range(20):
+            k = int(rng.integers(1, 33))
+            members = _random_membership(rng, pool, k)
+            ids = np.full((1, 32), INV, np.int32)
+            ids[0, :k] = members
+            dest, valid = lay.assign(ids)
+            for i, pid in enumerate(members):
+                if pid in prev_dest:  # survivor: position is sticky
+                    assert dest[0, i] == prev_dest[pid]
+            prev_dest = {
+                pid: dest[0, i] for i, pid in enumerate(members)
+            }
+            # layout mirrors the assignment
+            for pid, d in prev_dest.items():
+                assert lay.layout[0, d] == pid
+
+    def test_grow_preserves_positions(self):
+        lay = StableLayout(1, 8)
+        ids = np.full((1, 8), INV, np.int32)
+        ids[0, :4] = [5, 1, 9, 3]
+        lay.assign(ids)
+        lay.grow(16)
+        assert lay.capacity == 16
+        ids2 = np.full((1, 16), INV, np.int32)
+        ids2[0, :4] = [5, 1, 9, 3]
+        d2, _ = lay.assign(ids2)
+        assert np.array_equal(d2[0, :4], np.arange(4))
+
+    def test_overflow_raises(self):
+        lay = StableLayout(1, 4)
+        ids = np.full((1, 4), INV, np.int32)
+        ids[0] = [1, 2, 3, 4]
+        lay.assign(ids)
+        # all 4 positions occupied by other tenants; 4 entrants > 0 free
+        # can't happen via the public packer (membership <= capacity is
+        # fine — holes are reused), so poke the layout directly
+        lay.layout[0] = [1, 2, 3, 4]
+        ids2 = np.full((1, 4), INV, np.int32)
+        ids2[0] = [5, 6, 7, 8]
+        d, v = lay.assign(ids2)  # full turnover still fits: 4 frees
+        assert sorted(d[0]) == [0, 1, 2, 3]
+
+
+def test_aligned_slot_is_permutation(churn_setup):  # noqa: F811
+    """pack_snapshot_aligned's slot channel must be a full [0, P)
+    permutation per row (checkpoint scatter relies on it), with load
+    slots at occupied positions."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    rows = np.arange(3)
+    lay = StableLayout(3, 256)
+    for s in range(4):
+        rp, rr = regions(s, branches[s])
+        snap = loader(s, rp, rr)
+        packed = pack_snapshot_aligned(snap, rows, 3, lay, rp, None)
+        for h in range(3):
+            assert np.array_equal(
+                np.sort(packed.slot[h]), np.arange(256)
+            ), (s, h)
+        # occupied positions carry the right particle: scatter back by
+        # slot recovers the load-order front-packed ids
+        offs = np.asarray(snap["region_offsets"])
+        lens = np.diff(np.concatenate([offs, [len(snap["ids"])]]))
+        for h in range(3):
+            back = np.full(256, INV, np.int32)
+            np.put_along_axis(back, packed.slot[h], packed.ids[h], -1)
+            exp = snap["ids"][offs[h]:offs[h] + lens[h]]
+            assert np.array_equal(back[:lens[h]], exp), (s, h)
+            assert (back[lens[h]:] == INV).all()
+
+
+def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
+    """Step-level: the aligned engine's events must equal the fused
+    sorted engine's exactly (same in-kernel arccos polynomial, same
+    carry semantics) on a churning sequence."""
+    from orbitanalysis_tpu.engine.packing import pack_snapshot
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import (
+        init_sorted_carry,
+        make_aligned_orbit_step,
+        make_sorted_orbit_step,
+    )
+
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    rows = np.arange(3)
+    P = 256
+    lay = StableLayout(3, P)
+    step_a = jax.jit(make_aligned_orbit_step(P, box_size=box))
+    step_s = jax.jit(make_sorted_orbit_step(
+        P, box_size=box, fused=True, cur_presorted=True,
+        events_id_order=True,
+    ))
+    carry_a = init_sorted_carry(3, P)
+    carry_s = init_sorted_carry(3, P)
+
+    for s in range(len(snaps)):
+        rp, rr = regions(s, branches[s])
+        snap = loader(s, rp, rr)
+        pk_a = pack_snapshot_aligned(snap, rows, 3, lay, rp, None)
+        pk_s = pack_snapshot(snap, rows, 3, P, rp, None, sort_ids=True)
+
+        def batch(pk):
+            return SnapshotBatch(
+                ids=jnp.asarray(pk.ids), pos=jnp.asarray(pk.pos),
+                vel=jnp.asarray(pk.vel), center=jnp.asarray(pk.center),
+                mass=None if pk.mass is None else jnp.asarray(pk.mass),
+                bulk_vel=None, hubble_drag=jnp.float32(0),
+                slot=jnp.asarray(pk.slot),
+            )
+
+        carry_a, ev_a = step_a(carry_a, batch(pk_a))
+        carry_s, ev_s = step_s(carry_s, batch(pk_s))
+
+        ca = jax.tree.map(np.asarray, ev_a)
+        cs = jax.tree.map(np.asarray, ev_s)
+        assert np.array_equal(ca.count, cs.count), s
+        for h in range(3):
+            n = ca.count[h]
+            # same event sets; restore a common order by prev slot
+            oa = np.argsort(ca.slots[h][:n], kind="stable")
+            os_ = np.argsort(cs.slots[h][:n], kind="stable")
+            assert np.array_equal(
+                ca.ids[h][:n][oa], cs.ids[h][:n][os_]), (s, h)
+            assert np.array_equal(
+                ca.slots[h][:n][oa], cs.slots[h][:n][os_]), (s, h)
+            np.testing.assert_array_equal(
+                ca.angles[h][:n][oa], cs.angles[h][:n][os_], err_msg=f"{s},{h}"
+            )
+        np.testing.assert_allclose(ca.bulk_vel, cs.bulk_vel, atol=1e-5)
+
+        # carries agree as (id -> angle) maps
+        na = jax.tree.map(np.asarray, carry_a)
+        ns = jax.tree.map(np.asarray, carry_s)
+        for h in range(3):
+            ma = {i: a for i, a in zip(na.ids[h], na.angles[h]) if i != INV}
+            ms = {i: a for i, a in zip(ns.ids[h], ns.angles[h]) if i != INV}
+            assert ma.keys() == ms.keys(), (s, h)
+            for i in ma:
+                assert ma[i] == ms[i], (s, h, i)
+
+
+def test_scan_aligned_matches_scan_sorted():
+    """The scan-resident aligned path (stage_batch_aligned +
+    scan_events_aligned, the bench configuration) emits the same event
+    stream as the fused sorted scan on a churning sequence."""
+    from orbitanalysis_tpu.engine.packing import stage_batch_aligned
+    from orbitanalysis_tpu.engine.scan import (
+        scan_events_aligned,
+        scan_events_sorted,
+    )
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import (
+        init_sorted_carry,
+        presort_snapshot,
+    )
+    import bench
+
+    H, P, S = 2, 256, 6
+    ids, pos, vel, centers, n_valid = bench.make_sequence(
+        H, P, S, seed=3, churn=0.1
+    )
+    snaps = SnapshotBatch(
+        ids=np.ascontiguousarray(ids), pos=pos, vel=vel,
+        center=np.ascontiguousarray(centers), mass=None, bulk_vel=None,
+        hubble_drag=np.zeros(S, np.float32),
+    )
+    K = P
+    sorted_staged = jax.tree.map(
+        jnp.asarray, presort_snapshot(snaps, soa=True)
+    )
+    aligned_staged = jax.tree.map(
+        jnp.asarray, stage_batch_aligned(snaps, soa=True)
+    )
+    c0 = init_sorted_carry(H, P)
+    _, (cnt_s, ids_s, ang_s) = jax.jit(
+        lambda c, s: scan_events_sorted(
+            c, s, K, box_size=100.0, fused=True, cur_presorted=True,
+            soa_batch=True,
+        )
+    )(c0, sorted_staged)
+    _, (cnt_a, ids_a, ang_a, slots_a) = jax.jit(
+        lambda c, s: scan_events_aligned(
+            c, s, K, box_size=100.0, soa_batch=True
+        )
+    )(c0, aligned_staged)
+
+    cnt_s, cnt_a = np.asarray(cnt_s), np.asarray(cnt_a)
+    assert np.array_equal(cnt_s, cnt_a)
+    ids_s, ids_a = np.asarray(ids_s), np.asarray(ids_a)
+    ang_s, ang_a = np.asarray(ang_s), np.asarray(ang_a)
+    total = 0
+    for s in range(S):
+        for h in range(H):
+            n = cnt_s[s, h]
+            total += n
+            ea = set(zip(ids_a[s, h][:n].tolist(),
+                         ang_a[s, h][:n].tolist()))
+            es = set(zip(ids_s[s, h][:n].tolist(),
+                         ang_s[s, h][:n].tolist()))
+            assert ea == es, (s, h)
+    assert total > 0  # the sequence must actually produce events
+
+
+@pytest.mark.slow
+def test_aligned_tracker_identical(tmp_path, churn_setup):  # noqa: F811
+    """join_impl='aligned' must write a savefile identical to the
+    general engine's — dataset-for-dataset, including event order."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    ref = str(tmp_path / "general.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="general", checkpoint=True, verbose=False)
+    got = str(tmp_path / "aligned.h5")
+    track_orbits(snap_nums, branches, regions, loader, got,
+                 join_impl="aligned", checkpoint=True, verbose=False)
+    _assert_files_equal(ref, got)
+    with h5py.File(ref + ".checkpoint") as a, \
+         h5py.File(got + ".checkpoint") as b:
+        np.testing.assert_allclose(
+            a["angles"][:], b["angles"][:], atol=1e-4
+        )
+
+
+@pytest.mark.slow
+def test_aligned_growth_and_resume(tmp_path, churn_setup):  # noqa: F811
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    ref = str(tmp_path / "ref.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="aligned", checkpoint=True, verbose=False)
+
+    # capacity growth mid-run (grow_impl='keep' re-jits at the grown
+    # capacity; the stable layout grows alongside)
+    grown = str(tmp_path / "grown.h5")
+    track_orbits(snap_nums, branches, regions, loader, grown,
+                 join_impl="aligned", capacity=128, headroom=1.05,
+                 verbose=False)
+    _assert_files_equal(ref, grown)
+
+    # growth converting to the general engine mid-run
+    conv = str(tmp_path / "converted.h5")
+    track_orbits(snap_nums, branches, regions, loader, conv,
+                 join_impl="aligned", grow_impl="general",
+                 capacity=128, headroom=1.05, verbose=False)
+    _assert_files_equal(ref, conv)
+
+    # crash at snapshot 5 then resume
+    resumed = str(tmp_path / "resumed.h5")
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 5 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                     join_impl="aligned", checkpoint=True, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                 join_impl="aligned", checkpoint=True, resume=True,
+                 verbose=False)
+    # BIT-identical, not just tolerance-equal: the sidecar's
+    # layout_positions dataset restores the history-dependent stable
+    # layout, so the resumed run reproduces the straight run's row
+    # order (and thus its bulk-velocity reduction order) exactly
+    with h5py.File(ref) as a, h5py.File(resumed) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_aligned_resume_bit_identical(tmp_path, churn_setup):  # noqa: F811
+    """Crash-resume through the aligned engine is bit-identical to the
+    straight run: the checkpoint sidecar's ``layout_positions`` dataset
+    restores the history-dependent stable layout (a fresh layout would
+    re-place particles and perturb the bulk-velocity reduction order)."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    ref = str(tmp_path / "straight.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="aligned", checkpoint=True, verbose=False)
+
+    resumed = str(tmp_path / "resumed.h5")
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 4 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                     join_impl="aligned", checkpoint=True, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                 join_impl="aligned", checkpoint=True, resume=True,
+                 verbose=False)
+    with h5py.File(ref) as a, h5py.File(resumed) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_aligned_halo_born_mid_run(tmp_path, churn_setup):  # noqa: F811
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    branches = branches.copy()
+    branches[:4, 1] = -1
+    ref = str(tmp_path / "born_g.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="general", verbose=False)
+    got = str(tmp_path / "born_a.h5")
+    track_orbits(snap_nums, branches, regions, loader, got,
+                 join_impl="aligned", verbose=False)
+    _assert_files_equal(ref, got)
+
+
+@pytest.mark.slow
+def test_aligned_tracker_sharded_mesh(tmp_path):
+    """Halo-sharded aligned engine over the virtual CPU mesh writes the
+    same savefile as the unsharded run."""
+    from orbitanalysis_tpu.parallel.mesh import make_mesh
+
+    box = 60.0
+    n_halos, n_part, n_snap = 8, 120, 6
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=23
+    )
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(n_halos), (n_snap, 1))
+
+    ref = str(tmp_path / "single.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="aligned", verbose=False)
+
+    mesh = make_mesh({"halos": 4})
+    got = str(tmp_path / "sharded.h5")
+    track_orbits(snap_nums, branches, regions, loader, got,
+                 mesh=mesh, join_impl="aligned", verbose=False)
+    _assert_files_equal(ref, got)

@@ -71,6 +71,64 @@ def test_grid_count_sort_matches_numpy(rng):
     )
 
 
+def test_stable_align_matches_numpy(lib, rng):
+    """Native stable_align vs the NumPy StableLayout path: identical
+    layouts, scatters, and slot permutations over a churned sequence
+    (including a first all-entrant snapshot and a no-mass snapshot)."""
+    from orbitanalysis_tpu.engine import packing
+    from orbitanalysis_tpu.utils.padding import invalid_id_for
+
+    inv = invalid_id_for(np.int32)
+    H, P = 3, 512
+    pool = np.arange(P * 3, dtype=np.int32)
+
+    def snap(members, with_mass=True):
+        ids = np.full((H, P), inv, np.int32)
+        for h, m in enumerate(members):
+            ids[h, : len(m)] = m
+        pos = rng.normal(size=(H, P, 3)).astype(np.float32)
+        vel = rng.normal(size=(H, P, 3)).astype(np.float32)
+        mass = (
+            rng.random((H, P)).astype(np.float32) if with_mass else None
+        )
+        return ids, pos, vel, mass
+
+    members = [
+        rng.choice(pool, size=rng.integers(P // 2, P), replace=False)
+        for _ in range(H)
+    ]
+    lay_np = packing.StableLayout(H, P)
+    lay_nat = packing.StableLayout(H, P)
+    for s in range(4):
+        snap_s = snap(members, with_mass=(s != 2))
+        # churn ~10%: drop some, add some, shuffle survivor order
+        members = [
+            np.concatenate([
+                m[rng.random(len(m)) > 0.1],
+                rng.choice(
+                    np.setdiff1d(pool, m), size=len(m) // 8, replace=False
+                ),
+            ])
+            for m in members
+        ]
+        for m in members:
+            rng.shuffle(m)
+
+        got = packing.align_packed(lay_nat, *snap_s)
+        orig = native.stable_align_native
+        native.stable_align_native = lambda *a, **k: None
+        try:
+            exp = packing.align_packed(lay_np, *snap_s)
+        finally:
+            native.stable_align_native = orig
+        assert np.array_equal(lay_np.layout, lay_nat.layout), s
+        for name, x, y in zip("ids pos vel mass slot".split(), exp, got):
+            if x is None:
+                assert y is None
+                continue
+            assert np.array_equal(x, y), (s, name)
+
+
 def test_region_extractor_native_index(rng):
     """RegionExtractor over the native-sort threshold must agree with a
     small (numpy-path) extractor on the same data."""
