@@ -1,0 +1,264 @@
+"""BASELINE config-4: on-the-fly mode — native TPU leapfrog integrator
+with orbit detection at 4x snapshot cadence.
+
+The reference's on-the-fly engine re-loads two full snapshots from disk
+per detection (``/root/reference/orbitanalysis/track_orbits_onthefly.py:
+22-34``), so its detection cadence is capped at the simulation's
+snapshot-dump cadence.  Here the integrator and the detector share one
+jit'd ``lax.scan`` (``models/nbody.py:simulate_with_tracking``) with all
+state resident in HBM, so detection can run at any multiple of the
+snapshot cadence for the cost of a slot-aligned detect kernel — no host
+round-trips, no I/O.
+
+Two sections:
+
+1. **Oracle fidelity** (default): a Kepler ensemble with analytically
+   known pericenter counts, integrated with KDK.  Detection runs at 4x
+   snapshot cadence (every 4 force steps, where a "snapshot" would be
+   every 16) and, for contrast, at 1x snapshot cadence — quantifying
+   the passages a snapshot-rate detector (the reference's ceiling)
+   misses on short-period orbits while the 4x on-the-fly detector
+   recovers them.  Asserts >=99 % of particles within +-1 passage of
+   the closed-form count at 4x.
+
+2. **Scale throughput** (``--scale``): a PM-force (``models/pm.py``)
+   periodic-box run at --millions particles with every particle a
+   tracked member (moving mass-weighted halo centers), measuring
+   steps/s with detection off vs ``detect_every=4`` — the marginal
+   cost of on-the-fly detection against the force evaluation it rides.
+
+Usage:
+  python benchmarks/config4_onthefly_e2e.py            # oracle fidelity
+  python benchmarks/config4_onthefly_e2e.py --scale    # PM throughput
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+)
+
+SNAPSHOT_EVERY = 32          # force steps per hypothetical snapshot dump
+DETECT_EVERY = 8             # force steps per detection: 4x snapshot rate
+
+
+def mean_anomaly_from_state(pos, vel, GM=1.0):
+    """Recover each particle's mean anomaly from (pos, vel) about a point
+    mass at the origin (vis-viva -> a, angular momentum -> e, eccentric
+    anomaly E from r and sign(r.v), Kepler's equation -> M)."""
+    r = np.linalg.norm(pos, axis=-1)
+    v2 = np.sum(vel * vel, axis=-1)
+    energy = 0.5 * v2 - GM / r
+    a = -GM / (2.0 * energy)
+    h = np.linalg.norm(np.cross(pos, vel), axis=-1)
+    e = np.sqrt(np.clip(1.0 - h * h / (GM * a), 0.0, None))
+    cosE = np.clip((1.0 - r / a) / np.maximum(e, 1e-12), -1.0, 1.0)
+    E = np.arccos(cosE)
+    rdotv = np.sum(pos * vel, axis=-1)
+    E = np.where(rdotv >= 0, E, 2 * np.pi - E)   # outbound vs inbound
+    return np.mod(E - e * np.sin(E), 2 * np.pi)
+
+
+def analytic_pericenters(M0, mean_motion, t):
+    """Pericenter passages in (0, t]: mean anomaly M = M0 + n*t crosses
+    a multiple of 2 pi (pericenter is M == 0 mod 2 pi)."""
+    two_pi = 2 * np.pi
+    return np.floor((M0 + mean_motion * t) / two_pi).astype(np.int64) - (
+        np.floor(M0 / two_pi).astype(np.int64)
+    )
+
+
+def run_oracle(args):
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import (
+        NBodyState,
+        OrbitNBodyConfig,
+        point_mass_forces,
+    )
+    from orbitanalysis_tpu.models.nbody import simulate_with_tracking
+    from orbitanalysis_tpu.models.synthetic import kepler_ensemble
+
+    n = args.particles
+    ens = kepler_ensemble(
+        n, 2, a_range=(0.5, 2.0), e_range=(0.05, 0.6), seed=7
+    )
+    t_min, t_max = float(ens.period.min()), float(ens.period.max())
+    # a 1x "snapshot" detector samples the shortest orbit only ~1.3x
+    # per period — BELOW the apsis Nyquist rate (2/period: a peri and
+    # an apo between consecutive samples leave no radial-velocity sign
+    # change to see), so a snapshot-cadence detector structurally
+    # misses passages on short-period orbits.  The 4x on-the-fly
+    # detector samples the same orbit ~5.2x per period and recovers
+    # them.  The integrator itself still takes ~42 KDK steps per
+    # shortest period, so this stresses detection cadence, not
+    # integration accuracy.
+    dt = t_min / (1.3 * SNAPSHOT_EVERY)
+    t_total = 3.0 * t_max
+    n_steps = int(np.ceil(t_total / dt))
+    t_total = n_steps * dt
+
+    state0 = NBodyState(
+        pos=jnp.asarray(ens.positions[0].astype(np.float32)),
+        vel=jnp.asarray(ens.velocities[0].astype(np.float32)),
+        mass=jnp.full((n,), 1e-12, jnp.float32),
+    )
+    members = jnp.arange(n, dtype=jnp.int32).reshape(1, n)
+    base = dict(
+        dt=dt,
+        n_steps=n_steps,
+        mode="pericentric",
+        softening=0.0,
+        centers=jnp.zeros((1, 3), jnp.float32),
+        bulk_vels=jnp.zeros((1, 3), jnp.float32),
+    )
+    force = point_mass_forces(GM=1.0)
+    mean_motion = 2 * np.pi / ens.period
+    M0 = mean_anomaly_from_state(ens.positions[0], ens.velocities[0])
+    expected = analytic_pericenters(M0, mean_motion, t_total)
+
+    print(
+        f"Kepler ensemble: {n} particles, periods {t_min:.2f}-{t_max:.2f}, "
+        f"{n_steps} KDK steps over {t_total:.1f} time units", flush=True,
+    )
+
+    results = {}
+    for label, every in (
+        ("4x snapshot cadence (on-the-fly)", DETECT_EVERY),
+        ("1x snapshot cadence (reference ceiling)", SNAPSHOT_EVERY),
+    ):
+        cfg = OrbitNBodyConfig(detect_every=every, **base)
+        t0 = time.perf_counter()
+        _, track, events = simulate_with_tracking(
+            state0, members, cfg, force_fn=force
+        )
+        counts = np.asarray(track.counts)[0]
+        wall = time.perf_counter() - t0
+        err = counts.astype(np.int64) - expected
+        within1 = float(np.mean(np.abs(err) <= 1))
+        exact = float(np.mean(err == 0))
+        missed = float(np.mean(np.maximum(expected - counts, 0))
+                       / max(np.mean(expected), 1e-9))
+        results[every] = (counts, within1, exact, missed)
+        print(
+            f"  {label}: detect_every={every}, "
+            f"{int(np.asarray(events).sum())} passages, "
+            f"exact-count fraction {exact:.3f}, within+-1 {within1:.4f}, "
+            f"missed-passage fraction {missed:.3%} ({wall:.1f} s incl. "
+            "compile)", flush=True,
+        )
+
+    counts4, within1_4, _, missed4 = results[DETECT_EVERY]
+    _, _, _, missed16 = results[SNAPSHOT_EVERY]
+    assert within1_4 >= 0.99, (
+        f"4x-cadence detection should match analytic counts within +-1 "
+        f"for >=99% of particles, got {within1_4:.4f}"
+    )
+    assert missed16 > missed4, (
+        "snapshot-rate detection should miss more passages than the 4x "
+        "on-the-fly detector on undersampled orbits"
+    )
+    print(
+        f"OK: 4x cadence within +-1 of analytic for {within1_4:.1%}; "
+        f"snapshot-rate detection misses {missed16:.2%} of passages vs "
+        f"{missed4:.2%} at 4x", flush=True,
+    )
+
+
+def run_scale(args):
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import NBodyState, OrbitNBodyConfig
+    from orbitanalysis_tpu.models.nbody import simulate_with_tracking
+    from orbitanalysis_tpu.models.pm import make_pm_force_fn
+
+    n = int(args.millions * 1e6)
+    # members: every particle tracked, index-partitioned into halo rows
+    P = 65536
+    H = n // P
+    n = H * P
+    box = 100.0
+    grid = args.grid
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, box, size=(n, 3)).astype(np.float32)
+    vel = (0.02 * rng.normal(size=(n, 3))).astype(np.float32)
+    state0 = NBodyState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        mass=jnp.full((n,), 1.0, jnp.float32),
+    )
+    members = jnp.arange(n, dtype=jnp.int32).reshape(H, P)
+    force = make_pm_force_fn(grid)
+    base = dict(
+        dt=1e-3, mode="pericentric", box_size=box, softening=0.0, G=1.0,
+    )
+    n_steps = args.steps
+
+    print(
+        f"PM scale run: {n/1e6:.1f}M particles, {grid}^3 mesh, "
+        f"{H} halo rows x {P}, {n_steps} steps "
+        f"({jax.default_backend()})", flush=True,
+    )
+
+    def timed(detect_every, label):
+        cfg = OrbitNBodyConfig(
+            n_steps=n_steps, detect_every=detect_every, **base
+        )
+        # compile + warm once on a 2-step config, then time the real run
+        warm = OrbitNBodyConfig(n_steps=2, detect_every=detect_every, **base)
+        st, tr, ev = simulate_with_tracking(state0, members, warm, force)
+        jax.block_until_ready(tr.counts)
+        t0 = time.perf_counter()
+        st, tr, ev = simulate_with_tracking(state0, members, cfg, force)
+        jax.block_until_ready(tr.counts)
+        wall = time.perf_counter() - t0
+        print(
+            f"  {label}: {wall:.2f} s for {n_steps} steps "
+            f"({n_steps / wall:.1f} steps/s, "
+            f"{n * n_steps / wall / 1e9:.2f}e9 particle-steps/s)",
+            flush=True,
+        )
+        return wall
+
+    t_plain = timed(n_steps + 1, "integrator only (no detection)")
+    t_track = timed(DETECT_EVERY, f"detect_every={DETECT_EVERY}")
+    n_det = n_steps // DETECT_EVERY
+    per_det = (t_track - t_plain) / max(n_det, 1)
+    print(
+        f"  detection overhead: {t_track - t_plain:+.2f} s total, "
+        f"{per_det * 1e3:.1f} ms per detection "
+        f"({n / max(per_det, 1e-9) / 1e9:.2f}e9 detection updates/s), "
+        f"{(t_track / t_plain - 1) * 100:.1f}% over the force loop",
+        flush=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", action="store_true",
+                    help="PM-force throughput section")
+    ap.add_argument("--particles", type=int, default=16384,
+                    help="oracle-section ensemble size")
+    ap.add_argument("--millions", type=float, default=16.7,
+                    help="scale-section particle count, millions")
+    ap.add_argument("--grid", type=int, default=256,
+                    help="scale-section PM mesh")
+    ap.add_argument("--steps", type=int, default=32,
+                    help="scale-section KDK steps")
+    args = ap.parse_args()
+    if args.scale:
+        run_scale(args)
+    else:
+        run_oracle(args)
+
+
+if __name__ == "__main__":
+    main()
