@@ -176,6 +176,10 @@ def run_scale(args):
     import jax
     import jax.numpy as jnp
 
+    from orbitanalysis_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from orbitanalysis_tpu.models import NBodyState, OrbitNBodyConfig
     from orbitanalysis_tpu.models.nbody import simulate_with_tracking
     from orbitanalysis_tpu.models.pm import make_pm_force_fn
@@ -212,13 +216,13 @@ def run_scale(args):
         cfg = OrbitNBodyConfig(
             n_steps=n_steps, detect_every=detect_every, **base
         )
-        # compile + warm once on a 2-step config, then time the real run
-        warm = OrbitNBodyConfig(n_steps=2, detect_every=detect_every, **base)
-        st, tr, ev = simulate_with_tracking(state0, members, warm, force)
-        jax.block_until_ready(tr.counts)
+        # first call compiles the scan (the persistent cache makes
+        # reruns cheap); the second, identically-shaped call is timed
+        st, tr, ev = simulate_with_tracking(state0, members, cfg, force)
+        float(tr.counts[0, 0])  # a scalar fetch forces a real device sync
         t0 = time.perf_counter()
         st, tr, ev = simulate_with_tracking(state0, members, cfg, force)
-        jax.block_until_ready(tr.counts)
+        float(tr.counts[0, 0])
         wall = time.perf_counter() - t0
         print(
             f"  {label}: {wall:.2f} s for {n_steps} steps "
@@ -247,8 +251,11 @@ def main():
                     help="PM-force throughput section")
     ap.add_argument("--particles", type=int, default=16384,
                     help="oracle-section ensemble size")
-    ap.add_argument("--millions", type=float, default=16.7,
-                    help="scale-section particle count, millions")
+    ap.add_argument("--millions", type=float, default=12.6,
+                    help="scale-section particle count, millions "
+                         "(12.6M + tracking state + PM temporaries is "
+                         "the comfortable single-v5e fit; 16.6M fits "
+                         "with assignment='scalar' interpolation only)")
     ap.add_argument("--grid", type=int, default=256,
                     help="scale-section PM mesh")
     ap.add_argument("--steps", type=int, default=32,

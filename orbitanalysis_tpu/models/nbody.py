@@ -304,52 +304,65 @@ def simulate_with_tracking(
             "'pericentric' or 'apocentric'."
         )
     n_halos, capacity = members.shape
-    acc0 = force_fn(
-        state.pos, state.mass, softening=config.softening, G=config.G,
-        box_size=config.box_size,
-    )
-    if track is None:
-        track0 = init_track_state(n_halos, capacity, dtype=state.pos.dtype)
-        # seed the detector from the initial conditions so the first
-        # detection interval can already catch a sign flip
-        track0, _ = detect_apsides_static(
-            track0, state, members, mode=config.mode,
-            box_size=config.box_size, angle_cut=config.angle_cut,
-            center=config.centers, bulk_vel=config.bulk_vels,
-        )
-    else:
-        track0 = track
 
-    def body(carry, step_idx):
-        st, tr, acc = carry
-        st, acc = kdk_step(
-            st, acc, config.dt, force_fn,
+    # the WHOLE run — initial force, detector seeding, and the scan —
+    # lives under one jit: dispatched eagerly, the 12.6M-particle
+    # prologue alone costs tens of seconds of op-by-op round trips
+    # (measured), and XLA schedules the fused graph with far less
+    # memory than the eager ops
+    def run(state, members, track):
+        acc0 = force_fn(
+            state.pos, state.mass, softening=config.softening, G=config.G,
             box_size=config.box_size,
-            softening=config.softening, G=config.G,
         )
-        do_detect = (step_idx + 1) % config.detect_every == 0
-
-        def with_detect(tr):
-            tr2, (apsis, _r, _c, _b) = detect_apsides_static(
-                tr, st, members, mode=config.mode,
+        if track is None:
+            track0 = init_track_state(
+                n_halos, capacity, dtype=state.pos.dtype
+            )
+            # seed the detector from the initial conditions so the first
+            # detection interval can already catch a sign flip
+            track0, _ = detect_apsides_static(
+                track0, state, members, mode=config.mode,
                 box_size=config.box_size, angle_cut=config.angle_cut,
                 center=config.centers, bulk_vel=config.bulk_vels,
             )
-            return tr2, jnp.sum(apsis, dtype=jnp.int32)
+        else:
+            track0 = track
 
-        tr, n_events = jax.lax.cond(
-            do_detect,
-            with_detect,
-            lambda tr: (tr, jnp.int32(0)),
-            tr,
+        def body(carry, step_idx):
+            st, tr, acc = carry
+            st, acc = kdk_step(
+                st, acc, config.dt, force_fn,
+                box_size=config.box_size,
+                softening=config.softening, G=config.G,
+            )
+            do_detect = (step_idx + 1) % config.detect_every == 0
+
+            def with_detect(tr):
+                tr2, (apsis, _r, _c, _b) = detect_apsides_static(
+                    tr, st, members, mode=config.mode,
+                    box_size=config.box_size, angle_cut=config.angle_cut,
+                    center=config.centers, bulk_vel=config.bulk_vels,
+                )
+                return tr2, jnp.sum(apsis, dtype=jnp.int32)
+
+            tr, n_events = jax.lax.cond(
+                do_detect,
+                with_detect,
+                lambda tr: (tr, jnp.int32(0)),
+                tr,
+            )
+            return (st, tr, acc), n_events
+
+        (state_f, track_f, _), events_per_step = jax.lax.scan(
+            body, (state, track0, acc0),
+            step_offset + jnp.arange(config.n_steps),
         )
-        return (st, tr, acc), n_events
+        return state_f, track_f, events_per_step
 
-    (state_f, track_f, _), events_per_step = jax.lax.scan(
-        body, (state, track0, acc0),
-        step_offset + jnp.arange(config.n_steps),
+    return jax.jit(run, static_argnames=())(
+        state, members, None if track is None else track
     )
-    return state_f, track_f, events_per_step
 
 
 def run_tracked_simulation(

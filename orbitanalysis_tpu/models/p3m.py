@@ -142,6 +142,7 @@ def make_p3m_force_fn(
     cutoff_sigmas: float = 3.5,
     cell_cap: int | None = None,
     deconvolve: bool = True,
+    assignment: str = "auto",
 ):
     """A P3M ``force_fn(pos, mass, box_size=..., G=..., softening=...)``
     for :func:`orbitanalysis_tpu.models.nbody.simulate_with_tracking`.
@@ -186,13 +187,20 @@ def make_p3m_force_fn(
         else:
             cap = cell_cap
 
-        # long range: smoothed PM
+        # long range: smoothed PM ('rows' = the folded row-gather
+        # interpolation, 10x the 24-scalar-gather form on TPU — pm.py)
+        from orbitanalysis_tpu.models.pm import _use_rows, \
+            cic_interpolate_rows
+        interp = (
+            cic_interpolate_rows if _use_rows(assignment)
+            else cic_interpolate
+        )
         rho = cic_deposit(pos, mass, grid, box_size)
         field = pm_forces_grid(
             rho, grid, box_size, G=G, deconvolve=deconvolve,
             smoothing=sigma,
         )
-        acc = cic_interpolate(field, pos, grid, box_size)
+        acc = interp(field, pos, grid, box_size)
 
         # short range: erfc pair correction within r_cut
         cell_pos, cell_mass, dest, ok = _bin_particles(

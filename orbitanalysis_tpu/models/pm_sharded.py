@@ -482,6 +482,7 @@ def make_sharded_pm_force_fn(
     grid: int,
     axis: str = "x",
     deconvolve: bool = False,
+    assignment: str = "auto",
 ):
     """Fully distributed PM forces: particles AND the FFT sharded over
     one mesh axis.
@@ -498,7 +499,15 @@ def make_sharded_pm_force_fn(
     ``mass`` sharded (or automatically placed) on ``axis``; particle
     count must divide the axis size.
     """
-    from orbitanalysis_tpu.models.pm import cic_deposit, cic_interpolate
+    from orbitanalysis_tpu.models.pm import (
+        _use_rows,
+        cic_deposit,
+        cic_interpolate,
+        cic_interpolate_rows,
+    )
+
+    if _use_rows(assignment):
+        cic_interpolate = cic_interpolate_rows
 
     solver = make_sharded_pm_grid_solver(
         mesh, grid, axis=axis, deconvolve=deconvolve

@@ -7,10 +7,54 @@ import pytest
 
 from orbitanalysis_tpu.models.pm import (
     cic_deposit,
+    cic_deposit_rows,
     cic_interpolate,
+    cic_interpolate_rows,
     make_pm_force_fn,
     pm_forces,
 )
+
+
+def test_cic_rows_forms_match_scalar_forms(rng):
+    """The TPU-fast row deposit/interp must agree with the classic
+    8-scatter/24-gather forms everywhere, including cell boundaries and
+    the periodic wrap seam."""
+    n, grid, box = 4096, 16, 10.0
+    pos = rng.uniform(0, box, size=(n, 3)).astype(np.float32)
+    h = box / grid
+    pos[:12] = np.array([
+        [0.0, 0.0, 0.0],
+        [box - 1e-4, box - 1e-4, box - 1e-4],
+        [box / 2, 0.0, box - 0.01],
+        [h / 2, h / 2, h / 2],          # exact cell center
+        [h, h, h],                      # exact cell boundary
+        [box - h / 2, 5.0, 5.0],        # wrap seam (x)
+        [5.0, box - h / 2, 5.0],
+        [5.0, 5.0, box - h / 2],
+        [0.001, box - 0.001, 5.0],
+        [2 * h, 3 * h, 4 * h],
+        [box / 2, box / 2, box / 2],
+        [1e-6, 1e-6, box / 2],
+    ], np.float32)
+    pos = jnp.asarray(pos)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+
+    r_scalar = np.asarray(cic_deposit(pos, mass, grid, box))
+    r_rows = np.asarray(cic_deposit_rows(pos, mass, grid, box))
+    np.testing.assert_allclose(r_rows, r_scalar, rtol=2e-5, atol=2e-5)
+    assert np.isclose(float(r_rows.sum()), float(mass.sum()), rtol=1e-5)
+
+    field = jnp.asarray(rng.normal(size=(3, grid, grid, grid))
+                        .astype(np.float32))
+    a_scalar = np.asarray(cic_interpolate(field, pos, grid, box))
+    a_rows = np.asarray(cic_interpolate_rows(field, pos, grid, box))
+    np.testing.assert_allclose(a_rows, a_scalar, rtol=2e-5, atol=2e-5)
+
+    f_scalar = np.asarray(pm_forces(pos, mass, grid, box,
+                                    assignment="scalar"))
+    f_rows = np.asarray(pm_forces(pos, mass, grid, box, assignment="rows"))
+    scale = np.abs(f_scalar).max()
+    np.testing.assert_allclose(f_rows, f_scalar, atol=1e-4 * scale)
 
 
 def test_cic_deposit_conserves_mass(rng):
