@@ -21,6 +21,7 @@ native TPU N-body integrator, no host round trips) see
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -53,8 +54,30 @@ def track_orbits(
     ``snapshot_number``, row 1 their progenitors at the previous snapshot,
     with −1 where a halo has no (pro)genitor — exactly the reference's
     contract (``track_orbits_onthefly.py:22-31``).
+
+    ``mode='both'`` writes the pericenter and apocenter catalogs in one
+    call (``savefile`` must be a pair of path templates): both snapshots
+    are loaded and packed once — the dominant cost the reference pays
+    per call (``track_orbits_onthefly.py:22-34``) — and only the
+    sign-flip detection runs per mode.
     """
-    if mode not in ("pericentric", "apocentric"):
+    if mode == "both":
+        if isinstance(savefile, (str, bytes, os.PathLike)):
+            raise ValueError(
+                "mode='both' writes two savefiles; pass "
+                "savefile=(pericentric_path, apocentric_path)"
+            )
+        modes = ["pericentric", "apocentric"]
+        savefiles = [os.fspath(p) for p in savefile]
+        if len(savefiles) != 2 or savefiles[0] == savefiles[1]:
+            raise ValueError(
+                "mode='both' needs two distinct savefile paths, "
+                f"got {savefiles!r}"
+            )
+    elif mode in ("pericentric", "apocentric"):
+        modes = [mode]
+        savefiles = [os.fspath(savefile)]
+    else:
         raise ValueError(
             "Orbit detection mode not recognized. Please specify either "
             "'pericentric' or 'apocentric'."
@@ -98,51 +121,55 @@ def track_orbits(
         )
     cur, prev = packed  # raw order is [s, s-1]
 
-    step = jax.jit(
-        make_orbit_step(
-            mode=mode, box_size=box_size, id_dtype=id_dtype,
-            with_dtheta=True,  # the on-the-fly schema stores angle changes
-        )
-    )
-
-    t0 = time.time()
-    carry0 = init_carry(n_halos, cap, id_dtype=id_dtype)
-    carry, seed_events = step(carry0, _to_batch(prev))
-    _, events = step(carry, _to_batch(cur))
-    if verbose:
-        print(
-            "Identified {}s in {} s\n".format(apsis_tag(mode), time.time() - t0)
+    cur_batch, prev_batch = _to_batch(cur), _to_batch(prev)
+    for mname, fname in zip(modes, savefiles):
+        step = jax.jit(
+            make_orbit_step(
+                mode=mname, box_size=box_size, id_dtype=id_dtype,
+                with_dtheta=True,  # on-the-fly schema stores angle changes
+            )
         )
 
-    apsis = np.asarray(events.apsis)
-    dtheta = np.asarray(events.dtheta)
-    matched = np.asarray(events.matched_prev)
-    departed = np.asarray(events.departed)
-    entered = np.asarray(events.entered)
+        t0 = time.time()
+        carry0 = init_carry(n_halos, cap, id_dtype=id_dtype)
+        carry, seed_events = step(carry0, prev_batch)
+        _, events = step(carry, cur_batch)
+        if verbose:
+            print(
+                "Identified {}s in {} s\n".format(
+                    apsis_tag(mname), time.time() - t0
+                )
+            )
 
-    apsis_offsets, apsis_ids = unpack_mask(apsis, prev.ids)
-    _, angle_changes = unpack_mask(matched, dtheta)
-    departed_offsets, departed_ids = unpack_mask(departed, prev.ids)
-    entered_offsets, entered_ids = unpack_mask(entered, cur.ids)
+        apsis = np.asarray(events.apsis)
+        dtheta = np.asarray(events.dtheta)
+        matched = np.asarray(events.matched_prev)
+        departed = np.asarray(events.departed)
+        entered = np.asarray(events.entered)
 
-    bulk = np.stack(
-        [np.asarray(events.bulk_vel), np.asarray(seed_events.bulk_vel)]
-    )
-    # reference leaves NaN bulk velocities for halos with no region
-    # (mean over an empty slice, track_orbits_onthefly.py:107); mark
-    # missing rows explicitly here.
-    for k, (_pos_full, rad_full) in enumerate(meta):
-        bulk[k][rad_full < 0] = np.nan
+        apsis_offsets, apsis_ids = unpack_mask(apsis, prev.ids)
+        _, angle_changes = unpack_mask(matched, dtheta)
+        departed_offsets, departed_ids = unpack_mask(departed, prev.ids)
+        entered_offsets, entered_ids = unpack_mask(entered, cur.ids)
 
-    _save(
-        savefile, snapshot_number, mode, box_size,
-        apsis_offsets, apsis_ids, angle_changes,
-        entered_offsets, entered_ids, departed_offsets, departed_ids,
-        progenitor_links,
-        np.stack([m[1] for m in meta]),
-        np.stack([m[0] for m in meta]),
-        bulk, verbose,
-    )
+        bulk = np.stack(
+            [np.asarray(events.bulk_vel), np.asarray(seed_events.bulk_vel)]
+        )
+        # reference leaves NaN bulk velocities for halos with no region
+        # (mean over an empty slice, track_orbits_onthefly.py:107); mark
+        # missing rows explicitly here.
+        for k, (_pos_full, rad_full) in enumerate(meta):
+            bulk[k][rad_full < 0] = np.nan
+
+        _save(
+            fname, snapshot_number, mname, box_size,
+            apsis_offsets, apsis_ids, angle_changes,
+            entered_offsets, entered_ids, departed_offsets, departed_ids,
+            progenitor_links,
+            np.stack([m[1] for m in meta]),
+            np.stack([m[0] for m in meta]),
+            bulk, verbose,
+        )
 
 
 def _to_batch(p):

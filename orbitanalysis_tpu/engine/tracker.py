@@ -26,6 +26,7 @@ parallelism is the device mesh now.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional
 
@@ -510,7 +511,11 @@ class _HashEngine:
         return route_flat(flat, self.n_shards, self.capacity)
 
     def grow(self, needed):
-        new_cap = round_up(int(np.ceil(needed * 1.2)), 128)
+        self.grow_to(round_up(int(np.ceil(needed * 1.2)), 128))
+
+    def grow_to(self, new_cap):
+        """Re-pad the per-shard record capacity to exactly ``new_cap``
+        (lockstep growth across mode='both' engine pairs)."""
         pad = new_cap - self.capacity
         if pad <= 0:
             return
@@ -631,6 +636,19 @@ def track_orbits(
     savefile : str
         Output HDF5 path (reference schema: one ``snapshot_%03d`` group
         per processed snapshot).
+    mode : {'pericentric', 'apocentric', 'both'}
+        ``'both'`` produces the pericenter AND apocenter catalogs in a
+        single pass: ``savefile`` must then be a pair
+        ``(pericentric_path, apocentric_path)`` and each output file is
+        byte-identical to the corresponding single-mode run's.  The
+        host pipeline (callback I/O, packing, host->device transfer,
+        savefile writes) — the dominant cost of real runs — is paid
+        once instead of twice; the second catalog costs only one extra
+        device detection step per snapshot, since the two detectors
+        share the staged batch and differ only in the sign-flip
+        condition and their angle accumulators
+        (``track_orbits.py:311-314``; the reference needs two full runs
+        for BASELINE config 3's peri+apo catalogs).
 
     TPU-specific additions:
 
@@ -696,11 +714,36 @@ def track_orbits(
         ``join_impl`` was auto-selected, 'keep' when 'sorted'/'aligned'
         was requested explicitly.
     """
-    if mode not in ("pericentric", "apocentric"):
+    if mode == "both":
+        # one ingest pass, two catalogs: load/pack/H2D once per
+        # snapshot and run both detectors on the staged batch.  Two
+        # separate reference-mode runs pay the (dominant,
+        # transfer-bound) host pipeline twice for the identical
+        # staging; the detectors differ only in the sign-flip
+        # condition and their angle accumulators
+        # (track_orbits.py:311-314), so the second catalog costs one
+        # extra device step.
+        modes = ["pericentric", "apocentric"]
+        if isinstance(savefile, (str, bytes, os.PathLike)):
+            raise ValueError(
+                "mode='both' writes two reference-schema savefiles; "
+                "pass savefile=(pericentric_path, apocentric_path)"
+            )
+        savefiles = [os.fspath(p) for p in savefile]
+        if len(savefiles) != 2 or savefiles[0] == savefiles[1]:
+            raise ValueError(
+                "mode='both' needs two distinct savefile paths, "
+                f"got {savefiles!r}"
+            )
+    elif mode in ("pericentric", "apocentric"):
+        modes = [mode]
+        savefiles = [os.fspath(savefile)]
+    else:
         raise ValueError(
             "Orbit detection mode not recognized. Please specify either "
             "'pericentric' or 'apocentric'."
         )
+    savefile = savefiles[0]  # layout leader (checkpoint layout source)
     # re-jits (capacity growth, restarts, resume) hit disk instead of
     # paying the multi-minute Mosaic compile again
     from orbitanalysis_tpu.utils.cache import enable_compilation_cache
@@ -722,7 +765,15 @@ def track_orbits(
     if resume:
         if verbose:
             print("Resuming from file...\n")
-        resume_snap = io_hdf5.last_snapshot_number(savefile)
+        resume_snaps = [io_hdf5.last_snapshot_number(f) for f in savefiles]
+        resume_snap = resume_snaps[0]
+        if any(s != resume_snap for s in resume_snaps):
+            raise ValueError(
+                "mode='both' resume needs both savefiles at the same "
+                f"snapshot; got {dict(zip(savefiles, resume_snaps))} — "
+                "delete the trailing snapshot group(s) of the file that "
+                "ran ahead and re-run"
+            )
         sind = int(np.argwhere(snapshot_numbers == resume_snap).flatten()[0])
         snapshot_numbers = snapshot_numbers[sind:]
         main_branches = main_branches[sind:]
@@ -766,7 +817,11 @@ def track_orbits(
         )
 
     tstart = time.time()
-    engine: Optional[_DeviceEngine] = None
+    # one engine per detection mode: identical staging/layout, the
+    # detectors differ only in the sign-flip condition and their angle
+    # accumulators (mode='both' amortizes the host pipeline over both)
+    engines: list = []
+    engine: Optional[_DeviceEngine] = None  # layout leader = engines[0]
     box_size = None
     prev_ids_host = None       # [H, P] packed ids of last processed snapshot
     prev_rows = None           # active halo rows of last processed snapshot
@@ -799,7 +854,10 @@ def track_orbits(
         p, phases = pending, pending["phases"]
         pending = None
         if p["save"]:
-            events = p["events"]
+          n_events_by_mode = {}
+          for events, mname, fname in zip(
+              p["events_list"], modes, savefiles
+          ):
             with phase_timer(phases, "fetch"):
                 ev_count = _fetch_host(
                     events.count
@@ -814,7 +872,7 @@ def track_orbits(
                 print(
                     "Finished {} detection for snapshot {} "
                     "(dispatch-to-write {} s)\n".format(
-                        io_hdf5.apsis_tag(mode),
+                        io_hdf5.apsis_tag(mname),
                         "%03d" % p["snapshot_number"],
                         time.time() - p["t0"],
                     )
@@ -895,9 +953,9 @@ def track_orbits(
             with phase_timer(phases, "save"):
                 if primary:  # single-writer, reference semantics
                     io_hdf5.append_snapshot(
-                        savefile,
+                        fname,
                         p["snapshot_number"],
-                        mode,
+                        mname,
                         apsis_ids=apsis_ids_flat,
                         apsis_offsets=apsis_offsets,
                         apsis_angles=apsis_angles_flat,
@@ -908,41 +966,57 @@ def track_orbits(
                         bulk_velocities=bulk_vel[saved_rows],
                         verbose=verbose,
                     )
-            if metrics is not None:
+            n_events_by_mode[mname] = int(len(apsis_ids_flat))
+          if metrics is not None:
+                extra = (
+                    {
+                        "n_events_" + io_hdf5.apsis_tag(m): n
+                        for m, n in n_events_by_mode.items()
+                    }
+                    if len(modes) > 1
+                    else {}
+                )
                 metrics.log(
                     snapshot=int(p["snapshot_number"]),
                     n_halos_active=int(len(p["rows"])),
                     n_particles=int(p["n_particles"]),
-                    n_events=int(len(apsis_ids_flat)),
+                    n_events=int(sum(n_events_by_mode.values())),
                     capacity=int(engine.capacity),
+                    **extra,
                     **phases,
                 )
         if checkpoint:
             # carry angles were fetched before the *next* dispatch could
-            # donate them (see angles_host below); final drain fetches here
-            angles_dev = p.get("angles_host")
+            # donate them (see angles_host below); final drain fetches
+            # here.  The angle accumulators differ per mode (each resets
+            # at its own apsides), so every savefile gets its engine's
+            # angles; the layout datasets are staging-derived and
+            # identical across modes (computed once below).
+            angles_list = p.get("angles_host")
             layout_flat = None
             if engine.join == "hash":
-                if angles_dev is None:
-                    angles_dev = engine.capture_angles()
+                if angles_list is None:
+                    angles_list = [e.capture_angles() for e in engines]
                 if not primary:
                     return
-                angles_flat = engine.angles_to_load_order(
-                    angles_dev, p["n_particles"]
-                )
+                angles_per_file = [
+                    e.angles_to_load_order(cap, p["n_particles"])
+                    for e, cap in zip(engines, angles_list)
+                ]
             else:
-                if angles_dev is None:
-                    angles_dev = _fetch_host(engine.carry.angles)
+                if angles_list is None:
+                    angles_list = [
+                        _fetch_host(e.carry.angles) for e in engines
+                    ]
                 if not primary:
                     return
                 valid = p["packed_ids"] != engine.invalid
+                slot = None
                 if engine.join in ("sorted", "aligned"):
                     # carry follows the device layout (ID-sorted /
                     # stable-position); scatter back to load order so
                     # the checkpoint matches the reference layout
                     slot = np.asarray(p["packed_slot"])
-                    a_load = np.zeros_like(angles_dev)
-                    np.put_along_axis(a_load, slot, angles_dev, axis=-1)
                     v_load = np.zeros(valid.shape, dtype=bool)
                     np.put_along_axis(v_load, slot, valid, axis=-1)
                     if engine.join == "aligned":
@@ -963,15 +1037,25 @@ def track_orbits(
                         _, layout_flat = unpack_mask(
                             v_load, pos_of, rows=p["rows"]
                         )
-                    angles_dev, valid = a_load, v_load
-                _, angles_flat = unpack_mask(
-                    valid, angles_dev, rows=p["rows"]
+                angles_per_file = []
+                for angles_dev in angles_list:
+                    v = valid
+                    if slot is not None:
+                        a_load = np.zeros_like(angles_dev)
+                        np.put_along_axis(
+                            a_load, slot, angles_dev, axis=-1
+                        )
+                        angles_dev, v = a_load, v_load
+                    _, angles_flat = unpack_mask(
+                        v, angles_dev, rows=p["rows"]
+                    )
+                    angles_per_file.append(angles_flat)
+            for fname, angles_flat in zip(savefiles, angles_per_file):
+                io_hdf5.write_checkpoint(
+                    fname, angles_flat, p["snapshot_number"],
+                    angle_store_dtype=angles_flat.dtype,
+                    layout_positions=layout_flat,
                 )
-            io_hdf5.write_checkpoint(
-                savefile, angles_flat, p["snapshot_number"],
-                angle_store_dtype=angles_flat.dtype,
-                layout_positions=layout_flat,
-            )
 
     items = list(zip(main_branches, snapshot_numbers))
     feed = _SnapshotFeed(
@@ -1029,13 +1113,18 @@ def track_orbits(
                         len(snapshot["ids"]) / n_shards * headroom
                     )) + 1, 128,
                 )
-                engine = _HashEngine(
-                    mesh, n_rows, mode, box_size, cap, angle_dtype
-                )
-                if not resume and primary:
-                    io_hdf5.initialize_savefile(
-                        savefile, mode, box_size, verbose
+                engines = [
+                    _HashEngine(
+                        mesh, n_rows, m, box_size, cap, angle_dtype
                     )
+                    for m in modes
+                ]
+                engine = engines[0]
+                if not resume and primary:
+                    for fname, m in zip(savefiles, modes):
+                        io_hdf5.initialize_savefile(
+                            fname, m, box_size, verbose
+                        )
         if engine is None:
             cap = capacity or required_capacity(lengths, headroom)
             if join_impl in ("sorted", "aligned"):
@@ -1067,17 +1156,22 @@ def track_orbits(
                             f"capacities up to {MAX_FUSED_CAPACITY} "
                             f"(needed {cap}); use join_impl='general'"
                         )
-            engine = _DeviceEngine(
-                n_rows, cap, mode, box_size, id_dtype, angle_dtype,
-                sharding=sharding, event_capacity=event_capacity,
-                join=join_impl,
-            )
+            engines = [
+                _DeviceEngine(
+                    n_rows, cap, m, box_size, id_dtype, angle_dtype,
+                    sharding=sharding, event_capacity=event_capacity,
+                    join=join_impl,
+                )
+                for m in modes
+            ]
+            engine = engines[0]
             if join_impl == "aligned":
                 stable_layout = StableLayout(
                     n_rows, engine.capacity, id_dtype=id_dtype
                 )
             if not resume and primary:
-                io_hdf5.initialize_savefile(savefile, mode, box_size, verbose)
+                for fname, m in zip(savefiles, modes):
+                    io_hdf5.initialize_savefile(fname, m, box_size, verbose)
         if engine.join != "hash" and lengths.size and (
             int(lengths.max()) > engine.capacity
         ):
@@ -1099,7 +1193,10 @@ def track_orbits(
                         f"{new_cap}; switching to the general join engine "
                         "(avoids a fused-kernel recompile)\n"
                     )
-                engine, prev_ids_host = engine.to_general(new_cap)
+                converted = [e.to_general(new_cap) for e in engines]
+                engines = [e for e, _ in converted]
+                engine = engines[0]
+                prev_ids_host = converted[0][1]
                 join_impl = "general"
                 stable_layout = None
             else:
@@ -1108,7 +1205,8 @@ def track_orbits(
                         f"Growing particle capacity {engine.capacity} -> "
                         f"{new_cap} (recompiles the step)\n"
                     )
-                engine.grow(new_cap)
+                for e in engines:
+                    e.grow(new_cap)
                 if stable_layout is not None:
                     stable_layout.grow(engine.capacity)
                 if prev_ids_host is not None:
@@ -1136,6 +1234,9 @@ def track_orbits(
                 ):
                     flat["mass"] = m
                 batch = engine.route(flat)  # grows the shard cap if needed
+                for e in engines[1:]:       # lockstep shard capacities
+                    if e.capacity < engine.capacity:
+                        e.grow_to(engine.capacity)
                 centers_full = np.zeros((n_rows, 3), np.float32)
                 centers_full[rows] = region_positions
                 bulk_full = None
@@ -1143,14 +1244,18 @@ def track_orbits(
                     bulk_full = np.zeros((n_rows, 3), np.float32)
                     bulk_full[rows] = region_bulk_vels
             packed = None
+            packed_ids_host = packed_slot_host = None
             t0 = time.time()
             if checkpoint and pending is not None:
-                pending["angles_host"] = engine.capture_angles()
+                pending["angles_host"] = [
+                    e.capture_angles() for e in engines
+                ]
             layout_ids = None
             with phase_timer(phases, "step"):
-                events = engine.step(
-                    batch, centers_full, bulk_full, hubble_drag
-                )
+                events_list = [
+                    e.step(batch, centers_full, bulk_full, hubble_drag)
+                    for e in engines
+                ]
         else:
             with phase_timer(phases, "pack"):
                 if join_impl == "aligned":
@@ -1175,6 +1280,8 @@ def track_orbits(
                     )
 
             t0 = time.time()
+            packed_ids_host = packed.ids   # host bookkeeping copies
+            packed_slot_host = packed.slot
             # static-membership fast path: identical ID layout to the
             # previous snapshot means the sort-merge join is unnecessary
             # (general engine only — the sorted engine branches on
@@ -1182,21 +1289,30 @@ def track_orbits(
             static = (
                 join_impl not in ("sorted", "aligned")
                 and prev_ids_host is not None
-                and bool(np.array_equal(packed.ids, prev_ids_host))
+                and bool(np.array_equal(packed_ids_host, prev_ids_host))
             )
             if checkpoint and pending is not None:
                 # the next dispatch donates the carry, so materialize the
                 # pending snapshot's angles now (syncs on its step only)
-                pending["angles_host"] = _fetch_host(engine.carry.angles)
+                pending["angles_host"] = [
+                    _fetch_host(e.carry.angles) for e in engines
+                ]
             layout_ids = prev_ids_host  # the dispatched step's prev layout
+            if len(engines) > 1 and sharding is None:
+                # stage the batch on device once; both detectors read it
+                packed = jax.tree.map(jnp.asarray, packed)
             with phase_timer(phases, "step"):
-                events = engine.step(packed, hubble_drag, static=static)
+                events_list = [
+                    e.step(packed, hubble_drag, static=static)
+                    for e in engines
+                ]
 
         if not started:
             # First processed snapshot: seeds the carry; nothing to save
             # (reference: `i > istart` gate, track_orbits.py:160,212).
             if resume:
-                ck_angles, ck_snap = io_hdf5.read_checkpoint(savefile)
+              for e, fname in zip(engines, savefiles):
+                ck_angles, ck_snap = io_hdf5.read_checkpoint(fname)
                 if ck_snap >= 0 and ck_snap != snapshot_number:
                     raise ValueError(
                         f"checkpoint sidecar holds angles for snapshot "
@@ -1206,27 +1322,27 @@ def track_orbits(
                         "write — delete the last savefile group or the "
                         "checkpoint and re-run"
                     )
-                if engine.join == "hash":
-                    engine.set_angles_flat(
+                if e.join == "hash":
+                    e.set_angles_flat(
                         np.asarray(ck_angles, dtype=angle_dtype)
                     )
                 else:
                     angles_padded = pack_ragged(
                         np.asarray(ck_angles, dtype=angle_dtype),
-                        offsets, n_rows, engine.capacity, rows=rows,
+                        offsets, n_rows, e.capacity, rows=rows,
                         fill=0.0,
                     )
-                    engine.set_angles(
+                    e.set_angles(
                         angles_padded,
-                        order=packed.slot
+                        order=packed_slot_host
                         if join_impl in ("sorted", "aligned")
                         else None,
                     )
             started = True
             new_pending = dict(
                 save=False, phases=phases, rows=rows,
-                packed_ids=None if packed is None else packed.ids,
-                packed_slot=None if packed is None else packed.slot,
+                packed_ids=packed_ids_host,
+                packed_slot=packed_slot_host,
                 n_particles=len(snapshot["ids"]),
                 snapshot_number=snapshot_number,
             )
@@ -1241,13 +1357,13 @@ def track_orbits(
             new_pending = dict(
                 save=True,
                 phases=phases,
-                events=events,
+                events_list=events_list,
                 t0=t0,
                 rows=rows,
                 saved_rows=saved_rows,
                 layout_ids=layout_ids,
-                packed_ids=None if packed is None else packed.ids,
-                packed_slot=None if packed is None else packed.slot,
+                packed_ids=packed_ids_host,
+                packed_slot=packed_slot_host,
                 snapshot_number=snapshot_number,
                 n_particles=len(snapshot["ids"]),
                 halo_ids_saved=halo_ids[saved_rows],
@@ -1264,7 +1380,7 @@ def track_orbits(
         flush_pending()
         pending = new_pending
 
-        prev_ids_host = None if packed is None else packed.ids
+        prev_ids_host = packed_ids_host
         prev_rows = rows
 
        flush_pending()
@@ -1274,6 +1390,7 @@ def track_orbits(
     if verbose:
         print(
             "Finished {} detection for all snapshots in {} s\n".format(
-                io_hdf5.apsis_tag(mode), time.time() - tstart
+                " and ".join(io_hdf5.apsis_tag(m) for m in modes),
+                time.time() - tstart,
             )
         )

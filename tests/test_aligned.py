@@ -428,3 +428,23 @@ def test_aligned_tracker_sharded_mesh(tmp_path):
     track_orbits(snap_nums, branches, regions, loader, got,
                  mesh=mesh, join_impl="aligned", verbose=False)
     _assert_files_equal(ref, got)
+
+
+@pytest.mark.slow
+def test_aligned_both_mode(tmp_path, churn_setup):  # noqa: F811
+    """mode='both' through the aligned engine: one stable-layout staging
+    pass feeds both detectors; each savefile equals the single-mode
+    aligned run's."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    peri1 = str(tmp_path / "peri_single.h5")
+    apo1 = str(tmp_path / "apo_single.h5")
+    track_orbits(snap_nums, branches, regions, loader, peri1,
+                 mode="pericentric", join_impl="aligned", verbose=False)
+    track_orbits(snap_nums, branches, regions, loader, apo1,
+                 mode="apocentric", join_impl="aligned", verbose=False)
+    peri2 = str(tmp_path / "peri_both.h5")
+    apo2 = str(tmp_path / "apo_both.h5")
+    track_orbits(snap_nums, branches, regions, loader, (peri2, apo2),
+                 mode="both", join_impl="aligned", verbose=False)
+    _assert_files_equal(peri1, peri2)
+    _assert_files_equal(apo1, apo2)

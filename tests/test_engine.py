@@ -572,3 +572,115 @@ def test_orbit_step_vector_box(rng):
     np.testing.assert_allclose(
         np.asarray(c_vec.vrad), np.asarray(c_scal.vrad), atol=1e-6
     )
+
+
+def _assert_h5_identical(path_a, path_b):
+    with h5py.File(path_a) as a, h5py.File(path_b) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        assert dict(a.attrs) == dict(b.attrs) or (
+            a.attrs["mode"] == b.attrs["mode"]
+            and np.allclose(a.attrs.get("box_size", 0),
+                            b.attrs.get("box_size", 0))
+        )
+        for k in a:
+            assert sorted(a[k].keys()) == sorted(b[k].keys()), k
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def test_both_mode_matches_two_single_runs(tmp_path, churn_setup):
+    """mode='both' writes two savefiles byte-identical to separate
+    pericentric and apocentric runs (one ingest pass, two catalogs)."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    peri1 = str(tmp_path / "peri_single.h5")
+    apo1 = str(tmp_path / "apo_single.h5")
+    track_orbits(snap_nums, branches, regions, loader, peri1,
+                 mode="pericentric", verbose=False)
+    track_orbits(snap_nums, branches, regions, loader, apo1,
+                 mode="apocentric", verbose=False)
+    peri2 = str(tmp_path / "peri_both.h5")
+    apo2 = str(tmp_path / "apo_both.h5")
+    track_orbits(snap_nums, branches, regions, loader, (peri2, apo2),
+                 mode="both", verbose=False)
+    _assert_h5_identical(peri1, peri2)
+    _assert_h5_identical(apo1, apo2)
+
+
+def test_both_mode_validates_savefile(tmp_path, churn_setup):
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    with pytest.raises(ValueError, match="two"):
+        track_orbits(snap_nums, branches, regions, loader,
+                     str(tmp_path / "x.h5"), mode="both", verbose=False)
+    with pytest.raises(ValueError, match="distinct"):
+        p = str(tmp_path / "same.h5")
+        track_orbits(snap_nums, branches, regions, loader, (p, p),
+                     mode="both", verbose=False)
+
+
+def test_both_mode_crash_resume(tmp_path, churn_setup):
+    """Crash-resume under mode='both': both files and both angle
+    sidecars restore; the resumed pair equals straight-through runs."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    peri_s = str(tmp_path / "peri_straight.h5")
+    apo_s = str(tmp_path / "apo_straight.h5")
+    track_orbits(snap_nums, branches, regions, loader, (peri_s, apo_s),
+                 mode="both", checkpoint=True, verbose=False)
+
+    peri_r = str(tmp_path / "peri_resume.h5")
+    apo_r = str(tmp_path / "apo_resume.h5")
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 5 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash,
+                     (peri_r, apo_r), mode="both", checkpoint=True,
+                     verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash,
+                 (peri_r, apo_r), mode="both", checkpoint=True,
+                 resume=True, verbose=False)
+    _assert_h5_identical(peri_s, peri_r)
+    _assert_h5_identical(apo_s, apo_r)
+
+
+def test_both_mode_growth_and_sorted_join(tmp_path, churn_setup):
+    """mode='both' through the sorted engine, including a mid-run
+    capacity growth that converts both engines to the general join."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    peri1 = str(tmp_path / "peri_single.h5")
+    track_orbits(snap_nums, branches, regions, loader, peri1,
+                 mode="pericentric", verbose=False)
+    peri2 = str(tmp_path / "peri_both.h5")
+    apo2 = str(tmp_path / "apo_both.h5")
+    track_orbits(snap_nums, branches, regions, loader, (peri2, apo2),
+                 mode="both", join_impl="sorted", grow_impl="general",
+                 capacity=128, headroom=1.05, verbose=False)
+    _assert_h5_identical(peri1, peri2)
+
+
+def test_onthefly_both_mode(tmp_path, churn_setup):
+    """On-the-fly mode='both': one load/pack pass, two per-snapshot
+    files, each identical to the single-mode call's."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    links = np.stack([branches[4], branches[3]])
+    peri1 = str(tmp_path / "peri_single_{}.h5")
+    apo1 = str(tmp_path / "apo_single_{}.h5")
+    track_orbits_onthefly(4, links, regions, loader, peri1,
+                          mode="pericentric", verbose=False)
+    track_orbits_onthefly(4, links, regions, loader, apo1,
+                          mode="apocentric", verbose=False)
+    peri2 = str(tmp_path / "peri_both_{}.h5")
+    apo2 = str(tmp_path / "apo_both_{}.h5")
+    track_orbits_onthefly(4, links, regions, loader, (peri2, apo2),
+                          mode="both", verbose=False)
+    for single, both in ((peri1, peri2), (apo1, apo2)):
+        with h5py.File(single.format("%0.3d" % 4)) as a, \
+             h5py.File(both.format("%0.3d" % 4)) as b:
+            assert sorted(a.keys()) == sorted(b.keys())
+            for k in a:  # flat per-snapshot file: keys are datasets
+                va, vb = a[k][()], b[k][()]
+                assert np.array_equal(va, vb, equal_nan=True), k

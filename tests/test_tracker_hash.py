@@ -117,3 +117,23 @@ def test_tracker_hash_halo_born_and_masses(tmp_path, setup):
     track_orbits(snap_nums, branches, regions, loader, save_g,
                  join_impl="general", verbose=False)
     _compare_savefiles(save_h, save_g)
+
+
+def test_tracker_hash_both_mode(tmp_path, setup):
+    """mode='both' over a 'shards' mesh: one routed batch feeds both
+    detectors; each savefile equals the corresponding single-mode
+    hash-sharded run's."""
+    box, regions, loader, snap_nums, branches = setup
+    mesh = make_mesh({"shards": 4}, jax.devices()[:4])
+    peri1 = str(tmp_path / "peri_single.h5")
+    apo1 = str(tmp_path / "apo_single.h5")
+    track_orbits(snap_nums, branches, regions, loader, peri1,
+                 mode="pericentric", mesh=mesh, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader, apo1,
+                 mode="apocentric", mesh=mesh, verbose=False)
+    peri2 = str(tmp_path / "peri_both.h5")
+    apo2 = str(tmp_path / "apo_both.h5")
+    track_orbits(snap_nums, branches, regions, loader, (peri2, apo2),
+                 mode="both", mesh=mesh, verbose=False)
+    _compare_savefiles(peri1, peri2)
+    _compare_savefiles(apo1, apo2)
