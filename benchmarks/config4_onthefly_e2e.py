@@ -199,7 +199,9 @@ def run_scale(args):
         pos=jnp.asarray(pos), vel=jnp.asarray(vel),
         mass=jnp.full((n,), 1.0, jnp.float32),
     )
-    members = jnp.arange(n, dtype=jnp.int32).reshape(H, P)
+    # host array: the all-particles-in-order membership auto-detects
+    # and the detector runs gather-free (identity fast path)
+    members = np.arange(n, dtype=np.int32).reshape(H, P)
     force = make_pm_force_fn(grid)
     base = dict(
         dt=1e-3, mode="pericentric", box_size=box, softening=0.0, G=1.0,

@@ -24,10 +24,12 @@ engine cannot make when membership churns.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orbitanalysis_tpu.utils.numerics import periodic_displacement
 
@@ -186,7 +188,7 @@ def init_track_state(n_halos: int, capacity: int, dtype=jnp.float32):
 
 
 def _halo_frames(state: NBodyState, members, valid, box_size,
-                 center=None, bulk=None):
+                 center=None, bulk=None, identity=False):
     """Region-frame quantities for statically-assigned halo members.
 
     ``members``: [H, P] indices into the particle arrays (-1 = padding).
@@ -194,11 +196,22 @@ def _halo_frames(state: NBodyState, members, valid, box_size,
     means of each halo's members (the reference's moving-center
     semantics, ``track_orbits.py:267-272``, with the halo's own members
     defining the frame).
+
+    ``identity=True`` asserts that ``members`` is ``arange(n)`` reshaped
+    — every particle tracked, in order — and replaces the member
+    gathers with free reshapes (TPU gathers cost per index: the three
+    gathers here are most of the detection step's time at 10M+ scale).
     """
-    idx = jnp.maximum(members, 0)
-    pos = state.pos[idx]                       # [H, P, 3]
-    vel = state.vel[idx]
-    w = valid.astype(pos.dtype) * state.mass[idx]
+    h, p = members.shape
+    if identity:
+        pos = state.pos.reshape(h, p, 3)
+        vel = state.vel.reshape(h, p, 3)
+        w = valid.astype(pos.dtype) * state.mass.reshape(h, p)
+    else:
+        idx = jnp.maximum(members, 0)
+        pos = state.pos[idx]                       # [H, P, 3]
+        vel = state.vel[idx]
+        w = valid.astype(pos.dtype) * state.mass[idx]
     denom = jnp.maximum(jnp.sum(w, axis=1), 1e-30)
 
     if center is None:
@@ -238,6 +251,7 @@ def detect_apsides_static(
     angle_cut: float = 0.0,
     center=None,            # [H, 3] fixed centers (None = mass-weighted)
     bulk_vel=None,          # [H, 3] fixed bulk velocities
+    identity=False,         # members == arange(n): gather-free frames
 ):
     """Slot-aligned apsis update (no ID join needed: membership static).
 
@@ -247,7 +261,8 @@ def detect_apsides_static(
     """
     valid = members >= 0
     rhat, vrad, radius, center, bulk = _halo_frames(
-        state, members, valid, box_size, center=center, bulk=bulk_vel
+        state, members, valid, box_size, center=center, bulk=bulk_vel,
+        identity=identity,
     )
 
     cosang = jnp.clip(jnp.sum(track.rhat * rhat, axis=-1), -1.0, 1.0)
@@ -285,6 +300,7 @@ def simulate_with_tracking(
     force_fn: Callable = direct_forces,
     track: Optional[TrackState] = None,
     step_offset: int = 0,
+    identity: Optional[bool] = None,
 ):
     """Run ``n_steps`` of KDK with apsis detection every ``detect_every``
     steps — one jit'd ``lax.scan``, zero host round-trips.
@@ -303,66 +319,92 @@ def simulate_with_tracking(
             "Orbit detection mode not recognized. Please specify either "
             "'pericentric' or 'apocentric'."
         )
-    n_halos, capacity = members.shape
-
-    # the WHOLE run — initial force, detector seeding, and the scan —
-    # lives under one jit: dispatched eagerly, the 12.6M-particle
-    # prologue alone costs tens of seconds of op-by-op round trips
-    # (measured), and XLA schedules the fused graph with far less
-    # memory than the eager ops
-    def run(state, members, track):
-        acc0 = force_fn(
-            state.pos, state.mass, softening=config.softening, G=config.G,
-            box_size=config.box_size,
+    cfg_static = config._replace(centers=None, bulk_vels=None)
+    # members == arange(n) (every particle tracked, in order) lets the
+    # detector skip its member gathers entirely.  identity=None
+    # auto-detects — exactly, but only when ``members`` is a host
+    # array (checking a device array would fetch it every call);
+    # pass identity=True explicitly for device-resident members.
+    if identity is None:
+        h, p = members.shape
+        identity = bool(
+            isinstance(members, np.ndarray)
+            and h * p == state.pos.shape[0]
+            and np.array_equal(
+                members.ravel(), np.arange(h * p, dtype=members.dtype)
+            )
         )
-        if track is None:
-            track0 = init_track_state(
-                n_halos, capacity, dtype=state.pos.dtype
-            )
-            # seed the detector from the initial conditions so the first
-            # detection interval can already catch a sign flip
-            track0, _ = detect_apsides_static(
-                track0, state, members, mode=config.mode,
-                box_size=config.box_size, angle_cut=config.angle_cut,
-                center=config.centers, bulk_vel=config.bulk_vels,
-            )
-        else:
-            track0 = track
-
-        def body(carry, step_idx):
-            st, tr, acc = carry
-            st, acc = kdk_step(
-                st, acc, config.dt, force_fn,
-                box_size=config.box_size,
-                softening=config.softening, G=config.G,
-            )
-            do_detect = (step_idx + 1) % config.detect_every == 0
-
-            def with_detect(tr):
-                tr2, (apsis, _r, _c, _b) = detect_apsides_static(
-                    tr, st, members, mode=config.mode,
-                    box_size=config.box_size, angle_cut=config.angle_cut,
-                    center=config.centers, bulk_vel=config.bulk_vels,
-                )
-                return tr2, jnp.sum(apsis, dtype=jnp.int32)
-
-            tr, n_events = jax.lax.cond(
-                do_detect,
-                with_detect,
-                lambda tr: (tr, jnp.int32(0)),
-                tr,
-            )
-            return (st, tr, acc), n_events
-
-        (state_f, track_f, _), events_per_step = jax.lax.scan(
-            body, (state, track0, acc0),
-            step_offset + jnp.arange(config.n_steps),
-        )
-        return state_f, track_f, events_per_step
-
-    return jax.jit(run, static_argnames=())(
-        state, members, None if track is None else track
+    return _tracked_run(
+        state, members, track, config.centers, config.bulk_vels,
+        jnp.int32(step_offset), force_fn, cfg_static, bool(identity),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("force_fn", "cfg", "identity")
+)
+def _tracked_run(state, members, track, centers, bulk_vels, step_offset,
+                 force_fn, cfg, identity=False):
+    """The whole run — initial force, detector seeding, scan — under ONE
+    module-level jit.  Two measured reasons:
+
+    - dispatched eagerly, the prologue alone costs tens of seconds of
+      op-by-op round trips at 12.6M particles, and XLA schedules the
+      fused graph with far less memory than the eager ops;
+    - a per-call ``jax.jit`` wrapper re-traces and re-loads the
+      executable every call (roughly doubling a 32-step benchmark run),
+      while this cache is keyed on ``(force_fn, cfg, shapes)`` so
+      repeat calls — including :func:`run_tracked_simulation`'s
+      checkpoint chunks, whose only delta is the traced ``step_offset``
+      — reuse the compiled executable.
+    """
+    n_halos, capacity = members.shape
+    acc0 = force_fn(
+        state.pos, state.mass, softening=cfg.softening, G=cfg.G,
+        box_size=cfg.box_size,
+    )
+    if track is None:
+        track0 = init_track_state(n_halos, capacity, dtype=state.pos.dtype)
+        # seed the detector from the initial conditions so the first
+        # detection interval can already catch a sign flip
+        track0, _ = detect_apsides_static(
+            track0, state, members, mode=cfg.mode,
+            box_size=cfg.box_size, angle_cut=cfg.angle_cut,
+            center=centers, bulk_vel=bulk_vels,
+        )
+    else:
+        track0 = track
+
+    def body(carry, step_idx):
+        st, tr, acc = carry
+        st, acc = kdk_step(
+            st, acc, cfg.dt, force_fn,
+            box_size=cfg.box_size,
+            softening=cfg.softening, G=cfg.G,
+        )
+        do_detect = (step_idx + 1) % cfg.detect_every == 0
+
+        def with_detect(tr):
+            tr2, (apsis, _r, _c, _b) = detect_apsides_static(
+                tr, st, members, mode=cfg.mode,
+                box_size=cfg.box_size, angle_cut=cfg.angle_cut,
+                center=centers, bulk_vel=bulk_vels,
+            )
+            return tr2, jnp.sum(apsis, dtype=jnp.int32)
+
+        tr, n_events = jax.lax.cond(
+            do_detect,
+            with_detect,
+            lambda tr: (tr, jnp.int32(0)),
+            tr,
+        )
+        return (st, tr, acc), n_events
+
+    (state_f, track_f, _), events_per_step = jax.lax.scan(
+        body, (state, track0, acc0),
+        step_offset + jnp.arange(cfg.n_steps),
+    )
+    return state_f, track_f, events_per_step
 
 
 def run_tracked_simulation(

@@ -215,3 +215,40 @@ def test_checkpoint_resume_exact(tmp_path):
     )
     assert np.array_equal(np.asarray(tr.counts), np.asarray(tr_ref.counts))
     assert np.array_equal(np.asarray(ev), np.asarray(ev_ref))
+
+
+def test_identity_members_fast_path_matches_gather():
+    """identity=True (gather-free member frames) must produce the same
+    counts as the general gather path, and auto-detect on host arange
+    membership."""
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import (
+        NBodyState,
+        OrbitNBodyConfig,
+        point_mass_forces,
+    )
+    from orbitanalysis_tpu.models.nbody import simulate_with_tracking
+    from orbitanalysis_tpu.models.synthetic import kepler_ensemble
+
+    n = 512
+    ens = kepler_ensemble(n, 2, seed=3)
+    st = NBodyState(
+        pos=jnp.asarray(ens.positions[0].astype(np.float32)),
+        vel=jnp.asarray(ens.velocities[0].astype(np.float32)),
+        mass=jnp.full((n,), 1e-12, jnp.float32),
+    )
+    cfg = OrbitNBodyConfig(
+        dt=float(ens.period.min()) / 40, n_steps=200, detect_every=4,
+        mode="pericentric", softening=0.0,
+        centers=jnp.zeros((1, 3), jnp.float32),
+        bulk_vels=jnp.zeros((1, 3), jnp.float32),
+    )
+    force = point_mass_forces(GM=1.0)
+    mem_host = np.arange(n, dtype=np.int32).reshape(2, n // 2)
+    _, tr_id, _ = simulate_with_tracking(st, mem_host, cfg, force)
+    _, tr_g, _ = simulate_with_tracking(
+        st, jnp.asarray(mem_host), cfg, force, identity=False
+    )
+    assert np.array_equal(np.asarray(tr_id.counts), np.asarray(tr_g.counts))
+    assert int(np.asarray(tr_id.counts).sum()) > 0
