@@ -264,7 +264,17 @@ def detect_apsides_static(
         state, members, valid, box_size, center=center, bulk=bulk_vel,
         identity=identity,
     )
+    new_track, apsis = _apsis_update(
+        track, rhat, vrad, valid, mode, angle_cut
+    )
+    return new_track, (apsis, radius, center, bulk)
 
+
+def _apsis_update(track, rhat, vrad, valid, mode, angle_cut):
+    """Mode-specific half of the static detector: sign flip + angle
+    accumulate/reset against freshly computed region frames.  Split out
+    so mode='both' computes the (expensive, mode-independent) frames
+    once and runs this twice."""
     cosang = jnp.clip(jnp.sum(track.rhat * rhat, axis=-1), -1.0, 1.0)
     dtheta = jnp.where(valid, jnp.arccos(cosang), 0.0)
     if mode == "pericentric":
@@ -286,7 +296,7 @@ def detect_apsides_static(
         counts=counts,
         primed=jnp.asarray(True),
     )
-    return new_track, (apsis, radius, center, bulk)
+    return new_track, apsis
 
 
 # ----------------------------------------------------------------------
@@ -309,12 +319,18 @@ def simulate_with_tracking(
     holds per-detection total event counts (``[n_detections]``) for
     monitoring.  Per-particle counts live in ``TrackState.counts``.
 
+    ``mode='both'`` tracks pericenters AND apocenters in one run: the
+    (expensive, mode-independent) region frames are computed once per
+    detection and both accumulators update from them — the returned
+    track is a ``(peri, apo)`` tuple of :class:`TrackState` and the
+    per-step event counts have shape ``[n_steps, 2]``.
+
     ``track``/``step_offset`` resume a previous run mid-stream (see
     :func:`run_tracked_simulation` for the checkpointing wrapper):
     ``step_offset`` keeps the detection cadence phase-correct across
     chunks.
     """
-    if config.mode not in ("pericentric", "apocentric"):
+    if config.mode not in ("pericentric", "apocentric", "both"):
         raise ValueError(
             "Orbit detection mode not recognized. Please specify either "
             "'pericentric' or 'apocentric'."
@@ -359,24 +375,46 @@ def _tracked_run(state, members, track, centers, bulk_vels, step_offset,
       — reuse the compiled executable.
     """
     n_halos, capacity = members.shape
+    both = cfg.mode == "both"
+    modes = ("pericentric", "apocentric") if both else (cfg.mode,)
+
+    def detect(trs, st):
+        # region frames are mode-independent: compute once, update every
+        # accumulator from them (mode='both' costs ~one extra elementwise
+        # pass, not a second frame computation)
+        valid = members >= 0
+        rhat, vrad, _radius, _c, _b = _halo_frames(
+            st, members, valid, cfg.box_size,
+            center=centers, bulk=bulk_vels, identity=identity,
+        )
+        outs, evs = [], []
+        for m, tr in zip(modes, trs):
+            tr2, apsis = _apsis_update(
+                tr, rhat, vrad, valid, m, cfg.angle_cut
+            )
+            outs.append(tr2)
+            evs.append(jnp.sum(apsis, dtype=jnp.int32))
+        return tuple(outs), jnp.stack(evs)
+
     acc0 = force_fn(
         state.pos, state.mass, softening=cfg.softening, G=cfg.G,
         box_size=cfg.box_size,
     )
     if track is None:
-        track0 = init_track_state(n_halos, capacity, dtype=state.pos.dtype)
+        trs0 = tuple(
+            init_track_state(n_halos, capacity, dtype=state.pos.dtype)
+            for _ in modes
+        )
         # seed the detector from the initial conditions so the first
         # detection interval can already catch a sign flip
-        track0, _ = detect_apsides_static(
-            track0, state, members, mode=cfg.mode,
-            box_size=cfg.box_size, angle_cut=cfg.angle_cut,
-            center=centers, bulk_vel=bulk_vels,
-        )
+        trs0, _ = detect(trs0, state)
     else:
-        track0 = track
+        # NB: TrackState is itself a (named) tuple — test the type, not
+        # tuple-ness, to tell one resumed track from a (peri, apo) pair
+        trs0 = (track,) if isinstance(track, TrackState) else tuple(track)
 
     def body(carry, step_idx):
-        st, tr, acc = carry
+        st, trs, acc = carry
         st, acc = kdk_step(
             st, acc, cfg.dt, force_fn,
             box_size=cfg.box_size,
@@ -384,27 +422,21 @@ def _tracked_run(state, members, track, centers, bulk_vels, step_offset,
         )
         do_detect = (step_idx + 1) % cfg.detect_every == 0
 
-        def with_detect(tr):
-            tr2, (apsis, _r, _c, _b) = detect_apsides_static(
-                tr, st, members, mode=cfg.mode,
-                box_size=cfg.box_size, angle_cut=cfg.angle_cut,
-                center=centers, bulk_vel=bulk_vels,
-            )
-            return tr2, jnp.sum(apsis, dtype=jnp.int32)
-
-        tr, n_events = jax.lax.cond(
+        trs, n_events = jax.lax.cond(
             do_detect,
-            with_detect,
-            lambda tr: (tr, jnp.int32(0)),
-            tr,
+            lambda trs: detect(trs, st),
+            lambda trs: (trs, jnp.zeros(len(modes), jnp.int32)),
+            trs,
         )
-        return (st, tr, acc), n_events
+        return (st, trs, acc), n_events
 
-    (state_f, track_f, _), events_per_step = jax.lax.scan(
-        body, (state, track0, acc0),
+    (state_f, trs_f, _), events_per_step = jax.lax.scan(
+        body, (state, trs0, acc0),
         step_offset + jnp.arange(cfg.n_steps),
     )
-    return state_f, track_f, events_per_step
+    if both:
+        return state_f, trs_f, events_per_step          # [n_steps, 2]
+    return state_f, trs_f[0], events_per_step[:, 0]
 
 
 def run_tracked_simulation(
@@ -444,12 +476,19 @@ def run_tracked_simulation(
         latest = mngr.latest_step()
         if latest is not None:
             n_halos, capacity = members.shape
+            both = config.mode == "both"
+
+            def _tr():
+                return init_track_state(
+                    n_halos, capacity, dtype=state.pos.dtype
+                )._replace(primed=jnp.asarray(True))
+
             template = {
                 "state": state,
-                "track": init_track_state(
-                    n_halos, capacity, dtype=state.pos.dtype
-                )._replace(primed=jnp.asarray(True)),
-                "events": jnp.zeros((latest,), jnp.int32),
+                "track": (_tr(), _tr()) if both else _tr(),
+                "events": jnp.zeros(
+                    (latest, 2) if both else (latest,), jnp.int32
+                ),
             }
             restored = mngr.restore(
                 latest, args=ocp.args.StandardRestore(template)

@@ -252,3 +252,92 @@ def test_identity_members_fast_path_matches_gather():
     )
     assert np.array_equal(np.asarray(tr_id.counts), np.asarray(tr_g.counts))
     assert int(np.asarray(tr_id.counts).sum()) > 0
+
+
+def test_integrator_both_mode_matches_single_runs():
+    """OrbitNBodyConfig(mode='both'): one scan, two accumulators — counts
+    must equal the separate pericentric and apocentric runs exactly."""
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import (
+        NBodyState,
+        OrbitNBodyConfig,
+        point_mass_forces,
+    )
+    from orbitanalysis_tpu.models.nbody import simulate_with_tracking
+    from orbitanalysis_tpu.models.synthetic import kepler_ensemble
+
+    n = 512
+    ens = kepler_ensemble(n, 2, seed=9)
+    st = NBodyState(
+        pos=jnp.asarray(ens.positions[0].astype(np.float32)),
+        vel=jnp.asarray(ens.velocities[0].astype(np.float32)),
+        mass=jnp.full((n,), 1e-12, jnp.float32),
+    )
+    members = np.arange(n, dtype=np.int32).reshape(1, n)
+    base = dict(
+        dt=float(ens.period.min()) / 40, n_steps=220, detect_every=4,
+        softening=0.0,
+        centers=jnp.zeros((1, 3), jnp.float32),
+        bulk_vels=jnp.zeros((1, 3), jnp.float32),
+    )
+    force = point_mass_forces(GM=1.0)
+    _, (tr_p, tr_a), ev = simulate_with_tracking(
+        st, members, OrbitNBodyConfig(mode="both", **base), force
+    )
+    assert ev.shape == (220, 2)
+    _, tr_p1, ev_p = simulate_with_tracking(
+        st, members, OrbitNBodyConfig(mode="pericentric", **base), force
+    )
+    _, tr_a1, ev_a = simulate_with_tracking(
+        st, members, OrbitNBodyConfig(mode="apocentric", **base), force
+    )
+    assert np.array_equal(np.asarray(tr_p.counts), np.asarray(tr_p1.counts))
+    assert np.array_equal(np.asarray(tr_a.counts), np.asarray(tr_a1.counts))
+    assert np.array_equal(np.asarray(ev[:, 0]), np.asarray(ev_p))
+    assert np.array_equal(np.asarray(ev[:, 1]), np.asarray(ev_a))
+    assert int(np.asarray(tr_p.counts).sum()) > 0
+    assert int(np.asarray(tr_a.counts).sum()) > 0
+
+
+def test_integrator_both_mode_checkpoint_resume(tmp_path):
+    """run_tracked_simulation(mode='both') chunks + orbax resume."""
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import (
+        NBodyState,
+        OrbitNBodyConfig,
+        point_mass_forces,
+    )
+    from orbitanalysis_tpu.models.nbody import run_tracked_simulation
+    from orbitanalysis_tpu.models.synthetic import kepler_ensemble
+
+    n = 256
+    ens = kepler_ensemble(n, 2, seed=4)
+    st = NBodyState(
+        pos=jnp.asarray(ens.positions[0].astype(np.float32)),
+        vel=jnp.asarray(ens.velocities[0].astype(np.float32)),
+        mass=jnp.full((n,), 1e-12, jnp.float32),
+    )
+    members = np.arange(n, dtype=np.int32).reshape(1, n)
+    cfg = OrbitNBodyConfig(
+        dt=float(ens.period.min()) / 40, n_steps=120, detect_every=4,
+        mode="both", softening=0.0,
+        centers=jnp.zeros((1, 3), jnp.float32),
+        bulk_vels=jnp.zeros((1, 3), jnp.float32),
+    )
+    force = point_mass_forces(GM=1.0)
+    _, (p0, a0), ev0 = run_tracked_simulation(st, members, cfg, force)
+    _, (p1, a1), ev1 = run_tracked_simulation(
+        st, members, cfg, force,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=50,
+    )
+    # resume from the last chunk boundary reproduces the final state
+    _, (p2, a2), ev2 = run_tracked_simulation(
+        st, members, cfg, force,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=50,
+        resume=True,
+    )
+    for a, b in ((p0, p1), (a0, a1), (p1, p2), (a1, a2)):
+        assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert np.array_equal(np.asarray(ev0), np.asarray(ev1))
