@@ -237,14 +237,44 @@ def run_scale(args):
     t_plain = timed(n_steps + 1, "integrator only (no detection)")
     t_track = timed(DETECT_EVERY, f"detect_every={DETECT_EVERY}")
     n_det = n_steps // DETECT_EVERY
-    per_det = (t_track - t_plain) / max(n_det, 1)
     print(
-        f"  detection overhead: {t_track - t_plain:+.2f} s total, "
-        f"{per_det * 1e3:.1f} ms per detection "
-        f"({n / max(per_det, 1e-9) / 1e9:.2f}e9 detection updates/s), "
-        f"{(t_track / t_plain - 1) * 100:.1f}% over the force loop",
-        flush=True,
+        f"  tracked-vs-plain wall delta: {t_track - t_plain:+.2f} s over "
+        f"{n_det} detections (within run-to-run noise — see the direct "
+        "measurement below)", flush=True,
     )
+
+    # the subtraction above cannot resolve the true detection cost
+    # against ~1 min runs; time the detect step directly
+    from orbitanalysis_tpu.models.nbody import (
+        detect_apsides_static,
+        init_track_state,
+    )
+
+    members_dev = jnp.asarray(members)
+    tr0 = init_track_state(H, P)
+    for ident, label in (
+        (True, "identity fast path (all particles, in order)"),
+        (False, "gather path (arbitrary membership)"),
+    ):
+        det = jax.jit(
+            lambda t, s, i=ident: detect_apsides_static(
+                t, s, members_dev, mode="pericentric", box_size=box,
+                identity=i,
+            )[0]
+        )
+        o = det(tr0, state0)
+        float(o.counts[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(4):
+            o = det(tr0, state0)
+        float(o.counts[0, 0])
+        per = (time.perf_counter() - t0) / 4
+        print(
+            f"  detection step, {label}: {per * 1e3:.1f} ms "
+            f"({n / per / 1e9:.2f}e9 detection updates/s; "
+            f"{per * n_det / t_plain * 100:.2f}% of the force loop at "
+            f"detect_every={DETECT_EVERY})", flush=True,
+        )
 
 
 def main():
