@@ -204,12 +204,27 @@ def cic_interpolate_rows(field3, pos, grid, box_size, fold=16):
                 table, col, (0, (comp * 8 + c) * fold)
             )
 
+    return folded_row_interpolate(table, base, w, fold)
+
+
+def folded_row_interpolate(table, base, w8, fold):
+    """Gather-and-reduce half of the folded row interpolation, shared
+    with the slab-resident distributed PM.
+
+    ``table``: ``[n_cells/fold, 24*fold]`` corner table with channel
+    layout ``(comp*8 + corner) * fold + (cell % fold)``; ``base``:
+    ``[N]`` flat cell indices (out-of-range clamps — callers mask those
+    lanes downstream); ``w8``: ``[N, 8]`` trilinear corner weights in
+    (dx, dy, dz)-lexicographic order.  Streams particles through
+    ``lax.map`` chunks (XLA won't fuse the gather through the reshape
+    that follows it, so the per-chunk transient is real).
+    """
     n = base.shape[0]
     chunk = min(_ROWS_CHUNK, n)
     n_pad = -n % chunk
     if n_pad:
         base = jnp.concatenate([base, jnp.zeros(n_pad, base.dtype)])
-        w = jnp.concatenate([w, jnp.zeros((n_pad, 8), w.dtype)])
+        w8 = jnp.concatenate([w8, jnp.zeros((n_pad, 8), w8.dtype)])
 
     def one_chunk(args):
         bc, wc = args
@@ -227,7 +242,7 @@ def cic_interpolate_rows(field3, pos, grid, box_size, fold=16):
 
     out = jax.lax.map(
         one_chunk,
-        (base.reshape(-1, chunk), w.reshape(-1, chunk, 8)),
+        (base.reshape(-1, chunk), w8.reshape(-1, chunk, 8)),
     ).reshape(-1, 3)
     return out[:n]
 

@@ -160,6 +160,7 @@ def make_slab_resident_pm_force_fn(
     p3m_sigma_cells: float | None = None,
     p3m_cutoff_sigmas: float = 3.5,
     p3m_cell_factor: float = 4.0,
+    assignment: str = "auto",
 ):
     """Fully grid-resident distributed PM: per-device memory is
     ``O(grid^3 / n_dev)`` — the configuration for 1024^3-2048^3 meshes
@@ -197,7 +198,14 @@ def make_slab_resident_pm_force_fn(
     pair work both stay ``O(1/n_dev)``.  Each device's slab must be at
     least one cutoff wide (``box / n_dev >= cutoff_sigmas * sigma``).
     """
-    from orbitanalysis_tpu.models.pm import cic_deposit  # noqa: F401 (doc xref)
+    from orbitanalysis_tpu.models.pm import (  # noqa: F401 (doc xref)
+        _CORNERS,
+        _use_rows,
+        cic_deposit,
+        folded_row_interpolate,
+    )
+
+    rows_interp = _use_rows(assignment)
 
     solver = make_sharded_pm_grid_solver(
         mesh, grid, axis=axis, deconvolve=deconvolve,
@@ -275,12 +283,44 @@ def make_slab_resident_pm_force_fn(
         field_ext = jnp.concatenate(
             [force_slab, nxt[:, None]], axis=1
         )                                                    # [3, loc+1, G, G]
-        fflat = field_ext.reshape(3, -1)
-        acc_r = []
-        for c in range(3):
-            vals = jnp.take(fflat[c], flat, mode="fill", fill_value=0.0)
-            acc_r.append(jnp.sum(vals * w, axis=0))
-        acc_r = jnp.stack(acc_r, axis=-1)                    # [n_dev*cap, 3]
+        if rows_interp:
+            # folded corner-table row gather over the LOCAL slab (one
+            # gather per particle instead of 24 — see models/pm.py):
+            # corner (dx, dy, dz)'s value at local cell (lx, y, z)
+            # lives at field_ext[comp, lx+dx, y+dy, z+dz]; y/z rolls
+            # are box-periodic, the x shift reads the halo plane.
+            n_loc_cells = loc * grid * grid
+            fold = 16
+            while n_loc_cells % fold:
+                fold //= 2
+            table = jnp.zeros(
+                (n_loc_cells // fold, 24 * fold), jnp.float32
+            )
+            for comp in range(3):
+                for ci, (dx, dy, dz) in enumerate(_CORNERS):
+                    col = jnp.roll(
+                        field_ext[comp], (-dy, -dz), axis=(1, 2)
+                    )[dx:loc + dx].reshape(n_loc_cells // fold, fold)
+                    table = jax.lax.dynamic_update_slice(
+                        table, col, (0, (comp * 8 + ci) * fold)
+                    )
+            # flat[0] is exactly each particle's base local cell (the
+            # dx=dy=dz=0 corner); out-of-slab lanes (bucket padding,
+            # overflow) clamp in the gather — finite garbage in lanes
+            # the return path masks (ok / NaN) anyway, where the
+            # scalar path produced masked zeros
+            acc_r = folded_row_interpolate(
+                table, flat[0], w.T, fold
+            )                                                # [n_dev*cap, 3]
+        else:
+            fflat = field_ext.reshape(3, -1)
+            acc_r = []
+            for c in range(3):
+                vals = jnp.take(
+                    fflat[c], flat, mode="fill", fill_value=0.0
+                )
+                acc_r.append(jnp.sum(vals * w, axis=0))
+            acc_r = jnp.stack(acc_r, axis=-1)                # [n_dev*cap, 3]
 
         if p3m_sigma_cells is not None:
             # ---- P3M short range on a slab-local cell grid ----

@@ -299,3 +299,41 @@ def test_slab_resident_pm_overflow_is_loud(rng):
     )
     acc = np.asarray(f(jnp.asarray(pos), jnp.asarray(mass), box_size=box))
     assert np.isnan(acc).any(), "overflow must produce NaN forces"
+
+
+def test_slab_resident_rows_interp_matches_scalar(rng):
+    """The slab's folded row-gather interpolation (assignment='rows')
+    must match the scalar slab path AND single-device pm_forces,
+    including particles whose +x corner reads the ppermute'd halo
+    plane."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 (virtual) devices")
+
+    from orbitanalysis_tpu.models.pm_sharded import (
+        make_slab_resident_pm_force_fn,
+    )
+    from orbitanalysis_tpu.parallel.mesh import make_mesh
+
+    grid, box, n = 32, 50.0, 4096
+    pos = rng.uniform(0, box, size=(n, 3)).astype(np.float32)
+    # pin some particles just inside slab upper boundaries (loc=4 cells
+    # per slab at d=8) so dx=1 reads the halo plane
+    h = box / grid
+    pos[:64, 0] = (np.arange(64) % 8) * (box / 8) + 3.9 * h
+    pos = jnp.asarray(pos)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    ref = np.asarray(pm_forces(pos, mass, grid, box, assignment="scalar"))
+    mesh = make_mesh({"x": 8})
+    f_rows = make_slab_resident_pm_force_fn(mesh, grid, assignment="rows")
+    f_scal = make_slab_resident_pm_force_fn(mesh, grid,
+                                            assignment="scalar")
+    got_r = np.asarray(jax.jit(lambda p, m: f_rows(p, m, box_size=box))(
+        pos, mass))
+    got_s = np.asarray(jax.jit(lambda p, m: f_scal(p, m, box_size=box))(
+        pos, mass))
+    scale = np.abs(ref).max() + 1e-12
+    assert np.abs(got_r - got_s).max() < 1e-5 * scale
+    assert np.abs(got_r - ref).max() < 2e-4 * scale
