@@ -31,6 +31,32 @@ def apsis_tag(mode: str) -> str:
     return mode[:-3] + "er"
 
 
+def normalize_mode_savefiles(mode, savefile):
+    """Validate ``(mode, savefile)`` and return ``(modes, savefiles)``
+    lists — the shared contract of both tracking drivers:
+    ``mode='both'`` takes a pair of distinct paths (pericentric first),
+    a single mode takes one path."""
+    if mode == "both":
+        if isinstance(savefile, (str, bytes, os.PathLike)):
+            raise ValueError(
+                "mode='both' writes two reference-schema savefiles; "
+                "pass savefile=(pericentric_path, apocentric_path)"
+            )
+        savefiles = [os.fspath(p) for p in savefile]
+        if len(savefiles) != 2 or savefiles[0] == savefiles[1]:
+            raise ValueError(
+                "mode='both' needs two distinct savefile paths, "
+                f"got {savefiles!r}"
+            )
+        return ["pericentric", "apocentric"], savefiles
+    if mode in ("pericentric", "apocentric"):
+        return [mode], [os.fspath(savefile)]
+    raise ValueError(
+        "Orbit detection mode not recognized. Please specify either "
+        "'pericentric' or 'apocentric'."
+    )
+
+
 def initialize_savefile(savefile, mode, box_size, verbose=True):
     os.makedirs(os.path.dirname(os.path.abspath(savefile)), exist_ok=True)
     with h5py.File(savefile, "w") as hf:

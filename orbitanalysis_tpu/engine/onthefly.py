@@ -21,7 +21,6 @@ native TPU N-body integrator, no host round trips) see
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
@@ -29,7 +28,10 @@ import h5py
 import jax
 import numpy as np
 
-from orbitanalysis_tpu.engine.io_hdf5 import apsis_tag
+from orbitanalysis_tpu.engine.io_hdf5 import (
+    apsis_tag,
+    normalize_mode_savefiles,
+)
 from orbitanalysis_tpu.engine.packing import pack_snapshot, required_capacity
 from orbitanalysis_tpu.ops.apsis import init_carry, make_orbit_step
 from orbitanalysis_tpu.utils.padding import unpack_mask
@@ -61,27 +63,7 @@ def track_orbits(
     per call (``track_orbits_onthefly.py:22-34``) — and only the
     sign-flip detection runs per mode.
     """
-    if mode == "both":
-        if isinstance(savefile, (str, bytes, os.PathLike)):
-            raise ValueError(
-                "mode='both' writes two savefiles; pass "
-                "savefile=(pericentric_path, apocentric_path)"
-            )
-        modes = ["pericentric", "apocentric"]
-        savefiles = [os.fspath(p) for p in savefile]
-        if len(savefiles) != 2 or savefiles[0] == savefiles[1]:
-            raise ValueError(
-                "mode='both' needs two distinct savefile paths, "
-                f"got {savefiles!r}"
-            )
-    elif mode in ("pericentric", "apocentric"):
-        modes = [mode]
-        savefiles = [os.fspath(savefile)]
-    else:
-        raise ValueError(
-            "Orbit detection mode not recognized. Please specify either "
-            "'pericentric' or 'apocentric'."
-        )
+    modes, savefiles = normalize_mode_savefiles(mode, savefile)
     progenitor_links = np.asarray(progenitor_links)
     n_halos = progenitor_links.shape[1]
 
@@ -122,7 +104,9 @@ def track_orbits(
     cur, prev = packed  # raw order is [s, s-1]
 
     cur_batch, prev_batch = _to_batch(cur), _to_batch(prev)
-    for mname, fname in zip(modes, savefiles):
+    events_by_mode = {}
+    shared = None  # mode-independent channels, unpacked once
+    for mname in modes:
         step = jax.jit(
             make_orbit_step(
                 mode=mname, box_size=box_size, id_dtype=id_dtype,
@@ -140,27 +124,34 @@ def track_orbits(
                     apsis_tag(mname), time.time() - t0
                 )
             )
+        events_by_mode[mname] = np.asarray(events.apsis)
 
-        apsis = np.asarray(events.apsis)
-        dtheta = np.asarray(events.dtheta)
-        matched = np.asarray(events.matched_prev)
-        departed = np.asarray(events.departed)
-        entered = np.asarray(events.entered)
+        if shared is None:
+            # entered/departed/matched sets, angle changes, and bulk
+            # velocities do not depend on the sign-flip mode
+            dtheta = np.asarray(events.dtheta)
+            matched = np.asarray(events.matched_prev)
+            departed = np.asarray(events.departed)
+            entered = np.asarray(events.entered)
+            _, angle_changes = unpack_mask(matched, dtheta)
+            departed_offsets, departed_ids = unpack_mask(departed, prev.ids)
+            entered_offsets, entered_ids = unpack_mask(entered, cur.ids)
+            bulk = np.stack([
+                np.asarray(events.bulk_vel),
+                np.asarray(seed_events.bulk_vel),
+            ])
+            # reference leaves NaN bulk velocities for halos with no
+            # region (mean over an empty slice,
+            # track_orbits_onthefly.py:107); mark missing rows
+            # explicitly here.
+            for k, (_pos_full, rad_full) in enumerate(meta):
+                bulk[k][rad_full < 0] = np.nan
+            shared = True
 
-        apsis_offsets, apsis_ids = unpack_mask(apsis, prev.ids)
-        _, angle_changes = unpack_mask(matched, dtheta)
-        departed_offsets, departed_ids = unpack_mask(departed, prev.ids)
-        entered_offsets, entered_ids = unpack_mask(entered, cur.ids)
-
-        bulk = np.stack(
-            [np.asarray(events.bulk_vel), np.asarray(seed_events.bulk_vel)]
+    for mname, fname in zip(modes, savefiles):
+        apsis_offsets, apsis_ids = unpack_mask(
+            events_by_mode[mname], prev.ids
         )
-        # reference leaves NaN bulk velocities for halos with no region
-        # (mean over an empty slice, track_orbits_onthefly.py:107); mark
-        # missing rows explicitly here.
-        for k, (_pos_full, rad_full) in enumerate(meta):
-            bulk[k][rad_full < 0] = np.nan
-
         _save(
             fname, snapshot_number, mname, box_size,
             apsis_offsets, apsis_ids, angle_changes,

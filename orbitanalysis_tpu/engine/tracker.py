@@ -26,7 +26,6 @@ parallelism is the device mesh now.
 from __future__ import annotations
 
 import functools
-import os
 import time
 from typing import Optional
 
@@ -714,35 +713,14 @@ def track_orbits(
         ``join_impl`` was auto-selected, 'keep' when 'sorted'/'aligned'
         was requested explicitly.
     """
-    if mode == "both":
-        # one ingest pass, two catalogs: load/pack/H2D once per
-        # snapshot and run both detectors on the staged batch.  Two
-        # separate reference-mode runs pay the (dominant,
-        # transfer-bound) host pipeline twice for the identical
-        # staging; the detectors differ only in the sign-flip
-        # condition and their angle accumulators
-        # (track_orbits.py:311-314), so the second catalog costs one
-        # extra device step.
-        modes = ["pericentric", "apocentric"]
-        if isinstance(savefile, (str, bytes, os.PathLike)):
-            raise ValueError(
-                "mode='both' writes two reference-schema savefiles; "
-                "pass savefile=(pericentric_path, apocentric_path)"
-            )
-        savefiles = [os.fspath(p) for p in savefile]
-        if len(savefiles) != 2 or savefiles[0] == savefiles[1]:
-            raise ValueError(
-                "mode='both' needs two distinct savefile paths, "
-                f"got {savefiles!r}"
-            )
-    elif mode in ("pericentric", "apocentric"):
-        modes = [mode]
-        savefiles = [os.fspath(savefile)]
-    else:
-        raise ValueError(
-            "Orbit detection mode not recognized. Please specify either "
-            "'pericentric' or 'apocentric'."
-        )
+    # mode='both': one ingest pass, two catalogs — load/pack/H2D once
+    # per snapshot and run both detectors on the staged batch.  Two
+    # separate reference-mode runs pay the (dominant, transfer-bound)
+    # host pipeline twice for identical staging; the detectors differ
+    # only in the sign-flip condition and their angle accumulators
+    # (track_orbits.py:311-314), so the second catalog costs one extra
+    # device step.
+    modes, savefiles = io_hdf5.normalize_mode_savefiles(mode, savefile)
     savefile = savefiles[0]  # layout leader (checkpoint layout source)
     # re-jits (capacity growth, restarts, resume) hit disk instead of
     # paying the multi-minute Mosaic compile again
@@ -855,6 +833,7 @@ def track_orbits(
         pending = None
         if p["save"]:
           n_events_by_mode = {}
+          bulk_vel = None  # mode-independent: fetched once, reused
           for events, mname, fname in zip(
               p["events_list"], modes, savefiles
           ):
@@ -864,7 +843,8 @@ def track_orbits(
                     if engine.join in ("sorted", "aligned", "hash")
                     else events.ev_count
                 )
-                bulk_vel = _fetch_host(events.bulk_vel)
+                if bulk_vel is None:
+                    bulk_vel = _fetch_host(events.bulk_vel)
             if verbose:
                 # pipelined: the elapsed time spans dispatch of this
                 # snapshot's step through the next snapshot's load/pack
@@ -1237,6 +1217,20 @@ def track_orbits(
                 for e in engines[1:]:       # lockstep shard capacities
                     if e.capacity < engine.capacity:
                         e.grow_to(engine.capacity)
+                if len(engines) > 1:
+                    # stage the routed blocks on the mesh once; both
+                    # detectors' shard_maps consume the same placement
+                    # (otherwise the dominant full-box payload crosses
+                    # the host->device link once per mode)
+                    from jax.sharding import (
+                        NamedSharding,
+                        PartitionSpec,
+                    )
+
+                    shard0 = NamedSharding(mesh, PartitionSpec("shards"))
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, shard0), batch
+                    )
                 centers_full = np.zeros((n_rows, 3), np.float32)
                 centers_full[rows] = region_positions
                 bulk_full = None

@@ -303,6 +303,15 @@ def _apsis_update(track, rhat, vrad, valid, mode, angle_cut):
 # the fused simulate+track scan
 # ----------------------------------------------------------------------
 
+def _hashable_num(v):
+    """Array-valued scalars -> Python floats (vectors -> tuples) so the
+    config can serve as a hashable static jit argument."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    a = np.asarray(v)
+    return float(a) if a.ndim == 0 else tuple(float(x) for x in a)
+
+
 def simulate_with_tracking(
     state: NBodyState,
     members: jnp.ndarray,
@@ -335,7 +344,29 @@ def simulate_with_tracking(
             "Orbit detection mode not recognized. Please specify either "
             "'pericentric' or 'apocentric'."
         )
-    cfg_static = config._replace(centers=None, bulk_vels=None)
+    if track is not None:
+        n_tr = 1 if isinstance(track, TrackState) else len(track)
+        n_expect = 2 if config.mode == "both" else 1
+        if n_tr != n_expect:
+            raise ValueError(
+                f"mode={config.mode!r} expects "
+                f"{'a (peri, apo) pair' if n_expect == 2 else 'a single'}"
+                f" TrackState to resume from, got {n_tr}"
+            )
+    cfg_static = config._replace(
+        centers=None,
+        bulk_vels=None,
+        # the static-arg cache hashes the config: array-valued numeric
+        # fields (e.g. box_size off a loader/device) must become plain
+        # Python numbers (scalars) or tuples (vector box) first
+        dt=_hashable_num(config.dt),
+        softening=_hashable_num(config.softening),
+        G=_hashable_num(config.G),
+        angle_cut=_hashable_num(config.angle_cut),
+        box_size=_hashable_num(config.box_size),
+        n_steps=int(config.n_steps),
+        detect_every=int(config.detect_every),
+    )
     # members == arange(n) (every particle tracked, in order) lets the
     # detector skip its member gathers entirely.  identity=None
     # auto-detects — exactly, but only when ``members`` is a host

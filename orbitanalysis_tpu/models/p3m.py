@@ -35,8 +35,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-from orbitanalysis_tpu.models.pm import cic_deposit, cic_interpolate, \
-    pm_forces_grid
+from orbitanalysis_tpu.models.pm import cic_deposit, pm_forces_grid, \
+    select_interpolator
 
 
 def _bin_particles(pos, mass, c_dims, box_size, cap):
@@ -161,6 +161,7 @@ def make_p3m_force_fn(
     Measured vs an Ewald oracle (400 particles, grid=32): median force
     error 1.1%, 95th pct 3.1% — vs 13% / 64% for plain PM.
     """
+    interp = select_interpolator(assignment)
 
     def force(pos, mass, box_size=None, G=1.0, softening=0.0, **_):
         if box_size is None:
@@ -187,14 +188,6 @@ def make_p3m_force_fn(
         else:
             cap = cell_cap
 
-        # long range: smoothed PM ('rows' = the folded row-gather
-        # interpolation, 10x the 24-scalar-gather form on TPU — pm.py)
-        from orbitanalysis_tpu.models.pm import _use_rows, \
-            cic_interpolate_rows
-        interp = (
-            cic_interpolate_rows if _use_rows(assignment)
-            else cic_interpolate
-        )
         rho = cic_deposit(pos, mass, grid, box_size)
         field = pm_forces_grid(
             rho, grid, box_size, G=G, deconvolve=deconvolve,

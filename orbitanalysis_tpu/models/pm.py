@@ -220,6 +220,8 @@ def folded_row_interpolate(table, base, w8, fold):
     that follows it, so the per-chunk transient is real).
     """
     n = base.shape[0]
+    if n == 0:
+        return jnp.zeros((0, 3), table.dtype)
     chunk = min(_ROWS_CHUNK, n)
     n_pad = -n % chunk
     if n_pad:
@@ -302,6 +304,13 @@ def _use_rows(assignment: str) -> bool:
     return assignment == "rows"
 
 
+def select_interpolator(assignment: str):
+    """The one place the ``assignment`` policy lives: returns
+    :func:`cic_interpolate_rows` or :func:`cic_interpolate` (validating
+    the string eagerly, at construction time)."""
+    return cic_interpolate_rows if _use_rows(assignment) else cic_interpolate
+
+
 def pm_forces(
     pos: jnp.ndarray,
     mass: jnp.ndarray,
@@ -325,8 +334,7 @@ def pm_forces(
     way, and the row variant's lane-padded accumulator costs 8.6 GB at
     256^3 (see :func:`cic_deposit_rows`).
     """
-    rows = _use_rows(assignment)
-    interp = cic_interpolate_rows if rows else cic_interpolate
+    interp = select_interpolator(assignment)
     rho = cic_deposit(pos, mass, grid, box_size)
     field = pm_forces_grid(
         rho, grid, box_size, G=G, deconvolve=deconvolve

@@ -540,14 +540,11 @@ def make_sharded_pm_force_fn(
     count must divide the axis size.
     """
     from orbitanalysis_tpu.models.pm import (
-        _use_rows,
         cic_deposit,
-        cic_interpolate,
-        cic_interpolate_rows,
+        select_interpolator,
     )
 
-    if _use_rows(assignment):
-        cic_interpolate = cic_interpolate_rows
+    cic_interpolate = select_interpolator(assignment)
 
     solver = make_sharded_pm_grid_solver(
         mesh, grid, axis=axis, deconvolve=deconvolve

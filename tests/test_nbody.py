@@ -341,3 +341,65 @@ def test_integrator_both_mode_checkpoint_resume(tmp_path):
     for a, b in ((p0, p1), (a0, a1), (p1, p2), (a1, a2)):
         assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
     assert np.array_equal(np.asarray(ev0), np.asarray(ev1))
+
+
+def test_array_valued_config_fields_accepted():
+    """Array-valued numeric config fields (e.g. box_size off a loader)
+    must be accepted — the static-arg jit cache hashes a sanitized
+    config (regression: 'Non-hashable static arguments')."""
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import (
+        NBodyState,
+        OrbitNBodyConfig,
+        point_mass_forces,
+    )
+    from orbitanalysis_tpu.models.nbody import simulate_with_tracking
+
+    n = 64
+    rng = np.random.default_rng(0)
+    st = NBodyState(
+        pos=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) + 5.0),
+        vel=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.1),
+        mass=jnp.full((n,), 1e-12, jnp.float32),
+    )
+    members = np.arange(n, dtype=np.int32).reshape(1, n)
+    cfg = OrbitNBodyConfig(
+        dt=np.float32(0.01), n_steps=4, detect_every=2,
+        mode="pericentric", softening=jnp.float32(0.0),
+        box_size=jnp.float32(20.0), G=np.float64(1.0),
+        centers=jnp.zeros((1, 3), jnp.float32),
+        bulk_vels=jnp.zeros((1, 3), jnp.float32),
+    )
+    _, tr, ev = simulate_with_tracking(
+        st, members, cfg, point_mass_forces(GM=1.0)
+    )
+    assert np.isfinite(np.asarray(tr.angles)).all()
+
+
+def test_track_mode_mismatch_raises():
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.models import (
+        NBodyState,
+        OrbitNBodyConfig,
+        point_mass_forces,
+    )
+    from orbitanalysis_tpu.models.nbody import (
+        init_track_state,
+        simulate_with_tracking,
+    )
+
+    n = 16
+    st = NBodyState(
+        pos=jnp.ones((n, 3)), vel=jnp.zeros((n, 3)), mass=jnp.ones((n,))
+    )
+    members = np.arange(n, dtype=np.int32).reshape(1, n)
+    cfg = OrbitNBodyConfig(dt=0.01, n_steps=2, mode="both", softening=0.0,
+                           centers=jnp.zeros((1, 3)),
+                           bulk_vels=jnp.zeros((1, 3)))
+    with pytest.raises(ValueError, match="pair"):
+        simulate_with_tracking(
+            st, members, cfg, point_mass_forces(),
+            track=init_track_state(1, n),
+        )

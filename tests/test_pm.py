@@ -337,3 +337,16 @@ def test_slab_resident_rows_interp_matches_scalar(rng):
     scale = np.abs(ref).max() + 1e-12
     assert np.abs(got_r - got_s).max() < 1e-5 * scale
     assert np.abs(got_r - ref).max() < 2e-4 * scale
+
+
+def test_rows_interpolation_empty_particles():
+    """Zero particles must yield an empty (0, 3) result, like the
+    scalar form (regression: ZeroDivisionError in the chunking)."""
+    grid, box = 8, 4.0
+    pos = jnp.zeros((0, 3), jnp.float32)
+    field = jnp.zeros((3, grid, grid, grid), jnp.float32)
+    out = np.asarray(cic_interpolate_rows(field, pos, grid, box))
+    assert out.shape == (0, 3)
+    mass = jnp.zeros((0,), jnp.float32)
+    f = np.asarray(pm_forces(pos, mass, grid, box, assignment="rows"))
+    assert f.shape == (0, 3)
