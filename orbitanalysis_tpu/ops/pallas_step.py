@@ -30,6 +30,18 @@ single-channel serial stage chain), ~18 ms event compaction.  A
 runtime ``lax.cond`` in :mod:`orbitanalysis_tpu.ops.sorted_step`
 bypasses everything but detection+events when membership is static
 (:func:`fused_static_detect`).
+
+Static-kernel split at the same config (round-2 measurement): the
+kernel alone runs in ~34 ms — essentially its 11-channel DMA floor;
+the in-kernel log-shift event compaction costs only ~4 ms of that
+(measured against a compaction-free variant) — while the full aligned
+step takes ~56 ms, i.e. ~22 ms is the XLA staging *around* the kernel
+(region_frame, the same/FRESH selects, sv/key packing, carry and
+event finishing).  The next lever on the flagship path is therefore
+moving the bit-packing/select arithmetic into the kernel (streaming
+prev ids, +4 B/particle, in exchange for dropping several staged
+[H, P] read-modify-write chains), not the compaction or the DMA
+pipeline shape.
 """
 
 from __future__ import annotations
