@@ -37,17 +37,10 @@ def log(*a):
 INVALID_I32 = np.iinfo(np.int32).max
 
 
-def make_sequence(n_halos, capacity, n_snaps, seed=0, churn=0.0):
-    """[S]-stacked SnapshotBatch of particles on noisy circular orbits.
-
-    ``churn`` > 0 turns over that fraction of each halo's membership per
-    snapshot (swapping members against a reserve pool, constant count),
-    exercising the full merge-join path the tracker runs on real data
-    (the reference's dynamic entered/departed sets,
-    ``track_orbits.py:300-309``); padding slots carry the int32-max
-    sentinel.  ``churn=0`` keeps fixed membership — the static fast
-    path.  Returns ``(ids_seq, pos, vel, centers_seq, n_valid)``.
-    """
+def make_orbits(n_halos, capacity, n_snaps, seed=0):
+    """Full-pool orbital motion: ``(ids, pos, vel, centers)`` with
+    ``pos``/``vel`` shaped ``[S, H, C, 3]`` — shared by the churn and
+    static sequences so the trig-heavy generation runs once."""
     rng = np.random.default_rng(seed)
     center = rng.uniform(20.0, 80.0, size=(n_halos, 3)).astype(np.float32)
     r0 = rng.uniform(0.5, 5.0, size=(n_halos, capacity)).astype(np.float32)
@@ -100,32 +93,75 @@ def make_sequence(n_halos, capacity, n_snaps, seed=0, churn=0.0):
             )
         )
     centers_seq = np.broadcast_to(center, (n_snaps, n_halos, 3))
-    if churn <= 0.0:
-        ids_seq = np.broadcast_to(ids, (n_snaps, n_halos, capacity))
-        return ids_seq, pos, vel, centers_seq, capacity
+    return ids, pos, vel, centers_seq, rng
 
-    # membership churn: each row tracks n_valid of its `capacity`-sized
-    # orbit pool; per snapshot, k members swap against the reserve
+
+def make_static_sequence(orbits):
+    """Fixed membership — the static fast path.
+
+    Returns ``(ids_seq, pos, vel, centers_seq, n_valid)``.
+    """
+    ids, pos, vel, centers_seq, _ = orbits
+    n_snaps, n_halos, capacity = pos.shape[:3]
+    ids_seq = np.broadcast_to(ids, (n_snaps, n_halos, capacity))
+    return ids_seq, pos, vel, centers_seq, capacity
+
+
+def make_churn_sequence(orbits, churn):
+    """Membership churn over the shared orbit pool.
+
+    Each row tracks ``n_valid`` of its ``capacity``-sized orbit pool;
+    per snapshot, ``churn * n_valid`` members swap against the reserve
+    (constant count), exercising the entered/departed handling the
+    tracker runs on real data (the reference's dynamic sets,
+    ``track_orbits.py:300-309``); padding slots carry the int32-max
+    sentinel and load order is shuffled per snapshot, like real data.
+    Vectorized over halo rows (the per-row loop version cost minutes of
+    host time at the benchmark shape).  Returns
+    ``(ids_seq, pos, vel, centers_seq, n_valid)``.
+    """
+    ids, pos, vel, centers_seq, rng = orbits
+    n_snaps, n_halos, capacity = pos.shape[:3]
     n_valid = int(capacity * 0.9)
     k = min(int(round(churn * n_valid)), capacity - n_valid)
     ids_seq = np.full((n_snaps, n_halos, capacity), INVALID_I32, np.int32)
     pos_c = np.zeros_like(pos)
     vel_c = np.zeros_like(vel)
-    for h in range(n_halos):
-        member = np.zeros(capacity, dtype=bool)
-        member[rng.choice(capacity, n_valid, replace=False)] = True
-        for s in range(n_snaps):
-            if s > 0 and k > 0:
-                drop = rng.choice(np.flatnonzero(member), k, replace=False)
-                add = rng.choice(np.flatnonzero(~member), k, replace=False)
-                member[drop] = False
-                member[add] = True
-            sel = np.flatnonzero(member)
-            rng.shuffle(sel)  # load order is arbitrary, like real data
-            ids_seq[s, h, :n_valid] = ids[h][sel]
-            pos_c[s, h, :n_valid] = pos[s, h][sel]
-            vel_c[s, h, :n_valid] = vel[s, h][sel]
+    # member[h, c]: is pool slot c currently tracked by row h
+    member = np.zeros((n_halos, capacity), dtype=bool)
+    init = np.argsort(rng.random((n_halos, capacity)), axis=1)[:, :n_valid]
+    np.put_along_axis(member, init, True, axis=1)
+    rows = np.arange(n_halos)[:, None]
+    for s in range(n_snaps):
+        if s > 0 and k > 0:
+            # drop k random members, then add k random non-members
+            keys = np.where(member, rng.random((n_halos, capacity)), np.inf)
+            drop = np.argpartition(keys, k - 1, axis=1)[:, :k]
+            member[rows, drop] = False
+            keys = np.where(member, np.inf, rng.random((n_halos, capacity)))
+            add = np.argpartition(keys, k - 1, axis=1)[:, :k]
+            member[rows, add] = True
+        # members of each row in random order
+        keys = np.where(member, rng.random((n_halos, capacity)), np.inf)
+        sel = np.argsort(keys, axis=1)[:, :n_valid]
+        ids_seq[s, :, :n_valid] = np.take_along_axis(ids, sel, axis=1)
+        pos_c[s, :, :n_valid] = np.take_along_axis(
+            pos[s], sel[..., None], axis=1
+        )
+        vel_c[s, :, :n_valid] = np.take_along_axis(
+            vel[s], sel[..., None], axis=1
+        )
     return ids_seq, pos_c, vel_c, centers_seq, n_valid
+
+
+def make_sequence(n_halos, capacity, n_snaps, seed=0, churn=0.0):
+    """[S]-stacked snapshot sequence; see ``make_orbits`` /
+    ``make_churn_sequence``.  Returns
+    ``(ids_seq, pos, vel, centers_seq, n_valid)``."""
+    orbits = make_orbits(n_halos, capacity, n_snaps, seed=seed)
+    if churn <= 0.0:
+        return make_static_sequence(orbits)
+    return make_churn_sequence(orbits, churn)
 
 
 # ----------------------------------------------------------------------
@@ -295,9 +331,12 @@ def main():
     # engine, the tracker's default on TPU: host staging pins every
     # particle to a persistent row position so the device runs no join
     # at all and churn proceeds at static-kernel speed
-    ids_c, pos_c, vel_c, centers_c, n_valid = make_sequence(
-        n_halos, capacity, n_snaps, churn=0.07
+    t_gen = time.perf_counter()
+    orbits = make_orbits(n_halos, capacity, n_snaps)
+    ids_c, pos_c, vel_c, centers_c, n_valid = make_churn_sequence(
+        orbits, churn=0.07
     )
+    log(f"  sequence generation: {time.perf_counter() - t_gen:.1f} s")
     churn_ups, churn_events, t_c = device_updates_per_s(
         ids_c, pos_c, vel_c, centers_c, n_valid=n_valid, engine="aligned"
     )
@@ -315,9 +354,8 @@ def main():
     assert join_events == churn_events, "engines disagree on event count"
 
     # secondary: fixed membership — the static fast path ceiling
-    ids_seq, pos_seq, vel_seq, centers_seq, _ = make_sequence(
-        n_halos, capacity, n_snaps
-    )
+    # (reuses the orbit pool: generation runs once)
+    ids_seq, pos_seq, vel_seq, centers_seq, _ = make_static_sequence(orbits)
     static_ups, s_events, t_s = device_updates_per_s(
         ids_seq, pos_seq, vel_seq, centers_seq
     )
@@ -326,8 +364,9 @@ def main():
 
     # baseline on a size small enough to finish quickly, same workload
     bh, bp, bs = min(n_halos, 8), min(capacity, 4096), min(n_snaps, 6)
-    bids, bpos, bvel, bcent, _ = make_sequence(bh, bp, bs, churn=0.07,
-                                               seed=1)
+    bids, bpos, bvel, bcent, _ = make_churn_sequence(
+        make_orbits(bh, bp, bs, seed=1), churn=0.07
+    )
     b_ups, b_events = numpy_baseline_updates_per_s(bids, bpos, bvel, bcent)
     log(f"numpy baseline (churn): {b_ups:.3e} updates/s ({b_events} events)")
 

@@ -65,7 +65,7 @@ def main():
 
     b_ups, _ = headline.numpy_baseline_updates_per_s(
         *(a[: min(S, 6), : min(H, 8), : min(P, 4096)] if a.ndim > 2
-          else a[: min(S, 6), : min(H, 8)] for a in seq)
+          else a[: min(S, 6), : min(H, 8)] for a in seq[:4])
     )
     emit("numpy reference loop", b_ups, "updates/s", "clean-room baseline")
 

@@ -35,7 +35,7 @@ def main():
     K = max(128, P // 4)
     print(f"platform={jax.devices()[0].platform} H={H} P={P} S={S} K={K}")
 
-    ids_seq, pos_seq, vel_seq, centers_seq = make_sequence(H, P, S)
+    ids_seq, pos_seq, vel_seq, centers_seq, _ = make_sequence(H, P, S)
     snaps = SnapshotBatch(
         ids=jnp.asarray(np.ascontiguousarray(ids_seq)),
         pos=jnp.asarray(pos_seq),
