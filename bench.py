@@ -234,6 +234,7 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     )
     from orbitanalysis_tpu.ops.apsis import SnapshotBatch
     from orbitanalysis_tpu.ops.sorted_step import (
+        init_aligned_carry,
         init_sorted_carry,
         presort_snapshot,
     )
@@ -270,7 +271,11 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
         f"({t_stage / n_snaps * 1e3:.0f} ms/snapshot; overlapped with "
         "device compute by the tracker's prefetch pipeline)")
     snaps = jax.tree.map(jnp.asarray, staged)
-    carry0 = init_sorted_carry(n_halos, capacity)
+    carry0 = (
+        init_aligned_carry(n_halos, capacity)
+        if engine == "aligned"
+        else init_sorted_carry(n_halos, capacity)
+    )
 
     # On-device event compaction: the scan emits [S, H, K] event lists
     # + counts (what the savefile writer consumes) instead of full

@@ -17,6 +17,16 @@ import numpy as np
 
 from orbitanalysis_tpu.utils.padding import invalid_id_for, pack_ragged, round_up
 
+#: Aligned-staging slot channel layout: load-order slot in bits 0-23
+#: (capacities are bounded far below 2^24 by the fused kernels' VMEM
+#: ceiling), FRESH flag in bit 27 — set where the position's tenant
+#: changed since the previous snapshot (an entrant, including reuse of
+#: a departure's hole).  The carry-native detection kernel suppresses
+#: stale prev-carry state from this flag alone (no device-side ID
+#: compare); index consumers mask with SLOT_MASK.
+FRESH_BIT = np.int32(1 << 27)
+SLOT_MASK = np.int32((1 << 24) - 1)
+
 
 class PackedSnapshot(NamedTuple):
     ids: np.ndarray                 # [H, P]
@@ -170,10 +180,13 @@ def align_packed(
     """Re-stage front-packed ``[H, P]`` load-order rows into ``layout``'s
     persistent positions (updates the layout in place).
 
-    Returns ``(ids, pos, vel, mass, slot)`` where ``slot`` is a full
-    permutation of ``[0, P)`` per row: the load-order index at occupied
-    positions, with the unused slot numbers distributed over the holes
-    in position order (checkpoint scatter-by-slot relies on it).
+    Returns ``(ids, pos, vel, mass, slot)`` where ``slot & SLOT_MASK``
+    is a full permutation of ``[0, P)`` per row: the load-order index at
+    occupied positions, with the unused slot numbers distributed over
+    the holes in position order (checkpoint scatter-by-slot relies on
+    it).  Bit 27 of ``slot`` (``FRESH_BIT``) flags positions whose
+    tenant changed since the previous snapshot — the carry-native
+    aligned kernel's signal to suppress stale prev-carry state.
 
     The i32/f32 case runs through the native multithreaded pass
     (:func:`orbitanalysis_tpu.native.stable_align_native` — one
@@ -191,6 +204,9 @@ def align_packed(
     )
     if res is not None:
         return res
+    # .assign replaces layout.layout (never mutates), so this reference
+    # stays the pre-alignment table — the fresh compare below needs it
+    old_layout = layout.layout
     dest, valid = layout.assign(ids)
     H, P = ids.shape
     r_idx = np.broadcast_to(np.arange(H)[:, None], (H, P))
@@ -219,7 +235,10 @@ def align_packed(
     n_valid = valid.sum(axis=-1).astype(np.int32)
     hole_rank = (np.cumsum(hole, axis=-1) - 1).astype(np.int32)
     slot = np.where(hole, n_valid[:, None] + hole_rank, slot)
-    return ids_o, pos_o, vel_o, mass_o, slot
+    # FRESH: occupied positions whose tenant changed (a survivor keeps
+    # its position, so ids_o == old_layout exactly at non-fresh ones)
+    fresh = (ids_o != layout.invalid) & (ids_o != old_layout)
+    return ids_o, pos_o, vel_o, mass_o, slot | (fresh * FRESH_BIT)
 
 
 def pack_snapshot_aligned(

@@ -152,15 +152,18 @@ def scan_events_aligned(
     """Stable-layout variant of :func:`scan_events_sorted`: snapshots
     staged by :func:`orbitanalysis_tpu.engine.packing.stage_batch_aligned`
     are element-wise aligned across the sequence, so every step runs the
-    static detection kernel with **no device-side join** — membership
-    churn at static-path speed.  ``carry`` is a
-    :class:`orbitanalysis_tpu.ops.sorted_step.SortedCarry`; events come
-    back ``(count [S,H], ids [S,H,K], angles [S,H,K], slots [S,H,K])``
-    with prev load slots for host-side reference-order restoration.
+    carry-native static detection kernel with **no device-side join and
+    no XLA carry re-encode** — membership churn at the kernel's DMA
+    floor.  ``carry`` is an
+    :class:`orbitanalysis_tpu.ops.sorted_step.AlignedCarry`
+    (:func:`~orbitanalysis_tpu.ops.sorted_step.init_aligned_carry`);
+    events come back ``(count [S,H], ids [S,H,K], angles [S,H,K],
+    slots [S,H,K])`` with prev load slots for host-side
+    reference-order restoration.
     """
-    from orbitanalysis_tpu.ops.sorted_step import make_aligned_orbit_step
+    from orbitanalysis_tpu.ops.sorted_step import make_aligned_native_step
 
-    step = make_aligned_orbit_step(
+    step = make_aligned_native_step(
         event_capacity, mode=mode, box_size=box_size, id_dtype=id_dtype,
         soa_batch=soa_batch,
     )

@@ -35,6 +35,7 @@ import numpy as np
 
 from orbitanalysis_tpu.engine import io_hdf5
 from orbitanalysis_tpu.engine.packing import (
+    SLOT_MASK,
     PackedSnapshot,
     StableLayout,
     pack_snapshot,
@@ -51,9 +52,12 @@ from orbitanalysis_tpu.ops.apsis import (
 from orbitanalysis_tpu.ops.sorted_step import (
     AUTO_FUSED_CAPACITY,
     MAX_FUSED_CAPACITY,
+    AlignedCarry,
     SortedCarry,
+    decode_aligned_carry,
+    init_aligned_carry,
     init_sorted_carry,
-    make_aligned_orbit_step,
+    make_aligned_native_step,
     make_sorted_orbit_step,
 )
 from orbitanalysis_tpu.utils.metrics import Metrics, phase_timer, trace
@@ -256,10 +260,16 @@ class _DeviceEngine:
                 "without a 'particles' axis or join_impl='general'"
             )
         self._steps = {}
-        init = init_sorted_carry if join in ("sorted", "aligned") else init_carry
-        self.carry = self._place(init(
-            n_halos, capacity, id_dtype=id_dtype, angle_dtype=angle_dtype
-        ))
+        if join == "aligned":
+            # carry-native: 32-bit IDs / f32 angles enforced at step
+            # construction; the channels are packed kernel formats
+            self.carry = self._place(init_aligned_carry(n_halos, capacity))
+        else:
+            init = init_sorted_carry if join == "sorted" else init_carry
+            self.carry = self._place(init(
+                n_halos, capacity, id_dtype=id_dtype,
+                angle_dtype=angle_dtype,
+            ))
 
     def _place(self, tree):
         if self.sharding is None:
@@ -312,7 +322,7 @@ class _DeviceEngine:
                         self.sharding, self.capacity, **kw
                     )
                 else:
-                    raw = make_aligned_orbit_step(self.capacity, **kw)
+                    raw = make_aligned_native_step(self.capacity, **kw)
             else:
                 make = make_static_orbit_step if static else make_orbit_step
                 raw = make(
@@ -345,7 +355,33 @@ class _DeviceEngine:
         if pad <= 0:
             return
         c = jax.tree.map(_fetch_host, self.carry)
-        if self.join in ("sorted", "aligned"):
+        if self.join == "aligned":
+            # native channels pad directly: sentinel keys, appended
+            # slot numbers (keeps each row's slot permutation), zero
+            # rhat/angle planes
+            h = c.key.shape[0]
+            inv_key = (
+                np.uint32(self.invalid) << np.uint32(1)
+            ) | np.uint32(1)
+            grown = AlignedCarry(
+                key=np.pad(np.asarray(c.key), ((0, 0), (0, pad)),
+                           constant_values=inv_key),
+                sv=np.concatenate(
+                    [
+                        np.asarray(c.sv),
+                        np.broadcast_to(
+                            np.arange(self.capacity, new_capacity,
+                                      dtype=np.int32),
+                            (h, pad),
+                        ),
+                    ],
+                    axis=1,
+                ),
+                rhat=np.pad(np.asarray(c.rhat),
+                            ((0, 0), (0, 0), (0, pad))),
+                packed=np.pad(np.asarray(c.packed), ((0, 0), (0, pad))),
+            )
+        elif self.join == "sorted":
             # appended sentinel slots keep each row's slot permutation
             # (and, for the sorted engine, its ID-sortedness)
             h = c.ids.shape[0]
@@ -394,6 +430,8 @@ class _DeviceEngine:
         assert self.join in ("sorted", "aligned")
         new_capacity = round_up(new_capacity, 128)
         c = jax.tree.map(_fetch_host, self.carry)
+        if self.join == "aligned":
+            c = decode_aligned_carry(c)
         ids_s = np.asarray(c.ids)
         slot = np.asarray(c.slot)
         h, p = ids_s.shape
@@ -449,16 +487,35 @@ class _DeviceEngine:
 
     def set_angles(self, angles_padded: np.ndarray, order=None):
         """Replace the carry's angle state (resume).  ``order`` maps the
-        sorted layout to load slots (``PackedSnapshot.slot``) when the
-        carry is ID-sorted."""
+        device layout to load slots (``PackedSnapshot.slot``, masked of
+        staging flag bits) when the carry is ID-sorted or
+        stable-position."""
         if order is not None:
             angles_padded = np.take_along_axis(
                 np.asarray(angles_padded), np.asarray(order), axis=-1
             )
+        if self.join == "aligned":
+            ang = np.ascontiguousarray(angles_padded, dtype=np.float32)
+            packed = ang.view(np.uint32) | (
+                np.asarray(_fetch_host(self.carry.packed))
+                & np.uint32(0x80000000)
+            )
+            self.carry = self.carry._replace(
+                packed=self._place(jnp.asarray(packed))
+            )
+            return
         self.carry = self.carry._replace(
             angles=self._place(
                 jnp.asarray(angles_padded, dtype=self.angle_dtype))
         )
+
+    def angles_host(self) -> np.ndarray:
+        """Per-particle angle accumulators on host, in the carry's
+        device layout (checkpointing)."""
+        if self.join == "aligned":
+            packed = np.asarray(_fetch_host(self.carry.packed))
+            return (packed & np.uint32(0x7FFFFFFF)).view(np.float32)
+        return _fetch_host(self.carry.angles)
 
 
 class _HashEngine:
@@ -985,9 +1042,7 @@ def track_orbits(
                 ]
             else:
                 if angles_list is None:
-                    angles_list = [
-                        _fetch_host(e.carry.angles) for e in engines
-                    ]
+                    angles_list = [e.angles_host() for e in engines]
                 if not primary:
                     return
                 valid = p["packed_ids"] != engine.invalid
@@ -1276,6 +1331,10 @@ def track_orbits(
             t0 = time.time()
             packed_ids_host = packed.ids   # host bookkeeping copies
             packed_slot_host = packed.slot
+            if join_impl == "aligned" and packed_slot_host is not None:
+                # strip the staging FRESH flags: host bookkeeping uses
+                # the slot channel as scatter/gather indices
+                packed_slot_host = packed_slot_host & SLOT_MASK
             # static-membership fast path: identical ID layout to the
             # previous snapshot means the sort-merge join is unnecessary
             # (general engine only — the sorted engine branches on
@@ -1289,7 +1348,7 @@ def track_orbits(
                 # the next dispatch donates the carry, so materialize the
                 # pending snapshot's angles now (syncs on its step only)
                 pending["angles_host"] = [
-                    _fetch_host(e.carry.angles) for e in engines
+                    e.angles_host() for e in engines
                 ]
             layout_ids = prev_ids_host  # the dispatched step's prev layout
             if len(engines) > 1 and sharding is None:

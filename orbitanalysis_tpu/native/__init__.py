@@ -63,7 +63,7 @@ def load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
-            if not hasattr(lib, "stable_align"):
+            if not hasattr(lib, "stable_align2"):
                 # stale prebuilt library from before the newest symbol
                 # was added (the .so is gitignored, so it survives
                 # source updates) — rebuild in place once and reload;
@@ -73,7 +73,7 @@ def load():
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_SO)
-                if not hasattr(lib, "stable_align"):
+                if not hasattr(lib, "stable_align2"):
                     _load_failed = True
                     return None
             lib.pack_ragged_bytes.argtypes = [
@@ -91,14 +91,14 @@ def load():
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.grid_count_sort.restype = None
-            lib.stable_align.argtypes = [
+            lib.stable_align2.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
-            lib.stable_align.restype = ctypes.c_int64
+            lib.stable_align2.restype = ctypes.c_int64
             _lib = lib
     return _lib
 
@@ -214,7 +214,7 @@ def stable_align_native(
     vel_o = np.empty_like(vel)
     mass_o = None if mass is None else np.empty_like(mass)
     slot = np.empty((H, P), np.int32)
-    overflowed = lib.stable_align(
+    overflowed = lib.stable_align2(
         layout.ctypes.data, ids.ctypes.data, pos.ctypes.data,
         vel.ctypes.data,
         None if mass is None else mass.ctypes.data,

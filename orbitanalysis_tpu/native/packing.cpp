@@ -117,10 +117,19 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
 //   pos, vel [H, P, 3] f32 load-order; mass [H, P] f32 or null
 //   ids_o, pos_o, vel_o, mass_o, slot_o — outputs in stable positions;
 //   slot_o[h, j] = load index occupying position j, holes numbered
-//   n_valid.. in position order (a permutation of [0, P) per row).
+//   n_valid.. in position order (a permutation of [0, P) per row in
+//   bits 0-23), with the FRESH flag in bit 27 at positions whose
+//   tenant changed (an entrant, incl. reuse of a departure's hole) —
+//   the carry-native detection kernel suppresses stale prev-carry
+//   state from this flag alone, with no device-side ID compare.
 // Returns the number of rows that overflowed (entrants > free
 // positions — cannot happen while membership <= capacity).
-int64_t stable_align(
+//
+// The "2" suffix versions the ABI: the fresh bit changed the slot
+// contract, and a stale prebuilt _packing.so (gitignored, survives
+// source updates) must fail the symbol lookup and rebuild rather than
+// silently emit fresh-less slots.
+int64_t stable_align2(
     int32_t* layout,
     const int32_t* ids,
     const float* pos,
@@ -180,7 +189,8 @@ int64_t stable_align(
         dest[i] = d;
         if (d >= 0) claimed[d] = 1;
       }
-      // entrants fill free positions in ascending position order
+      // entrants fill free positions in ascending position order;
+      // bit 30 marks the dest as an entrant's (-> FRESH in slot_o)
       int64_t free_j = 0;
       bool overflow = false;
       for (int64_t i = 0; i < P; ++i) {
@@ -191,7 +201,7 @@ int64_t stable_align(
           overflow = true;
           break;
         }
-        dest[i] = static_cast<int32_t>(free_j);
+        dest[i] = static_cast<int32_t>(free_j) | (1 << 30);
         claimed[free_j] = 1;
       }
       if (overflow) {
@@ -212,10 +222,12 @@ int64_t stable_align(
       std::memset(vo, 0, sizeof(float) * P * 3);
       if (mass) std::memset(mass_o + h * P, 0, sizeof(float) * P);
       for (int64_t i = 0; i < P; ++i) {
-        const int32_t d = dest[i];
+        int32_t d = dest[i];
         if (d < 0) continue;
+        const int32_t fresh = (d >> 30) & 1;
+        d &= ~(1 << 30);
         io[d] = id[i];
-        so[d] = static_cast<int32_t>(i);
+        so[d] = static_cast<int32_t>(i) | (fresh << 27);
         po[d * 3] = pos[(h * P + i) * 3];
         po[d * 3 + 1] = pos[(h * P + i) * 3 + 1];
         po[d * 3 + 2] = pos[(h * P + i) * 3 + 2];

@@ -241,7 +241,7 @@ def _fused_kernel_row(pericentric, invalid_id, n2, s, *refs):
     out_evang[s] = evang[:rows_k]
 
 
-def _static_kernel(pericentric, invalid_id, n, *refs):
+def _static_kernel(pericentric, invalid_id, n, native, *refs):
     """Static-membership fast path: carry ids == staged cur ids, so the
     matched pairs are *aligned* — no merge, no carry compaction.  Only
     the sparse event extraction still runs the log-shift compaction.
@@ -264,6 +264,19 @@ def _static_kernel(pericentric, invalid_id, n, *refs):
     suppressed without any caller-side selects.  The sorted engine's
     static path never sets the bit (its vrb occupies bits 24-26), so
     its behavior is unchanged.
+
+    ``native=True`` is the carry-native contract of the aligned engine
+    (:func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_native_step`):
+    the prev streams are *last step's outputs verbatim* — ``psv`` =
+    last staged ``csv`` (so its sign bits belong to whatever tenant the
+    position held then, and its bit 27 is last snapshot's staging flag,
+    ignored here), and ``pang`` is the packed u32 carry plane (f32
+    angle bits 0-30, match flag bit 31) instead of a decoded f32.  The
+    FRESH flag therefore comes from the *cur* side — bit 27 of ``csv``,
+    set by the host staging where the position's tenant changed
+    (:data:`orbitanalysis_tpu.engine.packing.FRESH_BIT`) — and must
+    mask the flip explicitly: unlike the select-staged path, stale prev
+    sign bits ARE present in ``psv``.
     """
     (psv, prx, pry, prz, pang,
      ck, csv, crx, cry, crz,
@@ -274,6 +287,15 @@ def _static_kernel(pericentric, invalid_id, n, *refs):
     vrb_p = (psv[0] >> 24).astype(jnp.int32)
     vrb_c = (csv[0] >> 24).astype(jnp.int32)
 
+    if native:
+        fresh = (vrb_c & 8) > 0
+        pang_f = pltpu.bitcast(
+            pang[0] & jnp.uint32(0x7FFFFFFF), jnp.float32
+        )
+    else:
+        fresh = (vrb_p & 8) > 0
+        pang_f = pang[0]
+
     cosang = jnp.clip(
         prx[0] * crx[0] + pry[0] * cry[0] + prz[0] * crz[0], -1.0, 1.0
     )
@@ -282,14 +304,13 @@ def _static_kernel(pericentric, invalid_id, n, *refs):
         flip = ((vrb_p & 1) > 0) & ((vrb_c & 2) > 0)
     else:
         flip = ((vrb_p & 2) > 0) & ((vrb_c & 1) > 0)
-    apsis = valid & flip
-    fresh = (vrb_p & 8) > 0
-    angle_acc = jnp.where(fresh, 0.0, pang[0] + dtheta)
+    apsis = valid & flip & ~fresh
+    angle_acc = jnp.where(fresh, 0.0, pang_f + dtheta)
     apsis_angle = jnp.where(apsis, angle_acc, 0.0)
     angle_new = jnp.where(apsis | ~valid, 0.0, angle_acc)
 
     out_packed[0] = pltpu.bitcast(angle_new, jnp.uint32) | (
-        valid.astype(jnp.uint32) << 31
+        (valid & ~fresh).astype(jnp.uint32) << 31
     )
     apsis_i = apsis.astype(jnp.int32)
     out_count[0] = jnp.full((8, _LANES), jnp.sum(apsis_i), jnp.int32)
@@ -305,9 +326,12 @@ def _static_kernel(pericentric, invalid_id, n, *refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pericentric", "invalid_id", "k128", "interpret"),
+    static_argnames=(
+        "pericentric", "invalid_id", "k128", "interpret", "native"
+    ),
 )
-def _static_call(pericentric, invalid_id, k128, interpret, *arrays):
+def _static_call(pericentric, invalid_id, k128, interpret, native,
+                 *arrays):
     h, r, _ = arrays[0].shape
     n = r * _LANES
     spec_in = pl.BlockSpec(
@@ -334,7 +358,9 @@ def _static_call(pericentric, invalid_id, k128, interpret, *arrays):
                      memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_static_kernel, pericentric, invalid_id, n),
+        functools.partial(
+            _static_kernel, pericentric, invalid_id, n, native
+        ),
         grid=(h,),
         out_shape=out_shapes,
         in_specs=[spec_in] * 10,
@@ -352,6 +378,7 @@ def fused_static_detect(
     pericentric: bool,
     invalid_id: int,
     event_capacity: int,
+    native: bool = False,
 ):
     """Aligned detection + event compaction (no merge, no carry routing).
 
@@ -366,6 +393,11 @@ def fused_static_detect(
     ``angles`` streams.  Same output contract as
     :func:`fused_join_detect` — ``packed`` aligned to the staged cur
     order, compacted events with prev slots, exact counts.
+
+    ``native=True``: the carry-native contract (see
+    :func:`_static_kernel`) — ``prev_ops[5]`` is the packed u32 carry
+    plane instead of f32 angles, the FRESH flag rides ``cur`` ``sv``
+    bit 27, and stale prev sign bits are masked by it in-kernel.
     """
     h, p = prev_ops[0].shape
     if p % _LANES or (p & (p - 1)):
@@ -380,7 +412,7 @@ def fused_static_detect(
     )
     interpret = default_interpret()
     packed, evk, evsv, evang, count = _static_call(
-        pericentric, int(invalid_id), k128, interpret, *arrays
+        pericentric, int(invalid_id), k128, interpret, native, *arrays
     )
     return (
         packed.reshape(h, p),

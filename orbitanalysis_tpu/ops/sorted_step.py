@@ -47,6 +47,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orbitanalysis_tpu.ops.geometry import region_frame
 from orbitanalysis_tpu.utils.padding import invalid_id_for
@@ -581,6 +582,202 @@ def make_sorted_orbit_step(
             bulk_vel=frame.bulk_vel,
         )
         return new_carry, events
+
+    return step
+
+
+class AlignedCarry(NamedTuple):
+    """Carry of the carry-native aligned engine, stored in the detection
+    kernel's own packed channel formats — so the step has **no XLA
+    encode/decode around the kernel at all** (the former
+    ``same``/``prev_sv`` select, ``_decode_packed_angles``, and
+    ``_carry_from_channels`` read-modify-write passes over ``[H, P]``
+    planes disappear; the kernel streams these planes verbatim).
+
+    ``key``: ``(id << 1) | 1`` (the staged cur key of the last step);
+    ``sv``: ``load_slot | FRESH?<<27 | vrb<<24`` (last step's staged
+    ``csv``); ``rhat``: last snapshot's radial unit vectors;
+    ``packed``: f32 angle accumulator in bits 0-30, match flag bit 31
+    (the kernel's ``out_packed`` verbatim).
+    """
+
+    key: jnp.ndarray     # [H, P] uint32
+    sv: jnp.ndarray      # [H, P] int32
+    rhat: jnp.ndarray    # [3, H, P] float32
+    packed: jnp.ndarray  # [H, P] uint32
+
+
+def init_aligned_carry(n_halos: int, capacity: int,
+                       pos_dtype=jnp.float32) -> AlignedCarry:
+    """All-invalid native carry (32-bit signed IDs; the int32-max
+    sentinel's key is ``0xFFFFFFFF``)."""
+    invalid = invalid_id_for(jnp.int32)
+    return AlignedCarry(
+        key=jnp.full(
+            (n_halos, capacity),
+            (np.uint32(invalid) << np.uint32(1)) | np.uint32(1),
+            dtype=jnp.uint32,
+        ),
+        sv=jnp.broadcast_to(
+            jnp.arange(capacity, dtype=jnp.int32), (n_halos, capacity)
+        ),
+        rhat=jnp.zeros((3, n_halos, capacity), dtype=pos_dtype),
+        packed=jnp.zeros((n_halos, capacity), dtype=jnp.uint32),
+    )
+
+
+def decode_aligned_carry(carry: AlignedCarry) -> SortedCarry:
+    """Host-side NumPy unpack of the native carry into the
+    :class:`SortedCarry` channel layout (ids / slot / vrb / angles) —
+    for the rare host consumers: checkpointing, capacity growth,
+    engine conversion."""
+    key = np.asarray(carry.key)
+    sv = np.asarray(carry.sv)
+    packed = np.asarray(carry.packed)
+    match = (packed >> 31).astype(np.uint8)
+    return SortedCarry(
+        ids=(key >> np.uint32(1)).astype(np.int32),
+        slot=(sv & 0x00FFFFFF).astype(np.int32),
+        vrb=((sv >> 24) & 3).astype(np.uint8) | (match << 2),
+        rhat=np.asarray(carry.rhat),
+        angles=(packed & np.uint32(0x7FFFFFFF)).view(np.float32),
+    )
+
+
+def encode_aligned_carry(c: SortedCarry) -> AlignedCarry:
+    """Inverse of :func:`decode_aligned_carry` (host-side NumPy)."""
+    ids = np.asarray(c.ids)
+    vrb = np.asarray(c.vrb)
+    angles = np.ascontiguousarray(c.angles, dtype=np.float32)
+    return AlignedCarry(
+        key=(ids.astype(np.uint32) << np.uint32(1)) | np.uint32(1),
+        sv=(np.asarray(c.slot) & 0x00FFFFFF).astype(np.int32)
+        | ((vrb & 3).astype(np.int32) << 24),
+        rhat=np.asarray(c.rhat),
+        packed=angles.view(np.uint32)
+        | (((vrb >> 2) & 1).astype(np.uint32) << np.uint32(31)),
+    )
+
+
+def make_aligned_native_step(
+    event_capacity: int,
+    mode: str = "pericentric",
+    box_size=None,
+    id_dtype=jnp.int32,
+    angle_dtype=jnp.float32,
+    events_id_order: bool = True,
+    soa_batch: bool = False,
+):
+    """Carry-native stable-layout step — the flagship tracking path.
+
+    Semantically identical to :func:`make_aligned_orbit_step` (same
+    staged-snapshot contract, same :class:`CompactEvents` outputs), but
+    the carry is an :class:`AlignedCarry` held in the kernel's packed
+    channel formats and the tenant-change (FRESH) flag is computed by
+    the *host staging* (bit 27 of ``snap.slot``,
+    :data:`orbitanalysis_tpu.engine.packing.FRESH_BIT`) instead of a
+    device-side ID compare.  What that buys (measured round 2: the
+    static kernel ran at its ~34 ms DMA floor at 67M particles while
+    the full step took ~56 ms): every XLA read-modify-write pass over
+    the ``[H, P]`` planes around the kernel disappears —
+
+      - no ``same = snap.ids == carry.ids`` compare + ``prev_sv``
+        select: the kernel streams ``carry.sv``/``carry.packed``
+        verbatim and suppresses stale prev state from the staged FRESH
+        bit in-kernel;
+      - no ``_decode_packed_angles`` / ``_carry_from_channels``
+        re-encode: the kernel's ``out_packed`` *is* the next carry's
+        angle plane, and the staged ``cur_key``/``cur_sv`` are the next
+        carry's key/sv planes;
+      - no ``jnp.stack`` copy of the rhat planes: ``frame.rhat`` is
+        stored as-is.
+
+    The remaining per-step XLA work is ``region_frame`` (genuine
+    geometry) plus the fused key/sv bit-packing of the staged inputs.
+
+    Requires snapshots staged by the stable-layout pipeline
+    (``pack_snapshot_aligned`` / ``stage_batch_aligned``), whose
+    ``slot`` channel carries the FRESH flags; ``snap.slot`` is
+    mandatory here.  Replaces the reference's per-snapshot ``myin1d``
+    join (``/root/reference/orbitanalysis/track_orbits.py:300-309``)
+    with host-side integer bookkeeping exactly like
+    :func:`make_aligned_orbit_step` — see there for the semantics
+    citations.
+    """
+    if mode not in ("pericentric", "apocentric"):
+        raise ValueError(
+            "Orbit detection mode not recognized. Please specify either "
+            "'pericentric' or 'apocentric'."
+        )
+    if jnp.dtype(angle_dtype) != jnp.float32:
+        raise ValueError(
+            "the aligned engine packs the match bit into the f32 angle "
+            "sign bit; use angle_dtype=float32"
+        )
+    id_dt = jnp.dtype(id_dtype)
+    if id_dt.itemsize != 4 or not jnp.issubdtype(id_dt, jnp.signedinteger):
+        raise ValueError(
+            "the aligned engine requires 32-bit signed particle IDs "
+            "(packed uint32 keys)"
+        )
+    from orbitanalysis_tpu.ops.pallas_step import fused_static_detect
+
+    pericentric = mode == "pericentric"
+    invalid = invalid_id_for(id_dtype)
+    K = int(event_capacity)
+
+    def step(carry: AlignedCarry, snap):
+        if snap.slot is None:
+            raise ValueError(
+                "the carry-native aligned step needs stable-layout "
+                "staging: snap.slot (with FRESH flags in bit 27) is "
+                "mandatory — stage via pack_snapshot_aligned / "
+                "stage_batch_aligned"
+            )
+        h, p = snap.ids.shape
+        valid_cur = snap.ids != invalid
+
+        frame = region_frame(
+            snap.pos,
+            snap.vel,
+            valid_cur,
+            snap.center,
+            mass=snap.mass,
+            bulk_vel=snap.bulk_vel,
+            box_size=box_size,
+            hubble_drag=snap.hubble_drag,
+            soa=soa_batch,
+        )
+
+        cur_vrb = _vr_bits(frame.vrad)
+        cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
+        # slot already carries FRESH<<27 from staging; vrb lands in
+        # bits 24-25 (slot proper is < 2^24)
+        cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
+
+        k_eff = min(K, p)
+        packed, evk, evsv, evang, count = fused_static_detect(
+            (carry.key, carry.sv, carry.rhat[0], carry.rhat[1],
+             carry.rhat[2], carry.packed),
+            (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
+             frame.rhat[2]),
+            pericentric, invalid, k_eff, native=True,
+        )
+        new_carry = AlignedCarry(
+            key=cur_key, sv=cur_sv, rhat=frame.rhat, packed=packed
+        )
+        ev_ids, ev_angles, ev_slots = _finish_events(
+            count, (evk >> 1).astype(id_dt), evsv & 0x00FFFFFF,
+            evang, K, invalid, id_dt, angle_dtype,
+            id_order=events_id_order,
+        )
+        return new_carry, CompactEvents(
+            count=count,
+            ids=ev_ids,
+            angles=ev_angles,
+            bulk_vel=frame.bulk_vel,
+            slots=ev_slots,
+        )
 
     return step
 

@@ -32,7 +32,7 @@ from orbitanalysis_tpu.ops.pallas_config import (
     interpret_hint,
 )
 from orbitanalysis_tpu.ops.sorted_step import (
-    make_aligned_orbit_step,
+    make_aligned_native_step,
     make_sorted_orbit_step,
 )
 from orbitanalysis_tpu.parallel.sharding import tree_sharding_specs
@@ -84,7 +84,8 @@ def make_sharded_sorted_step(mesh: Mesh, event_capacity: int, **kwargs):
 def make_sharded_aligned_step(mesh: Mesh, event_capacity: int, **kwargs):
     """Halo-sharded stable-layout aligned step (same mesh contract as
     :func:`make_sharded_sorted_step`; kwargs go to
-    :func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_orbit_step`)."""
+    :func:`orbitanalysis_tpu.ops.sorted_step.make_aligned_native_step` —
+    the carry is an ``AlignedCarry``)."""
     return _shard_step(
-        make_aligned_orbit_step(event_capacity, **kwargs), mesh
+        make_aligned_native_step(event_capacity, **kwargs), mesh
     )

@@ -134,26 +134,37 @@ class TestStableLayout:
 
 def test_aligned_slot_is_permutation(churn_setup):  # noqa: F811
     """pack_snapshot_aligned's slot channel must be a full [0, P)
-    permutation per row (checkpoint scatter relies on it), with load
-    slots at occupied positions."""
+    permutation per row under SLOT_MASK (checkpoint scatter relies on
+    it), with load slots at occupied positions and the FRESH flag (bit
+    27) exactly where the position's tenant changed."""
+    from orbitanalysis_tpu.engine.packing import FRESH_BIT, SLOT_MASK
+
     box, snaps, regions, loader, snap_nums, branches = churn_setup
     rows = np.arange(3)
     lay = StableLayout(3, 256)
+    prev_layout = lay.layout.copy()
     for s in range(4):
         rp, rr = regions(s, branches[s])
         snap = loader(s, rp, rr)
         packed = pack_snapshot_aligned(snap, rows, 3, lay, rp, None)
+        slot = packed.slot & SLOT_MASK
+        fresh = (packed.slot & FRESH_BIT) != 0
         for h in range(3):
             assert np.array_equal(
-                np.sort(packed.slot[h]), np.arange(256)
+                np.sort(slot[h]), np.arange(256)
             ), (s, h)
+        # FRESH exactly where the tenant changed (and only at occupied
+        # positions)
+        exp_fresh = (packed.ids != INV) & (packed.ids != prev_layout)
+        assert np.array_equal(fresh, exp_fresh), s
+        prev_layout = lay.layout.copy()
         # occupied positions carry the right particle: scatter back by
         # slot recovers the load-order front-packed ids
         offs = np.asarray(snap["region_offsets"])
         lens = np.diff(np.concatenate([offs, [len(snap["ids"])]]))
         for h in range(3):
             back = np.full(256, INV, np.int32)
-            np.put_along_axis(back, packed.slot[h], packed.ids[h], -1)
+            np.put_along_axis(back, slot[h], packed.ids[h], -1)
             exp = snap["ids"][offs[h]:offs[h] + lens[h]]
             assert np.array_equal(back[:lens[h]], exp), (s, h)
             assert (back[lens[h]:] == INV).all()
@@ -166,7 +177,10 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
     from orbitanalysis_tpu.engine.packing import pack_snapshot
     from orbitanalysis_tpu.ops.apsis import SnapshotBatch
     from orbitanalysis_tpu.ops.sorted_step import (
+        decode_aligned_carry,
+        init_aligned_carry,
         init_sorted_carry,
+        make_aligned_native_step,
         make_aligned_orbit_step,
         make_sorted_orbit_step,
     )
@@ -176,11 +190,13 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
     P = 256
     lay = StableLayout(3, P)
     step_a = jax.jit(make_aligned_orbit_step(P, box_size=box))
+    step_n = jax.jit(make_aligned_native_step(P, box_size=box))
     step_s = jax.jit(make_sorted_orbit_step(
         P, box_size=box, fused=True, cur_presorted=True,
         events_id_order=True,
     ))
     carry_a = init_sorted_carry(3, P)
+    carry_n = init_aligned_carry(3, P)
     carry_s = init_sorted_carry(3, P)
 
     for s in range(len(snaps)):
@@ -199,7 +215,29 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
             )
 
         carry_a, ev_a = step_a(carry_a, batch(pk_a))
+        carry_n, ev_n = step_n(carry_n, batch(pk_a))
         carry_s, ev_s = step_s(carry_s, batch(pk_s))
+
+        # the carry-native step must match the select-staged aligned
+        # step bit-for-bit (same staged batch, same positions)
+        en = jax.tree.map(np.asarray, ev_n)
+        ea = jax.tree.map(np.asarray, ev_a)
+        assert np.array_equal(en.count, ea.count), s
+        for h in range(3):
+            n = en.count[h]
+            on = np.argsort(en.slots[h][:n], kind="stable")
+            oa = np.argsort(ea.slots[h][:n], kind="stable")
+            assert np.array_equal(
+                en.ids[h][:n][on], ea.ids[h][:n][oa]), (s, h)
+            np.testing.assert_array_equal(
+                en.angles[h][:n][on], ea.angles[h][:n][oa],
+                err_msg=f"native vs legacy {s},{h}",
+            )
+        dn = decode_aligned_carry(jax.tree.map(np.asarray, carry_n))
+        na_ = jax.tree.map(np.asarray, carry_a)
+        assert np.array_equal(dn.ids, na_.ids), s
+        np.testing.assert_array_equal(dn.angles, na_.angles)
+        assert np.array_equal(dn.vrb & 3, np.asarray(na_.vrb) & 3), s
 
         ca = jax.tree.map(np.asarray, ev_a)
         cs = jax.tree.map(np.asarray, ev_s)
@@ -240,6 +278,7 @@ def test_scan_aligned_matches_scan_sorted():
     )
     from orbitanalysis_tpu.ops.apsis import SnapshotBatch
     from orbitanalysis_tpu.ops.sorted_step import (
+        init_aligned_carry,
         init_sorted_carry,
         presort_snapshot,
     )
@@ -261,18 +300,17 @@ def test_scan_aligned_matches_scan_sorted():
     aligned_staged = jax.tree.map(
         jnp.asarray, stage_batch_aligned(snaps, soa=True)
     )
-    c0 = init_sorted_carry(H, P)
     _, (cnt_s, ids_s, ang_s) = jax.jit(
         lambda c, s: scan_events_sorted(
             c, s, K, box_size=100.0, fused=True, cur_presorted=True,
             soa_batch=True,
         )
-    )(c0, sorted_staged)
+    )(init_sorted_carry(H, P), sorted_staged)
     _, (cnt_a, ids_a, ang_a, slots_a) = jax.jit(
         lambda c, s: scan_events_aligned(
             c, s, K, box_size=100.0, soa_batch=True
         )
-    )(c0, aligned_staged)
+    )(init_aligned_carry(H, P), aligned_staged)
 
     cnt_s, cnt_a = np.asarray(cnt_s), np.asarray(cnt_a)
     assert np.array_equal(cnt_s, cnt_a)
