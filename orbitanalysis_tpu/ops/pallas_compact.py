@@ -142,6 +142,79 @@ def _compact_call(n_a, n_b, len_a, len_b, interpret, *arrays):
     )(*arrays)
 
 
+def _compact_events_kernel(n, *refs):
+    pk, kk, sv, out_k, out_sv, out_p = refs
+    sel = (pk[0] >> 31).astype(jnp.int32)
+    a, b, c = _compact_group(sel, [kk[0], sv[0], pk[0]], n)
+    rows_k = out_k.shape[1]
+    out_k[0] = a[:rows_k]
+    out_sv[0] = b[:rows_k]
+    out_p[0] = c[:rows_k]
+
+
+@functools.partial(jax.jit, static_argnames=("k128", "interpret"))
+def _compact_events_call(k128, interpret, packed, key, sv):
+    h, r, _ = packed.shape
+    n = r * _LANES
+    kr = k128 // _LANES
+    spec_in = pl.BlockSpec(
+        (1, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_out = pl.BlockSpec(
+        (1, kr, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_compact_events_kernel, n),
+        grid=(h,),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((h, kr, _LANES), sv.dtype),
+            jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+        ),
+        in_specs=[spec_in] * 3,
+        out_specs=(spec_out, spec_out, spec_out),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(packed, key, sv)
+
+
+def compact_events(packed, key, sv, event_capacity: int):
+    """Single-group event compaction — the only non-elementwise piece of
+    the aligned engine's step, reduced to its minimal DMA footprint:
+    THREE input streams (vs the 10-stream detect kernel), because on the
+    aligned layout detection itself is elementwise and runs in XLA at
+    HBM copy speed (~880 GB/s on v5e) while any pallas kernel streams at
+    the measured ~225 GB/s per-kernel DMA ceiling (``benchmarks/
+    dma_probe.py``).
+
+    ``packed``: ``[H, P]`` uint32 — apsis flag in bit 31, f32 apsis
+    angle in bits 0-30 (zero where no event).  ``key``/``sv``: the event
+    payloads at source positions.  Returns ``(evk, evsv, evpacked)``,
+    each ``[H, k128]`` with the flagged entries front-packed in position
+    order; entries past each row's count are unspecified (callers mask
+    by the count they computed alongside).
+    """
+    h, p = packed.shape
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, p)
+    r = p // _LANES
+    interpret = default_interpret()
+    evk, evsv, evp = _compact_events_call(
+        k128, interpret,
+        packed.reshape(h, r, _LANES),
+        key.reshape(h, r, _LANES),
+        sv.reshape(h, r, _LANES),
+    )
+    return (
+        evk.reshape(h, k128),
+        evsv.reshape(h, k128),
+        evp.reshape(h, k128),
+    )
+
+
 def compact_rows(sel_a, ops_a, len_a, sel_b, ops_b, len_b):
     """Stable two-group compaction of ``[H, N]`` rows.
 

@@ -380,9 +380,49 @@ def make_sorted_orbit_step(
                     static_ok = jnp.all((prev_key | 1) == cur_key)
 
                     def _static(po, ca):
-                        return fused_static_detect(
-                            po, ca, pericentric, invalid, k_eff
+                        # aligned pairs -> detection is elementwise: run
+                        # it in XLA (HBM copy speed) and keep only the
+                        # sparse event compaction in a kernel (3 streams
+                        # vs 10) — same split as the aligned engine's
+                        # detect_impl='xla'; the Cephes _acos_f32 keeps
+                        # angles bit-compatible with the kernel branch
+                        from orbitanalysis_tpu.ops.pallas_compact import (
+                            compact_events,
                         )
+                        from orbitanalysis_tpu.ops.pallas_step import (
+                            _acos_f32,
+                        )
+
+                        pk_, psv_, prx_, pry_, prz_, pang_ = po
+                        ck_, csv_, crx_, cry_, crz_ = ca
+                        valid = (ck_ >> 1) != jnp.uint32(invalid)
+                        vrb_p = psv_ >> 24
+                        vrb_c = csv_ >> 24
+                        cosang = jnp.clip(
+                            prx_ * crx_ + pry_ * cry_ + prz_ * crz_,
+                            -1.0, 1.0,
+                        )
+                        dth = jnp.where(valid, _acos_f32(cosang), 0.0)
+                        if pericentric:
+                            flp = ((vrb_p & 1) > 0) & ((vrb_c & 2) > 0)
+                        else:
+                            flp = ((vrb_p & 2) > 0) & ((vrb_c & 1) > 0)
+                        aps = valid & flp
+                        acc = pang_ + dth
+                        pck = jax.lax.bitcast_convert_type(
+                            jnp.where(aps | ~valid, 0.0, acc), jnp.uint32
+                        ) | (valid.astype(jnp.uint32) << 31)
+                        evp_in = jax.lax.bitcast_convert_type(
+                            jnp.where(aps, acc, 0.0), jnp.uint32
+                        ) | (aps.astype(jnp.uint32) << 31)
+                        cnt = jnp.sum(aps, axis=-1, dtype=jnp.int32)
+                        ek, es, ep = compact_events(
+                            evp_in, ck_, psv_, k_eff
+                        )
+                        ea = jax.lax.bitcast_convert_type(
+                            ep & jnp.uint32(0x7FFFFFFF), jnp.float32
+                        )
+                        return pck, ek, es, ea, cnt
 
                     def _general(po, ca):
                         co = tuple(jnp.flip(x, axis=1) for x in ca)
@@ -667,6 +707,7 @@ def make_aligned_native_step(
     angle_dtype=jnp.float32,
     events_id_order: bool = True,
     soa_batch: bool = False,
+    detect_impl: str = "xla",
 ):
     """Carry-native stable-layout step — the flagship tracking path.
 
@@ -695,6 +736,26 @@ def make_aligned_native_step(
     The remaining per-step XLA work is ``region_frame`` (genuine
     geometry) plus the fused key/sv bit-packing of the staged inputs.
 
+    ``detect_impl`` picks where the (elementwise) detection math runs:
+
+    - ``'xla'`` (default): sign-flip detection, angle accumulation, and
+      carry packing are plain XLA elementwise ops — they fuse into
+      single passes streaming at HBM copy speed (~880 GB/s on v5e) —
+      and only the sparse event extraction enters a Pallas kernel
+      (:func:`orbitanalysis_tpu.ops.pallas_compact.compact_events`,
+      THREE input streams).  On the aligned layout nothing else needs
+      a kernel: there is no merge, so no cross-lane dependency.  The
+      arccos is the same Cephes polynomial the kernels use
+      (:func:`orbitanalysis_tpu.ops.pallas_step._acos_f32` is pure
+      jnp), so angles match the kernel path to the last ulp on CPU and
+      within 1 f32 ulp across backends.
+    - ``'pallas'``: the 10-stream
+      :func:`~orbitanalysis_tpu.ops.pallas_step.fused_static_detect`
+      kernel (``native=True``) — detection and compaction in one
+      ``pallas_call``, bounded by the measured ~225 GB/s per-kernel
+      DMA ceiling.  Kept for A/B measurement and as the
+      maximally-fused fallback.
+
     Requires snapshots staged by the stable-layout pipeline
     (``pack_snapshot_aligned`` / ``stage_batch_aligned``), whose
     ``slot`` channel carries the FRESH flags; ``snap.slot`` is
@@ -720,7 +781,12 @@ def make_aligned_native_step(
             "the aligned engine requires 32-bit signed particle IDs "
             "(packed uint32 keys)"
         )
-    from orbitanalysis_tpu.ops.pallas_step import fused_static_detect
+    if detect_impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown detect_impl: {detect_impl!r}")
+    from orbitanalysis_tpu.ops.pallas_step import (
+        _acos_f32,
+        fused_static_detect,
+    )
 
     pericentric = mode == "pericentric"
     invalid = invalid_id_for(id_dtype)
@@ -756,13 +822,51 @@ def make_aligned_native_step(
         cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
 
         k_eff = min(K, p)
-        packed, evk, evsv, evang, count = fused_static_detect(
-            (carry.key, carry.sv, carry.rhat[0], carry.rhat[1],
-             carry.rhat[2], carry.packed),
-            (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
-             frame.rhat[2]),
-            pericentric, invalid, k_eff, native=True,
-        )
+        if detect_impl == "xla":
+            from orbitanalysis_tpu.ops.pallas_compact import (
+                compact_events,
+            )
+
+            fresh = (snap.slot & (1 << 27)) != 0
+            vrb_p = carry.sv >> 24  # sign bits 0-1 (bit 3 = stale FRESH)
+            pang = jax.lax.bitcast_convert_type(
+                carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+            )
+            cosang = jnp.clip(
+                carry.rhat[0] * frame.rhat[0]
+                + carry.rhat[1] * frame.rhat[1]
+                + carry.rhat[2] * frame.rhat[2],
+                -1.0, 1.0,
+            )
+            dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
+            if pericentric:
+                flip = ((vrb_p & 1) > 0) & ((cur_vrb & 2) > 0)
+            else:
+                flip = ((vrb_p & 2) > 0) & ((cur_vrb & 1) > 0)
+            apsis = valid_cur & flip & ~fresh
+            angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
+            packed = jax.lax.bitcast_convert_type(
+                jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
+                jnp.uint32,
+            ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
+            ev_packed = jax.lax.bitcast_convert_type(
+                jnp.where(apsis, angle_acc, 0.0), jnp.uint32
+            ) | (apsis.astype(jnp.uint32) << 31)
+            count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+            evk, evsv, evp = compact_events(
+                ev_packed, cur_key, carry.sv, k_eff
+            )
+            evang = jax.lax.bitcast_convert_type(
+                evp & jnp.uint32(0x7FFFFFFF), jnp.float32
+            )
+        else:
+            packed, evk, evsv, evang, count = fused_static_detect(
+                (carry.key, carry.sv, carry.rhat[0], carry.rhat[1],
+                 carry.rhat[2], carry.packed),
+                (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
+                 frame.rhat[2]),
+                pericentric, invalid, k_eff, native=True,
+            )
         new_carry = AlignedCarry(
             key=cur_key, sv=cur_sv, rhat=frame.rhat, packed=packed
         )
