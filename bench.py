@@ -304,12 +304,20 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     events = int(np.asarray(out[0]))
     assert int(np.asarray(out[1])) <= K, "event capacity overflow in bench"
 
+    # The tunneled device adds a fixed ~27 ms host<->device round trip
+    # per fetch (measured: trivial S=1 and S=480 scans both cost ~27 ms
+    # call-to-fetch) — so time CHAINED async dispatches and fetch once
+    # at the end; the fixed cost amortizes out of the per-scan number
+    # and what remains is device execution (the quantity the tracker's
+    # pipelined ingest actually overlaps).
+    chain = 6
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        n_ev, _mx, _ids, _angles = fn(carry0, snaps)
-        n_ev = int(np.asarray(n_ev))
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn(carry0, snaps) for _ in range(chain)]
+        for o in outs:
+            int(np.asarray(o[0]))
+        best = min(best, (time.perf_counter() - t0) / chain)
     updates = n_snaps * n_halos * (n_valid or capacity)
     return updates / best, events, best
 

@@ -267,10 +267,12 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
                 assert ma[i] == ms[i], (s, h, i)
 
 
-def test_scan_aligned_matches_scan_sorted():
+@pytest.mark.parametrize("batched", [False, True])
+def test_scan_aligned_matches_scan_sorted(batched):
     """The scan-resident aligned path (stage_batch_aligned +
     scan_events_aligned, the bench configuration) emits the same event
-    stream as the fused sorted scan on a churning sequence."""
+    stream as the fused sorted scan on a churning sequence — in both
+    the per-step (default) and sequence-batched forms."""
     from orbitanalysis_tpu.engine.packing import stage_batch_aligned
     from orbitanalysis_tpu.engine.scan import (
         scan_events_aligned,
@@ -306,11 +308,22 @@ def test_scan_aligned_matches_scan_sorted():
             soa_batch=True,
         )
     )(init_sorted_carry(H, P), sorted_staged)
-    _, (cnt_a, ids_a, ang_a, slots_a) = jax.jit(
+    carry_a, (cnt_a, ids_a, ang_a, slots_a) = jax.jit(
         lambda c, s: scan_events_aligned(
-            c, s, K, box_size=100.0, soa_batch=True
+            c, s, K, box_size=100.0, soa_batch=True, batched=batched
         )
     )(init_aligned_carry(H, P), aligned_staged)
+    if batched:
+        # the two aligned forms share the AlignedCarry format — the
+        # batched form's final carry must be bit-identical so chained
+        # scans / resume can mix forms freely
+        carry_p, _ = jax.jit(
+            lambda c, s: scan_events_aligned(
+                c, s, K, box_size=100.0, soa_batch=True, batched=False
+            )
+        )(init_aligned_carry(H, P), aligned_staged)
+        for a, b in zip(jax.tree.leaves(carry_a), jax.tree.leaves(carry_p)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     cnt_s, cnt_a = np.asarray(cnt_s), np.asarray(cnt_a)
     assert np.array_equal(cnt_s, cnt_a)
