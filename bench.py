@@ -20,10 +20,19 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-import numpy as np
+# Before numpy import: numpy madvises MADV_HUGEPAGE on large malloc'd
+# blocks; under THP defrag=madvise each 2 MB first-touch fault can run
+# direct compaction on a fragmented host — measured 13-21 ms/MB (vs
+# 0.4-0.6 without), which dominated sequence generation and staging.
+# The benchmark's host arrays are written once and streamed, so huge
+# pages buy nothing here.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+import numpy as np  # noqa: E402
 
 
 def log(*a):

@@ -176,6 +176,8 @@ def align_packed(
     pos: np.ndarray,
     vel: np.ndarray,
     mass: Optional[np.ndarray] = None,
+    out=None,
+    soa: bool = False,
 ):
     """Re-stage front-packed ``[H, P]`` load-order rows into ``layout``'s
     persistent positions (updates the layout in place).
@@ -187,6 +189,13 @@ def align_packed(
     it).  Bit 27 of ``slot`` (``FRESH_BIT``) flags positions whose
     tenant changed since the previous snapshot — the carry-native
     aligned kernel's signal to suppress stale prev-carry state.
+
+    ``soa=True`` returns ``pos``/``vel`` as ``[3, H, P]`` coordinate
+    planes (the staged layout the device engine consumes).
+    ``out=(ids, pos, vel, mass, slot)`` scatters into caller-provided
+    C-contiguous buffers and returns them — persistent staging buffers
+    sidestep the per-snapshot allocation/page-fault churn (see
+    :func:`orbitanalysis_tpu.native.stable_align_native`).
 
     The i32/f32 case runs through the native multithreaded pass
     (:func:`orbitanalysis_tpu.native.stable_align_native` — one
@@ -200,7 +209,8 @@ def align_packed(
     from orbitanalysis_tpu import native
 
     res = native.stable_align_native(
-        layout.layout, ids, pos, vel, mass, layout.invalid
+        layout.layout, ids, pos, vel, mass, layout.invalid,
+        out=out, soa=soa,
     )
     if res is not None:
         return res
@@ -238,7 +248,20 @@ def align_packed(
     # FRESH: occupied positions whose tenant changed (a survivor keeps
     # its position, so ids_o == old_layout exactly at non-fresh ones)
     fresh = (ids_o != layout.invalid) & (ids_o != old_layout)
-    return ids_o, pos_o, vel_o, mass_o, slot | (fresh * FRESH_BIT)
+    slot_o = slot | (fresh * FRESH_BIT)
+    if soa:
+        pos_o = np.ascontiguousarray(np.moveaxis(pos_o, -1, 0))
+        vel_o = np.ascontiguousarray(np.moveaxis(vel_o, -1, 0))
+    if out is not None:
+        o_ids, o_pos, o_vel, o_mass, o_slot = out
+        o_ids[...] = ids_o
+        o_pos[...] = pos_o
+        o_vel[...] = vel_o
+        if o_mass is not None:
+            o_mass[...] = mass_o
+        o_slot[...] = slot_o
+        return o_ids, o_pos, o_vel, o_mass, o_slot
+    return ids_o, pos_o, vel_o, mass_o, slot_o
 
 
 def pack_snapshot_aligned(
@@ -303,22 +326,33 @@ def stage_batch_aligned(batch, layout: Optional[StableLayout] = None,
     mass = None if batch.mass is None else (
         np.asarray(batch.mass).reshape(S, H, P)
     )
-    o_ids = np.empty_like(seq)
-    o_pos = np.empty_like(pos)
-    o_vel = np.empty_like(vel)
-    o_mass = None if mass is None else np.empty_like(mass)
-    o_slot = np.empty((S, H, P), np.int32)
+    # the alignment scatters straight into per-snapshot slices of the
+    # batch output arrays (out=): one allocation for the whole sequence
+    # — per-snapshot temporaries caused 5-10x page-fault swings on the
+    # staging loop — and soa= emits [3, H, P] planes natively, so the
+    # device transfer reads contiguous memory with no transpose pass
+    # np.zeros, not np.empty: numpy madvises MADV_HUGEPAGE on large
+    # malloc'd blocks, and under THP defrag=madvise every 2 MB fault
+    # can enter direct compaction — measured 13-21 ms/MB first-touch on
+    # a fragmented host vs 0.4-0.6 ms/MB for the calloc (zeros) path,
+    # which skips the madvise.  These buffers are written once by the
+    # scatter anyway, so zero-init costs nothing extra.
+    vshape = (S, 3, H, P) if soa else (S, H, P, 3)
+    o_ids = np.zeros(seq.shape, seq.dtype)
+    o_pos = np.zeros(vshape, pos.dtype)
+    o_vel = np.zeros(vshape, vel.dtype)
+    o_mass = None if mass is None else np.zeros(mass.shape, mass.dtype)
+    o_slot = np.zeros((S, H, P), np.int32)
     for s in range(S):
-        i, p, v, m, sl = align_packed(
+        align_packed(
             layout, seq[s], pos[s], vel[s],
             None if mass is None else mass[s],
+            out=(
+                o_ids[s], o_pos[s], o_vel[s],
+                None if o_mass is None else o_mass[s], o_slot[s],
+            ),
+            soa=soa,
         )
-        o_ids[s], o_pos[s], o_vel[s], o_slot[s] = i, p, v, sl
-        if o_mass is not None:
-            o_mass[s] = m
-    if soa:
-        o_pos = np.moveaxis(o_pos, -1, 1)
-        o_vel = np.moveaxis(o_vel, -1, 1)
     if not stacked:
         o_ids, o_pos, o_vel, o_slot = (
             o_ids[0], o_pos[0], o_vel[0], o_slot[0]

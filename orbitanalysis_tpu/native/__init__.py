@@ -63,7 +63,7 @@ def load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
-            if not hasattr(lib, "stable_align2"):
+            if not hasattr(lib, "stable_align3"):
                 # stale prebuilt library from before the newest symbol
                 # was added (the .so is gitignored, so it survives
                 # source updates) — rebuild in place once and reload;
@@ -73,7 +73,7 @@ def load():
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_SO)
-                if not hasattr(lib, "stable_align2"):
+                if not hasattr(lib, "stable_align3"):
                     _load_failed = True
                     return None
             lib.pack_ragged_bytes.argtypes = [
@@ -91,14 +91,14 @@ def load():
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.grid_count_sort.restype = None
-            lib.stable_align2.argtypes = [
+            lib.stable_align3.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32,
             ]
-            lib.stable_align2.restype = ctypes.c_int64
+            lib.stable_align3.restype = ctypes.c_int64
             _lib = lib
     return _lib
 
@@ -177,6 +177,8 @@ def stable_align_native(
     vel: np.ndarray,
     mass: np.ndarray | None,
     invalid: int,
+    out=None,
+    soa: bool = False,
 ):
     """Native counterpart of the stable-layout alignment in
     :func:`orbitanalysis_tpu.engine.packing.align_packed` (match +
@@ -185,6 +187,15 @@ def stable_align_native(
     slot)`` or None when the native library is unavailable or the
     dtypes aren't the i32/f32 fast path.  Raises ValueError on layout
     overflow (entrants exceed free positions), like the NumPy path.
+
+    ``soa=True`` emits ``pos_o``/``vel_o`` as ``[3, H, P]`` coordinate
+    planes (the device engine's staged layout) instead of ``[H, P, 3]``.
+    ``out=(ids_o, pos_o, vel_o, mass_o, slot)`` scatters into
+    caller-provided buffers — persistent staging buffers avoid the
+    per-snapshot mmap/page-fault churn of fresh allocations (measured
+    5-10x swings on the staging loop at 2M-row snapshots); each buffer
+    must be C-contiguous with the exact shape/dtype, and ``mass_o``
+    must be None iff ``mass`` is None.
     """
     lib = ensure()
     if lib is None:
@@ -209,19 +220,52 @@ def stable_align_native(
     pos = np.ascontiguousarray(pos)
     vel = np.ascontiguousarray(vel)
     mass = None if mass is None else np.ascontiguousarray(mass)
-    ids_o = np.empty_like(ids)
-    pos_o = np.empty_like(pos)
-    vel_o = np.empty_like(vel)
-    mass_o = None if mass is None else np.empty_like(mass)
-    slot = np.empty((H, P), np.int32)
-    overflowed = lib.stable_align2(
+    vshape = (3, H, P) if soa else (H, P, 3)
+    if out is not None:
+        ids_o, pos_o, vel_o, mass_o, slot = out
+        for a, shape, dt in (
+            (ids_o, (H, P), np.int32),
+            (pos_o, vshape, np.float32),
+            (vel_o, vshape, np.float32),
+            (slot, (H, P), np.int32),
+        ):
+            if a.shape != shape or a.dtype != dt or not a.flags.c_contiguous:
+                raise ValueError(
+                    f"stable_align_native out buffer: want C-contiguous "
+                    f"{shape} {np.dtype(dt)}, got {a.shape} {a.dtype}"
+                )
+        if (mass is None) != (mass_o is None):
+            raise ValueError(
+                "stable_align_native: mass_o must be provided iff mass is"
+            )
+        if mass_o is not None and (
+            mass_o.shape != (H, P)
+            or mass_o.dtype != np.float32
+            or not mass_o.flags.c_contiguous
+        ):
+            raise ValueError(
+                "stable_align_native out buffer: mass_o must be "
+                f"C-contiguous ({H}, {P}) float32"
+            )
+    else:
+        # np.zeros (calloc) rather than np.empty: numpy madvises
+        # MADV_HUGEPAGE on large malloc'd blocks and first-touch can
+        # enter THP direct compaction (measured 13-21 ms/MB on a
+        # fragmented host, ~30x the calloc fault path); the kernel
+        # writes every byte anyway
+        ids_o = np.zeros(ids.shape, ids.dtype)
+        pos_o = np.zeros(vshape, np.float32)
+        vel_o = np.zeros(vshape, np.float32)
+        mass_o = None if mass is None else np.zeros(mass.shape, mass.dtype)
+        slot = np.zeros((H, P), np.int32)
+    overflowed = lib.stable_align3(
         layout.ctypes.data, ids.ctypes.data, pos.ctypes.data,
         vel.ctypes.data,
         None if mass is None else mass.ctypes.data,
         H, P, ctypes.c_int32(int(invalid)), ids_o.ctypes.data,
         pos_o.ctypes.data, vel_o.ctypes.data,
         None if mass_o is None else mass_o.ctypes.data,
-        slot.ctypes.data,
+        slot.ctypes.data, ctypes.c_int32(1 if soa else 0),
     )
     if overflowed:
         raise ValueError("stable layout overflow: grow capacity first")

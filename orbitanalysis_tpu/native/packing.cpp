@@ -125,11 +125,21 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
 // Returns the number of rows that overflowed (entrants > free
 // positions — cannot happen while membership <= capacity).
 //
-// The "2" suffix versions the ABI: the fresh bit changed the slot
-// contract, and a stale prebuilt _packing.so (gitignored, survives
-// source updates) must fail the symbol lookup and rebuild rather than
-// silently emit fresh-less slots.
-int64_t stable_align2(
+// The numeric suffix versions the ABI (a stale prebuilt _packing.so is
+// gitignored and survives source updates — it must fail the symbol
+// lookup and rebuild rather than silently run old semantics): "2"
+// added the FRESH bit to the slot contract; "3" added the `soa` flag.
+//
+// soa != 0: pos_o/vel_o are [3, H, P] coordinate planes (the layout
+// the device engine consumes) instead of [H, P, 3] — the scatter
+// writes the staged SoA form directly, so the caller needs no
+// transpose pass and the host->device transfer reads contiguous
+// memory.  Inputs stay [H, P, 3] (the loader's layout) either way.
+// Output pointers are caller-provided and may be persistent buffers:
+// rewriting them in place avoids the per-snapshot mmap/page-fault
+// churn of fresh allocations (measured 5-10x swings on the staging
+// loop).
+int64_t stable_align3(
     int32_t* layout,
     const int32_t* ids,
     const float* pos,
@@ -142,7 +152,8 @@ int64_t stable_align2(
     float* pos_o,
     float* vel_o,
     float* mass_o,
-    int32_t* slot_o) {
+    int32_t* slot_o,
+    int32_t soa) {
   // hash table size: first power of two >= 2P
   int64_t tsz = 1;
   while (tsz < 2 * P) tsz <<= 1;
@@ -211,30 +222,60 @@ int64_t stable_align2(
       // scatter into stable positions; holes zero/invalid-filled
       int32_t* lay_o = layout + h * P;
       int32_t* io = ids_o + h * P;
-      float* po = pos_o + h * P * 3;
-      float* vo = vel_o + h * P * 3;
       int32_t* so = slot_o + h * P;
       for (int64_t j = 0; j < P; ++j) {
         io[j] = invalid;
         so[j] = -1;
       }
-      std::memset(po, 0, sizeof(float) * P * 3);
-      std::memset(vo, 0, sizeof(float) * P * 3);
       if (mass) std::memset(mass_o + h * P, 0, sizeof(float) * P);
-      for (int64_t i = 0; i < P; ++i) {
-        int32_t d = dest[i];
-        if (d < 0) continue;
-        const int32_t fresh = (d >> 30) & 1;
-        d &= ~(1 << 30);
-        io[d] = id[i];
-        so[d] = static_cast<int32_t>(i) | (fresh << 27);
-        po[d * 3] = pos[(h * P + i) * 3];
-        po[d * 3 + 1] = pos[(h * P + i) * 3 + 1];
-        po[d * 3 + 2] = pos[(h * P + i) * 3 + 2];
-        vo[d * 3] = vel[(h * P + i) * 3];
-        vo[d * 3 + 1] = vel[(h * P + i) * 3 + 1];
-        vo[d * 3 + 2] = vel[(h * P + i) * 3 + 2];
-        if (mass) mass_o[h * P + d] = mass[h * P + i];
+      if (soa) {
+        float* px = pos_o + h * P;
+        float* py = pos_o + (H + h) * P;
+        float* pz = pos_o + (2 * H + h) * P;
+        float* vx = vel_o + h * P;
+        float* vy = vel_o + (H + h) * P;
+        float* vz = vel_o + (2 * H + h) * P;
+        std::memset(px, 0, sizeof(float) * P);
+        std::memset(py, 0, sizeof(float) * P);
+        std::memset(pz, 0, sizeof(float) * P);
+        std::memset(vx, 0, sizeof(float) * P);
+        std::memset(vy, 0, sizeof(float) * P);
+        std::memset(vz, 0, sizeof(float) * P);
+        for (int64_t i = 0; i < P; ++i) {
+          int32_t d = dest[i];
+          if (d < 0) continue;
+          const int32_t fresh = (d >> 30) & 1;
+          d &= ~(1 << 30);
+          io[d] = id[i];
+          so[d] = static_cast<int32_t>(i) | (fresh << 27);
+          px[d] = pos[(h * P + i) * 3];
+          py[d] = pos[(h * P + i) * 3 + 1];
+          pz[d] = pos[(h * P + i) * 3 + 2];
+          vx[d] = vel[(h * P + i) * 3];
+          vy[d] = vel[(h * P + i) * 3 + 1];
+          vz[d] = vel[(h * P + i) * 3 + 2];
+          if (mass) mass_o[h * P + d] = mass[h * P + i];
+        }
+      } else {
+        float* po = pos_o + h * P * 3;
+        float* vo = vel_o + h * P * 3;
+        std::memset(po, 0, sizeof(float) * P * 3);
+        std::memset(vo, 0, sizeof(float) * P * 3);
+        for (int64_t i = 0; i < P; ++i) {
+          int32_t d = dest[i];
+          if (d < 0) continue;
+          const int32_t fresh = (d >> 30) & 1;
+          d &= ~(1 << 30);
+          io[d] = id[i];
+          so[d] = static_cast<int32_t>(i) | (fresh << 27);
+          po[d * 3] = pos[(h * P + i) * 3];
+          po[d * 3 + 1] = pos[(h * P + i) * 3 + 1];
+          po[d * 3 + 2] = pos[(h * P + i) * 3 + 2];
+          vo[d * 3] = vel[(h * P + i) * 3];
+          vo[d * 3 + 1] = vel[(h * P + i) * 3 + 1];
+          vo[d * 3 + 2] = vel[(h * P + i) * 3 + 2];
+          if (mass) mass_o[h * P + d] = mass[h * P + i];
+        }
       }
       // holes take the unused slot numbers in position order
       int32_t hole_slot = static_cast<int32_t>(n_valid);

@@ -154,3 +154,72 @@ def test_region_extractor_native_index(rng):
         d -= box * np.round(d / box)
         exp = set(ids[(d * d).sum(1) < r * r].tolist())
         assert set(got["ids"][offs[j]:offs[j + 1]].tolist()) == exp
+
+
+@pytest.mark.parametrize("soa", [False, True])
+def test_stable_align_soa_and_out_buffers(lib, rng, soa):
+    """The soa= plane layout and out= caller-buffer paths match the
+    default allocation path exactly, on both the native and the NumPy
+    implementation (persistent staging buffers + [3, H, P] planes are
+    what stage_batch_aligned feeds the device)."""
+    from orbitanalysis_tpu.engine import packing
+    from orbitanalysis_tpu.utils.padding import invalid_id_for
+
+    inv = invalid_id_for(np.int32)
+    H, P = 3, 256
+    ids = np.full((H, P), inv, np.int32)
+    for h in range(H):
+        n = int(rng.integers(P // 2, P - 3))
+        ids[h, :n] = rng.choice(5000, n, replace=False)
+    pos = rng.normal(size=(H, P, 3)).astype(np.float32)
+    vel = rng.normal(size=(H, P, 3)).astype(np.float32)
+    mass = rng.random((H, P)).astype(np.float32)
+    vshape = (3, H, P) if soa else (H, P, 3)
+    perm = rng.permutation(P)
+
+    def run(use_native, out):
+        lay = packing.StableLayout(H, P)
+        orig = native.stable_align_native
+        if not use_native:
+            native.stable_align_native = lambda *a, **k: None
+        try:
+            # two snapshots: all-entrants, then survivors-only reorder
+            packing.align_packed(lay, ids, pos, vel, mass, soa=soa)
+            res = packing.align_packed(
+                lay, ids[:, perm],
+                np.ascontiguousarray(pos[:, perm]),
+                np.ascontiguousarray(vel[:, perm]),
+                np.ascontiguousarray(mass[:, perm]),
+                out=out, soa=soa,
+            )
+        finally:
+            native.stable_align_native = orig
+        return res, lay.layout
+
+    base, base_lay = run(True, None)
+    assert base[1].shape == vshape
+    for use_native in (True, False):
+        out = (
+            np.zeros((H, P), np.int32),
+            np.zeros(vshape, np.float32),
+            np.zeros(vshape, np.float32),
+            np.zeros((H, P), np.float32),
+            np.zeros((H, P), np.int32),
+        )
+        got, got_lay = run(use_native, out)
+        assert got[0] is out[0]  # scattered in place
+        assert np.array_equal(got_lay, base_lay), use_native
+        for name, x, y in zip("ids pos vel mass slot".split(), base, got):
+            assert np.array_equal(x, y), (use_native, name)
+
+    # malformed out buffers fail loudly on the native path
+    bad = (
+        np.zeros((H, P), np.int32),
+        np.zeros((H, P, 3) if soa else (3, H, P), np.float32),  # wrong
+        np.zeros(vshape, np.float32),
+        np.zeros((H, P), np.float32),
+        np.zeros((H, P), np.int32),
+    )
+    lay = packing.StableLayout(H, P)
+    with pytest.raises(ValueError, match="out buffer"):
+        packing.align_packed(lay, ids, pos, vel, mass, out=bad, soa=soa)
