@@ -39,7 +39,11 @@ import os
 import sys
 import time
 
-import numpy as np
+# avoid THP direct-compaction stalls on numpy's madvised large
+# allocations (see bench.py) - must precede the numpy import
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+import numpy as np  # noqa: E402
 
 sys.path.insert(
     0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))

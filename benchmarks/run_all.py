@@ -15,10 +15,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-import numpy as np
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see bench.py
+
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, ".")  # repo root (bench.py helpers)
 import bench as headline  # noqa: E402

@@ -6,10 +6,13 @@ see BASELINE.md) at the headline bench shape.  Usage:
     python benchmarks/sorted_vs_general.py [H P S]
 """
 
+import os
 import sys
 import time
 
-import numpy as np
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see bench.py
+
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, ".")
 from bench import make_sequence  # noqa: E402

@@ -146,17 +146,23 @@ def pack_ragged_native(
     elem_bytes = elem * values.dtype.itemsize
 
     out_shape = (n_rows, capacity) + values.shape[1:]
+    # np.zeros (calloc) before the sentinel fill: numpy madvises
+    # MADV_HUGEPAGE on large malloc'd blocks and first-touch can enter
+    # THP direct compaction (measured 13-21 ms/MB vs 0.4-0.6 for the
+    # calloc path); the fill writes every byte either way
     if (
         values.dtype == np.int32
         and elem == 1
         and np.asarray(fill).dtype.kind in "iu"
     ):
-        out = np.empty(out_shape, dtype=values.dtype)
+        out = np.zeros(out_shape, dtype=values.dtype)
         lib.fill_i32(
             out.ctypes.data, out.size, ctypes.c_int32(int(fill))
         )
     else:
-        out = np.full(out_shape, fill, dtype=values.dtype)
+        out = np.zeros(out_shape, dtype=values.dtype)
+        if np.any(np.asarray(fill) != 0):
+            out.fill(fill)
     lib.pack_ragged_bytes(
         values.ctypes.data,
         offsets.ctypes.data,

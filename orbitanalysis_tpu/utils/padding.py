@@ -92,7 +92,13 @@ def pack_ragged(
             if out is not None:
                 return out
     out_shape = (n_rows, capacity) + values.shape[1:]
-    out = np.full(out_shape, fill, dtype=dtype or values.dtype)
+    # calloc (np.zeros) + fill rather than np.full: numpy madvises
+    # MADV_HUGEPAGE on large malloc'd blocks and first-touch can enter
+    # THP direct compaction (measured 13-21 ms/MB vs 0.4-0.6); the fill
+    # pass writes every byte either way
+    out = np.zeros(out_shape, dtype=dtype or values.dtype)
+    if np.any(np.asarray(fill) != 0):
+        out.fill(fill)
     reprow, col = _row_col(lengths, rows)
     out[reprow, col] = values
     return out
