@@ -125,15 +125,23 @@ class StableLayout:
         ids = packed_ids_load
         valid = ids != inv
 
-        # sorted view of the current layout + batched row-offset
-        # searchsorted (row keys disjoint via the << 32 offset)
+        # sorted view of the current layout + row-offset searchsorted
         order = np.argsort(lay, axis=-1, kind="stable")
         lay_sorted = np.take_along_axis(lay, order, axis=-1)
-        base = (np.arange(H, dtype=np.int64) << 32)[:, None]
-        flat_sorted = (lay_sorted.astype(np.int64) + base).ravel()
-        q = (ids.astype(np.int64) + base).ravel()
-        idx = np.searchsorted(flat_sorted, q).reshape(H, P)
-        idx -= np.arange(H, dtype=np.int64)[:, None] * P
+        if self.id_dtype.itemsize <= 4:
+            # batched: row keys disjoint via the << 32 offset
+            base = (np.arange(H, dtype=np.int64) << 32)[:, None]
+            flat_sorted = (lay_sorted.astype(np.int64) + base).ravel()
+            q = (ids.astype(np.int64) + base).ravel()
+            idx = np.searchsorted(flat_sorted, q).reshape(H, P)
+            idx -= np.arange(H, dtype=np.int64)[:, None] * P
+        else:
+            # wide IDs occupy the full 64-bit range: per-row
+            # searchsorted (H C-level calls; the native i64 path in
+            # packing.cpp supersedes this on real hosts)
+            idx = np.empty((H, P), dtype=np.int64)
+            for hh in range(H):
+                idx[hh] = np.searchsorted(lay_sorted[hh], ids[hh])
         idx_c = np.minimum(idx, P - 1)
         found = (
             valid

@@ -247,6 +247,18 @@ class _DeviceEngine:
         self.id_dtype = id_dtype
         self.angle_dtype = angle_dtype
         self.invalid = invalid_id_for(id_dtype)
+        # Wide (64-bit) IDs on the aligned engine ride a 32-bit
+        # *position surrogate* on device: the stable layout makes
+        # detection purely positional, so the device never needs the
+        # real ID — the tracker stages iota-at-valid-positions as the
+        # ID channel and maps event positions back through the staged
+        # (host-side) wide-ID table at write time.  No x64, no 64-bit
+        # device sorts; full flagship throughput for Gadget uint64 IDs.
+        self.surrogate = (
+            join == "aligned" and np.dtype(id_dtype).itemsize == 8
+        )
+        self._dev_id_dtype = np.int32 if self.surrogate else id_dtype
+        self._dev_invalid = invalid_id_for(self._dev_id_dtype)
         self.sharding = sharding
         self.join = join
         if (
@@ -310,7 +322,7 @@ class _DeviceEngine:
                 kw = dict(
                     mode=self.mode,
                     box_size=self.box_size,
-                    id_dtype=self.id_dtype,
+                    id_dtype=self._dev_id_dtype,
                     angle_dtype=self.angle_dtype,
                     events_id_order=True,
                 )
@@ -361,7 +373,7 @@ class _DeviceEngine:
             # rhat/angle planes
             h = c.key.shape[0]
             inv_key = (
-                np.uint32(self.invalid) << np.uint32(1)
+                np.uint32(self._dev_invalid) << np.uint32(1)
             ) | np.uint32(1)
             grown = AlignedCarry(
                 key=np.pad(np.asarray(c.key), ((0, 0), (0, pad)),
@@ -416,7 +428,7 @@ class _DeviceEngine:
         self._steps.clear()
         self.carry = self._place(grown)
 
-    def to_general(self, new_capacity: int):
+    def to_general(self, new_capacity: int, layout_ids=None):
         """Convert this sorted/aligned engine into a fresh general
         engine at ``new_capacity`` — the capacity-growth path that costs
         an XLA compile (seconds) instead of a fused-kernel Mosaic re-jit
@@ -425,6 +437,9 @@ class _DeviceEngine:
         permutation; the radial-velocity sign bits become ±1.0
         placeholders (detection only ever compares signs,
         ``track_orbits.py:311-314``, so results are unchanged).
+        ``layout_ids`` (surrogate engines only): the ``[H, P]``
+        stable-position table of real wide IDs — the device carry holds
+        position surrogates, so the real IDs come from the host layout.
         Returns ``(general_engine, carry_ids_in_load_order)``.
         """
         assert self.join in ("sorted", "aligned")
@@ -432,7 +447,15 @@ class _DeviceEngine:
         c = jax.tree.map(_fetch_host, self.carry)
         if self.join == "aligned":
             c = decode_aligned_carry(c)
-        ids_s = np.asarray(c.ids)
+        if self.surrogate:
+            if layout_ids is None:
+                raise ValueError(
+                    "surrogate-ID aligned engine: to_general needs the "
+                    "stable layout's wide-ID table (layout_ids=)"
+                )
+            ids_s = np.asarray(layout_ids)
+        else:
+            ids_s = np.asarray(c.ids)
         slot = np.asarray(c.slot)
         h, p = ids_s.shape
         rhat_s = np.asarray(c.rhat)
@@ -714,10 +737,18 @@ def track_orbits(
     headroom : float
         Over-allocation factor for region growth across snapshots.
     id_dtype, angle_dtype
-        Device dtypes for particle IDs and the cumulative angle state.
+        Dtypes for particle IDs and the cumulative angle state.
         ``angle_dtype=np.float16`` reproduces the reference's float16 angle
         carry (``track_orbits.py:351``) bit-for-bit at the cost of
         accumulated rounding error; the default float32 is more accurate.
+        ``id_dtype=np.int64`` handles IDs beyond the int32 range (e.g.
+        Gadget uint64 IDs remapped to int64, >1290^3-particle runs): on
+        the aligned engine the wide IDs stay host-side and the device
+        streams a 32-bit *position surrogate* (the stable layout makes
+        detection positional), so no x64 mode and no 64-bit device
+        arithmetic is needed and throughput matches the 32-bit path;
+        savefiles carry the real int64 IDs.  The general engine with
+        int64 requires ``jax.enable_x64``.
     mesh : jax.sharding.Mesh, optional
         Shard over this mesh.  Axis name 'halos' shards the halo axis
         (whole rows per device, zero collectives; optionally with a
@@ -839,12 +870,16 @@ def track_orbits(
         join_impl = "hash"
     elif join_impl == "auto":
         idt = np.dtype(id_dtype)
+        # 64-bit IDs qualify too: the aligned layout is positional, so
+        # the device streams a 32-bit position surrogate (no x64, no
+        # 64-bit device sorts) and the host maps event positions back
+        # through the staged wide-ID table
         join_impl = (
             "aligned"
             if (
                 (mesh is None or "particles" not in mesh.axis_names)
                 and jax.default_backend() == "tpu"
-                and idt.itemsize == 4
+                and idt.itemsize in (4, 8)
                 and np.issubdtype(idt, np.signedinteger)
                 and np.dtype(angle_dtype) == np.float32
             )
@@ -964,6 +999,17 @@ def track_orbits(
                 order = np.argsort(slot_key, axis=-1, kind="stable")
                 ev_ids = np.take_along_axis(ev_ids, order, axis=-1)
                 ev_angles = np.take_along_axis(ev_angles, order, axis=-1)
+                if getattr(engine, "surrogate", False):
+                    # device events carry stable-position surrogates;
+                    # the real wide IDs come from the staged host-side
+                    # ID table at those positions (entries past each
+                    # row's count are masked by `sel` below)
+                    pos_idx = np.minimum(
+                        ev_ids.astype(np.int64), engine.capacity - 1
+                    )
+                    ev_ids = np.take_along_axis(
+                        p["packed_ids"][saved_rows], pos_idx, axis=-1
+                    )
                 apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
                 apsis_ids_flat = ev_ids[sel]
                 apsis_angles_flat = ev_angles[sel]
@@ -1218,6 +1264,20 @@ def track_orbits(
                 grow_impl == "general"
                 or (grow_impl == "auto" and join_was_auto)
             )
+            if to_general and engine.surrogate:
+                if grow_impl == "general":
+                    raise ValueError(
+                        "wide (64-bit) particle IDs ride a 32-bit device "
+                        "surrogate on the aligned engine; the general "
+                        "engine would need 64-bit device IDs (x64). Grow "
+                        "in place instead: grow_impl='keep' (the aligned "
+                        "step's re-jit is XLA + a small compaction "
+                        "kernel, seconds not minutes)"
+                    )
+                # auto: growing the aligned engine in place is both the
+                # only x64-free option and cheap (no fused merge kernel
+                # to re-Mosaic on the aligned path)
+                to_general = False
             if to_general:
                 # auto-join contract: never stall a run on a surprise
                 # multi-minute fused-kernel recompile — hand the carry
@@ -1335,6 +1395,20 @@ def track_orbits(
                 # strip the staging FRESH flags: host bookkeeping uses
                 # the slot channel as scatter/gather indices
                 packed_slot_host = packed_slot_host & SLOT_MASK
+            if engine.surrogate:
+                # wide IDs stay host-side: the device ID channel is the
+                # position surrogate (iota at occupied positions) — the
+                # aligned step only needs validity; FRESH rides the
+                # staged slot bit 27 and events map back through
+                # packed_ids_host at write time
+                iota = np.broadcast_to(
+                    np.arange(engine.capacity, dtype=np.int32),
+                    packed.ids.shape,
+                )
+                packed = packed._replace(ids=np.where(
+                    packed.ids != engine.invalid, iota,
+                    np.int32(engine._dev_invalid),
+                ))
             # static-membership fast path: identical ID layout to the
             # previous snapshot means the sort-merge join is unnecessary
             # (general engine only — the sorted engine branches on

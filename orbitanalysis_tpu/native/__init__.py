@@ -63,7 +63,7 @@ def load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
-            if not hasattr(lib, "stable_align3"):
+            if not hasattr(lib, "stable_align3_i64"):
                 # stale prebuilt library from before the newest symbol
                 # was added (the .so is gitignored, so it survives
                 # source updates) — rebuild in place once and reload;
@@ -73,7 +73,7 @@ def load():
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_SO)
-                if not hasattr(lib, "stable_align3"):
+                if not hasattr(lib, "stable_align3_i64"):
                     _load_failed = True
                     return None
             lib.pack_ragged_bytes.argtypes = [
@@ -99,6 +99,14 @@ def load():
                 ctypes.c_void_p, ctypes.c_int32,
             ]
             lib.stable_align3.restype = ctypes.c_int64
+            lib.stable_align3_i64.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32,
+            ]
+            lib.stable_align3_i64.restype = ctypes.c_int64
             _lib = lib
     return _lib
 
@@ -191,8 +199,9 @@ def stable_align_native(
     entrant placement + scatter in one multithreaded pass, updating
     ``layout`` in place).  Returns ``(ids_o, pos_o, vel_o, mass_o,
     slot)`` or None when the native library is unavailable or the
-    dtypes aren't the i32/f32 fast path.  Raises ValueError on layout
-    overflow (entrants exceed free positions), like the NumPy path.
+    dtypes aren't the i32/f32 (or i64-ID/f32) fast path.  Raises
+    ValueError on layout overflow (entrants exceed free positions),
+    like the NumPy path.
 
     ``soa=True`` emits ``pos_o``/``vel_o`` as ``[3, H, P]`` coordinate
     planes (the device engine's staged layout) instead of ``[H, P, 3]``.
@@ -206,14 +215,23 @@ def stable_align_native(
     lib = ensure()
     if lib is None:
         return None
+    id_dt = np.dtype(ids.dtype)
     if (
-        layout.dtype != np.int32
-        or ids.dtype != np.int32
+        id_dt not in (np.dtype(np.int32), np.dtype(np.int64))
+        or layout.dtype != id_dt
         or pos.dtype != np.float32
         or vel.dtype != np.float32
         or (mass is not None and mass.dtype != np.float32)
     ):
         return None
+    align_fn = (
+        lib.stable_align3 if id_dt == np.dtype(np.int32)
+        else lib.stable_align3_i64
+    )
+    inv_c = (
+        ctypes.c_int32(int(invalid)) if id_dt == np.dtype(np.int32)
+        else ctypes.c_int64(int(invalid))
+    )
     H, P = ids.shape
     if not (
         layout.flags.c_contiguous
@@ -230,7 +248,7 @@ def stable_align_native(
     if out is not None:
         ids_o, pos_o, vel_o, mass_o, slot = out
         for a, shape, dt in (
-            (ids_o, (H, P), np.int32),
+            (ids_o, (H, P), id_dt),
             (pos_o, vshape, np.float32),
             (vel_o, vshape, np.float32),
             (slot, (H, P), np.int32),
@@ -264,11 +282,11 @@ def stable_align_native(
         vel_o = np.zeros(vshape, np.float32)
         mass_o = None if mass is None else np.zeros(mass.shape, mass.dtype)
         slot = np.zeros((H, P), np.int32)
-    overflowed = lib.stable_align3(
+    overflowed = align_fn(
         layout.ctypes.data, ids.ctypes.data, pos.ctypes.data,
         vel.ctypes.data,
         None if mass is None else mass.ctypes.data,
-        H, P, ctypes.c_int32(int(invalid)), ids_o.ctypes.data,
+        H, P, inv_c, ids_o.ctypes.data,
         pos_o.ctypes.data, vel_o.ctypes.data,
         None if mass_o is None else mass_o.ctypes.data,
         slot.ctypes.data, ctypes.c_int32(1 if soa else 0),

@@ -128,7 +128,9 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
 // The numeric suffix versions the ABI (a stale prebuilt _packing.so is
 // gitignored and survives source updates — it must fail the symbol
 // lookup and rebuild rather than silently run old semantics): "2"
-// added the FRESH bit to the slot contract; "3" added the `soa` flag.
+// added the FRESH bit to the slot contract; "3" added the `soa` flag;
+// the "_i64" variant (wide particle IDs, e.g. Gadget uint64 remapped
+// to int64) was added alongside without changing the i32 ABI.
 //
 // soa != 0: pos_o/vel_o are [3, H, P] coordinate planes (the layout
 // the device engine consumes) instead of [H, P, 3] — the scatter
@@ -139,16 +141,31 @@ void grid_count_sort(const int64_t* keys, int64_t n, int64_t n_cells,
 // rewriting them in place avoids the per-snapshot mmap/page-fault
 // churn of fresh allocations (measured 5-10x swings on the staging
 // loop).
-int64_t stable_align3(
-    int32_t* layout,
-    const int32_t* ids,
+
+}  // extern "C"
+
+namespace {
+
+// Fibonacci-style multiplicative hash, specialized per id width.
+inline uint32_t id_hash(int32_t k) {
+  return static_cast<uint32_t>(k) * 2654435761u;
+}
+inline uint32_t id_hash(int64_t k) {
+  uint64_t x = static_cast<uint64_t>(k) * 0x9E3779B97F4A7C15ull;
+  return static_cast<uint32_t>(x >> 32);
+}
+
+template <typename IdT>
+int64_t stable_align_impl(
+    IdT* layout,
+    const IdT* ids,
     const float* pos,
     const float* vel,
     const float* mass,
     int64_t H,
     int64_t P,
-    int32_t invalid,
-    int32_t* ids_o,
+    IdT invalid,
+    IdT* ids_o,
     float* pos_o,
     float* vel_o,
     float* mass_o,
@@ -161,19 +178,20 @@ int64_t stable_align3(
   int64_t overflowed = 0;
 #pragma omp parallel reduction(+ : overflowed)
   {
-    std::vector<int32_t> hkey(tsz), hpos(tsz);
+    std::vector<IdT> hkey(tsz);
+    std::vector<int32_t> hpos(tsz);
     std::vector<int32_t> dest(P);
     std::vector<uint8_t> claimed(P);
 #pragma omp for schedule(dynamic, 1)
     for (int64_t h = 0; h < H; ++h) {
-      const int32_t* lay = layout + h * P;
-      const int32_t* id = ids + h * P;
+      const IdT* lay = layout + h * P;
+      const IdT* id = ids + h * P;
       // build id -> position over the previous layout row
       std::fill(hkey.begin(), hkey.end(), invalid);
       for (int64_t j = 0; j < P; ++j) {
-        const int32_t k = lay[j];
+        const IdT k = lay[j];
         if (k == invalid) continue;
-        uint32_t s = (static_cast<uint32_t>(k) * 2654435761u) & tmask;
+        uint32_t s = id_hash(k) & tmask;
         while (hkey[s] != invalid) s = (s + 1) & tmask;
         hkey[s] = k;
         hpos[s] = static_cast<int32_t>(j);
@@ -182,13 +200,13 @@ int64_t stable_align3(
       std::fill(claimed.begin(), claimed.end(), 0);
       int64_t n_valid = 0;
       for (int64_t i = 0; i < P; ++i) {
-        const int32_t k = id[i];
+        const IdT k = id[i];
         if (k == invalid) {
           dest[i] = -1;
           continue;  // front-packed: could break, but stay tolerant
         }
         ++n_valid;
-        uint32_t s = (static_cast<uint32_t>(k) * 2654435761u) & tmask;
+        uint32_t s = id_hash(k) & tmask;
         int32_t d = -1;
         while (hkey[s] != invalid) {
           if (hkey[s] == k) {
@@ -205,7 +223,7 @@ int64_t stable_align3(
       int64_t free_j = 0;
       bool overflow = false;
       for (int64_t i = 0; i < P; ++i) {
-        const int32_t k = id[i];
+        const IdT k = id[i];
         if (k == invalid || dest[i] >= 0) continue;
         while (free_j < P && claimed[free_j]) ++free_j;
         if (free_j == P) {
@@ -220,8 +238,8 @@ int64_t stable_align3(
         continue;  // row outputs undefined; caller raises
       }
       // scatter into stable positions; holes zero/invalid-filled
-      int32_t* lay_o = layout + h * P;
-      int32_t* io = ids_o + h * P;
+      IdT* lay_o = layout + h * P;
+      IdT* io = ids_o + h * P;
       int32_t* so = slot_o + h * P;
       for (int64_t j = 0; j < P; ++j) {
         io[j] = invalid;
@@ -282,10 +300,40 @@ int64_t stable_align3(
       for (int64_t j = 0; j < P; ++j)
         if (so[j] < 0) so[j] = hole_slot++;
       // the new layout row IS the stable-position id row
-      std::memcpy(lay_o, io, sizeof(int32_t) * P);
+      std::memcpy(lay_o, io, sizeof(IdT) * P);
     }
   }
   return overflowed;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t stable_align3(
+    int32_t* layout, const int32_t* ids, const float* pos,
+    const float* vel, const float* mass, int64_t H, int64_t P,
+    int32_t invalid, int32_t* ids_o, float* pos_o, float* vel_o,
+    float* mass_o, int32_t* slot_o, int32_t soa) {
+  return stable_align_impl<int32_t>(layout, ids, pos, vel, mass, H, P,
+                                    invalid, ids_o, pos_o, vel_o, mass_o,
+                                    slot_o, soa);
+}
+
+// Wide-ID variant: int64 layout/ids (e.g. Gadget uint64 IDs remapped to
+// int64 by the loader); the f32 payload and the i32 slot contract are
+// identical.  The device engine never sees these IDs — the aligned
+// layout is positional, so the device streams a 32-bit position
+// surrogate and the tracker maps event positions back through the
+// staged ID table (engine/tracker.py).
+int64_t stable_align3_i64(
+    int64_t* layout, const int64_t* ids, const float* pos,
+    const float* vel, const float* mass, int64_t H, int64_t P,
+    int64_t invalid, int64_t* ids_o, float* pos_o, float* vel_o,
+    float* mass_o, int32_t* slot_o, int32_t soa) {
+  return stable_align_impl<int64_t>(layout, ids, pos, vel, mass, H, P,
+                                    invalid, ids_o, pos_o, vel_o, mass_o,
+                                    slot_o, soa);
 }
 
 }  // extern "C"

@@ -22,7 +22,12 @@ from orbitanalysis_tpu.models.synthetic import churn_snapshots
 from orbitanalysis_tpu.utils.padding import invalid_id_for
 
 from helpers import make_callbacks
-from test_engine import _assert_files_equal, churn_setup  # noqa: F401
+from test_engine import (  # noqa: F401
+    _assert_files_equal,
+    _capacities,
+    churn_setup,
+    growing_setup,
+)
 
 
 INV = invalid_id_for(np.int32)
@@ -362,8 +367,10 @@ def test_aligned_tracker_identical(tmp_path, churn_setup):  # noqa: F811
 
 
 @pytest.mark.slow
-def test_aligned_growth_and_resume(tmp_path, churn_setup):  # noqa: F811
-    box, snaps, regions, loader, snap_nums, branches = churn_setup
+def test_aligned_growth_and_resume(tmp_path, growing_setup):  # noqa: F811
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box, snaps, regions, loader, snap_nums, branches = growing_setup
     ref = str(tmp_path / "ref.h5")
     track_orbits(snap_nums, branches, regions, loader, ref,
                  join_impl="aligned", checkpoint=True, verbose=False)
@@ -371,16 +378,21 @@ def test_aligned_growth_and_resume(tmp_path, churn_setup):  # noqa: F811
     # capacity growth mid-run (grow_impl='keep' re-jits at the grown
     # capacity; the stable layout grows alongside)
     grown = str(tmp_path / "grown.h5")
+    m = Metrics()
     track_orbits(snap_nums, branches, regions, loader, grown,
                  join_impl="aligned", capacity=128, headroom=1.05,
-                 verbose=False)
+                 metrics=m, verbose=False)
+    caps = _capacities(m)
+    assert caps[0] == 128 and caps[-1] > 128, caps
     _assert_files_equal(ref, grown)
 
     # growth converting to the general engine mid-run
     conv = str(tmp_path / "converted.h5")
+    m2 = Metrics()
     track_orbits(snap_nums, branches, regions, loader, conv,
                  join_impl="aligned", grow_impl="general",
-                 capacity=128, headroom=1.05, verbose=False)
+                 capacity=128, headroom=1.05, metrics=m2, verbose=False)
+    assert _capacities(m2)[-1] > 128
     _assert_files_equal(ref, conv)
 
     # crash at snapshot 5 then resume
@@ -499,3 +511,191 @@ def test_aligned_both_mode(tmp_path, churn_setup):  # noqa: F811
                  mode="both", join_impl="aligned", verbose=False)
     _assert_files_equal(peri1, peri2)
     _assert_files_equal(apo1, apo2)
+
+
+# ----------------------------------------------------------------------
+# wide (64-bit) particle IDs: position-surrogate device path
+# ----------------------------------------------------------------------
+
+def _widen_ids_inplace(snaps, shift):
+    for s in snaps:
+        for h in s:
+            s[h]["ids"] = s[h]["ids"].astype(np.int64) + shift
+
+
+def test_stable_layout_wide_ids_assign():
+    """StableLayout invariants hold for int64 IDs beyond 2^32 (the
+    NumPy per-row searchsorted path; the batched << 32 row-offset trick
+    only covers 32-bit IDs)."""
+    rng = np.random.default_rng(3)
+    H, P = 3, 64
+    inv = invalid_id_for(np.int64)
+    lay = StableLayout(H, P, id_dtype=np.int64)
+    base = np.int64(2) ** 40
+
+    def front_pack(members_per_row):
+        ids = np.full((H, P), inv, np.int64)
+        for h, m in enumerate(members_per_row):
+            ids[h, :len(m)] = m
+        return ids
+
+    pools = [
+        base + rng.choice(10_000, size=P, replace=False).astype(np.int64)
+        for _ in range(H)
+    ]
+    m0 = [p[:40] for p in pools]
+    dest0, valid0 = lay.assign(front_pack(m0))
+    # every member placed exactly once per row
+    for h in range(H):
+        d = dest0[h][valid0[h]]
+        assert len(np.unique(d)) == len(d)
+        assert np.array_equal(np.sort(lay.layout[h][lay.layout[h] != inv]),
+                              np.sort(m0[h]))
+    # churn: survivors keep their position
+    m1 = [np.concatenate([p[10:40], p[40:55]]) for p in pools]
+    pos_before = {
+        (h, int(i)): int(np.where(lay.layout[h] == i)[0][0])
+        for h in range(H) for i in m0[h][10:]
+    }
+    lay.assign(front_pack(m1))
+    for h in range(H):
+        for i in m0[h][10:40]:
+            assert lay.layout[h][pos_before[(h, int(i))]] == i, (h, i)
+
+
+def test_stable_align_native_wide_matches_numpy():
+    """Native i64 stable_align (packing.cpp) == the NumPy fallback,
+    including slot permutation and FRESH flags."""
+    from orbitanalysis_tpu import native
+    from orbitanalysis_tpu.engine.packing import align_packed
+
+    if not native.available() and not native.build():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(7)
+    H, P = 4, 128
+    inv = invalid_id_for(np.int64)
+    base = np.int64(2) ** 45
+
+    def seq(seed_shift):
+        ids = np.full((2, H, P), inv, np.int64)
+        pos = rng.normal(size=(2, H, P, 3)).astype(np.float32)
+        vel = rng.normal(size=(2, H, P, 3)).astype(np.float32)
+        for s in range(2):
+            for h in range(H):
+                n = int(rng.integers(60, 100))
+                members = rng.choice(
+                    1000, size=n, replace=False
+                ).astype(np.int64) + base + seed_shift * h
+                ids[s, h, :n] = members
+        return ids, pos, vel
+
+    ids, pos, vel = seq(10_000)
+    lay_nat = StableLayout(H, P, id_dtype=np.int64)
+    lay_np = StableLayout(H, P, id_dtype=np.int64)
+    for s in range(2):
+        got = native.stable_align_native(
+            lay_nat.layout, ids[s], pos[s], vel[s], None, inv
+        )
+        assert got is not None, "native i64 path unavailable"
+        # NumPy reference: align_packed's fallback body via .assign
+        import orbitanalysis_tpu.native as nat_mod
+        real_fn = nat_mod.stable_align_native
+        nat_mod.stable_align_native = lambda *a, **k: None
+        try:
+            exp = align_packed(lay_np, ids[s], pos[s], vel[s], None)
+        finally:
+            nat_mod.stable_align_native = real_fn
+        for g, e, name in zip(got[:3], exp[:3], ("ids", "pos", "vel")):
+            assert np.array_equal(g, e), name
+        assert np.array_equal(got[4], exp[4]), "slot/FRESH"
+        assert np.array_equal(lay_nat.layout, lay_np.layout)
+
+
+def test_aligned_wide_ids_no_x64(tmp_path, churn_setup):  # noqa: F811
+    """int64 IDs beyond 2^31 on the aligned engine with x64 DISABLED:
+    the device streams a 32-bit position surrogate (never the wide ID),
+    and the savefile carries the real int64 IDs — byte-identical to the
+    same run on unshifted int32 IDs, modulo the shift."""
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    narrow = str(tmp_path / "narrow.h5")
+    track_orbits(snap_nums, branches, regions, loader, narrow,
+                 join_impl="aligned", checkpoint=True, verbose=False)
+
+    shift = np.int64(2) ** 33
+    _widen_ids_inplace(snaps, shift)
+    wide = str(tmp_path / "wide.h5")
+    track_orbits(snap_nums, branches, regions, loader, wide,
+                 join_impl="aligned", id_dtype=np.int64, checkpoint=True,
+                 verbose=False)
+
+    # identical placement/order: every dataset matches, IDs modulo shift
+    with h5py.File(narrow) as a, h5py.File(wide) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            if not k.startswith("snapshot"):
+                continue
+            for ds in a[k]:
+                va, vb = a[k][ds][:], b[k][ds][:]
+                if ds.endswith("center_IDs"):
+                    assert vb.dtype == np.int64, ds
+                    assert np.array_equal(va.astype(np.int64) + shift, vb)
+                else:
+                    assert np.array_equal(va, vb), (k, ds)
+    with h5py.File(narrow + ".checkpoint") as a, \
+         h5py.File(wide + ".checkpoint") as b:
+        assert np.array_equal(a["angles"][:], b["angles"][:])
+
+
+def test_aligned_wide_ids_growth_and_resume(tmp_path, growing_setup):  # noqa: F811
+    """Wide-ID aligned runs grow IN PLACE (converting to the general
+    engine would need 64-bit device IDs), resume bit-identically, and
+    explicit grow_impl='general' refuses loudly."""
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box, snaps, regions, loader, snap_nums, branches = growing_setup
+    shift = np.int64(2) ** 33
+    _widen_ids_inplace(snaps, shift)
+
+    ref = str(tmp_path / "ref.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="aligned", id_dtype=np.int64, checkpoint=True,
+                 verbose=False)
+
+    grown = str(tmp_path / "grown.h5")
+    m = Metrics()
+    track_orbits(snap_nums, branches, regions, loader, grown,
+                 join_impl="aligned", id_dtype=np.int64,
+                 capacity=128, headroom=1.05, metrics=m, verbose=False)
+    caps = _capacities(m)
+    assert caps[0] == 128 and caps[-1] > 128, caps  # grew in place
+    _assert_files_equal(ref, grown)
+
+    with pytest.raises(ValueError, match="surrogate|x64|64-bit"):
+        track_orbits(snap_nums, branches, regions, loader,
+                     str(tmp_path / "refuse.h5"),
+                     join_impl="aligned", id_dtype=np.int64,
+                     grow_impl="general", capacity=128, headroom=1.05,
+                     verbose=False)
+
+    resumed = str(tmp_path / "resumed.h5")
+    state = {"crashed": False}
+
+    def loader_crash(s, rp, rr):
+        if s == 4 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+        return loader(s, rp, rr)
+
+    with pytest.raises(RuntimeError):
+        track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                     join_impl="aligned", id_dtype=np.int64,
+                     checkpoint=True, verbose=False)
+    track_orbits(snap_nums, branches, regions, loader_crash, resumed,
+                 join_impl="aligned", id_dtype=np.int64,
+                 checkpoint=True, resume=True, verbose=False)
+    with h5py.File(ref) as a, h5py.File(resumed) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)

@@ -28,6 +28,42 @@ def churn_setup():
     return box, snaps, regions, loader, snap_nums, branches
 
 
+@pytest.fixture
+def growing_setup():
+    """Like ``churn_setup``, but each halo's region roughly doubles at
+    snapshot 4 (a second particle pool enters), so a run whose capacity
+    fits the early snapshots MUST grow mid-run.  Churn membership alone
+    peaks at snapshot 0 (~114 < 128), which made the old capacity-128
+    growth tests vacuous — growth tests should also assert (via
+    ``Metrics``) that the growth actually fired."""
+    box = 60.0
+    n_halos, n_part, n_snap = 3, 150, 8
+    snaps, centers = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=11
+    )
+    extra, _ = churn_snapshots(
+        n_halos, n_part, n_snap, box_size=box, seed=12
+    )
+    for s_idx in range(4, n_snap):
+        s, e = snaps[s_idx], extra[s_idx]
+        for h in list(s):
+            s[h] = dict(
+                ids=np.concatenate([s[h]["ids"], e[h]["ids"] + 500_000]),
+                pos=np.concatenate([s[h]["pos"], e[h]["pos"]]),
+                vel=np.concatenate([s[h]["vel"], e[h]["vel"]]),
+                mass=np.concatenate([s[h]["mass"], e[h]["mass"]]),
+                center=s[h]["center"],
+            )
+    regions, loader = make_callbacks(snaps, centers, box_size=box)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(n_halos), (n_snap, 1))
+    return box, snaps, regions, loader, snap_nums, branches
+
+
+def _capacities(metrics):
+    return [r["capacity"] for r in metrics.records if "capacity" in r]
+
+
 def _oracle_sets(snaps, box, mode="pericentric"):
     oracle = OracleTracker(mode=mode, box_size=box)
     return [oracle.step(s) for s in snaps]
@@ -80,12 +116,18 @@ def test_crash_resume_bit_identical(tmp_path, churn_setup):
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
-def test_capacity_growth_mid_run(tmp_path, churn_setup):
-    box, snaps, regions, loader, snap_nums, branches = churn_setup
-    # tiny initial capacity forces growth when a region exceeds it
+def test_capacity_growth_mid_run(tmp_path, growing_setup):
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box, snaps, regions, loader, snap_nums, branches = growing_setup
+    # initial capacity fits the early snapshots; the pool doubling at
+    # snapshot 4 forces growth mid-run (asserted via the metrics)
     save = str(tmp_path / "grown.h5")
+    m = Metrics()
     track_orbits(snap_nums, branches, regions, loader, save,
-                 capacity=128, headroom=1.05, verbose=False)
+                 capacity=128, headroom=1.05, metrics=m, verbose=False)
+    caps = _capacities(m)
+    assert caps[0] == 128 and caps[-1] > 128, caps
     ref = str(tmp_path / "ref.h5")
     track_orbits(snap_nums, branches, regions, loader, ref, verbose=False)
     with h5py.File(save) as a, h5py.File(ref) as b:
@@ -94,15 +136,20 @@ def test_capacity_growth_mid_run(tmp_path, churn_setup):
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
-def test_grow_converts_sorted_to_general(tmp_path, churn_setup):
+def test_grow_converts_sorted_to_general(tmp_path, growing_setup):
     """Capacity overflow under grow_impl='general' hands the sorted
     carry to the general engine mid-run with identical output (the
     auto-join growth policy, minus the TPU-only auto selection)."""
-    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box, snaps, regions, loader, snap_nums, branches = growing_setup
     save = str(tmp_path / "convert.h5")
+    m = Metrics()
     track_orbits(snap_nums, branches, regions, loader, save,
                  join_impl="sorted", grow_impl="general",
-                 capacity=128, headroom=1.05, verbose=False)
+                 capacity=128, headroom=1.05, metrics=m, verbose=False)
+    caps = _capacities(m)
+    assert caps[0] == 128 and caps[-1] > 128, caps  # conversion fired
     ref = str(tmp_path / "ref.h5")
     track_orbits(snap_nums, branches, regions, loader, ref, verbose=False)
     with h5py.File(save) as a, h5py.File(ref) as b:
@@ -486,17 +533,23 @@ def test_sorted_join_tracker_identical(tmp_path, churn_setup):
 
 
 @pytest.mark.slow
-def test_sorted_join_growth_and_resume(tmp_path, churn_setup):
-    box, snaps, regions, loader, snap_nums, branches = churn_setup
+def test_sorted_join_growth_and_resume(tmp_path, growing_setup):
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box, snaps, regions, loader, snap_nums, branches = growing_setup
     ref = str(tmp_path / "ref.h5")
     track_orbits(snap_nums, branches, regions, loader, ref,
                  join_impl="sorted", checkpoint=True, verbose=False)
 
-    # capacity growth mid-run
+    # capacity growth mid-run (grow_impl defaults to 'keep' under an
+    # explicit join_impl: the sorted engine re-jits at the grown size)
     grown = str(tmp_path / "grown.h5")
+    m = Metrics()
     track_orbits(snap_nums, branches, regions, loader, grown,
                  join_impl="sorted", capacity=128, headroom=1.05,
-                 verbose=False)
+                 metrics=m, verbose=False)
+    caps = _capacities(m)
+    assert caps[0] == 128 and caps[-1] > 128, caps
     _assert_files_equal(ref, grown)
 
     # crash at snapshot 5 then resume
