@@ -40,6 +40,47 @@ def log(*a):
 
 
 # ----------------------------------------------------------------------
+# timing: dispatch-floor-free marginal cost
+# ----------------------------------------------------------------------
+#
+# The tunneled axon device charges a fixed ~25 ms per *dispatch*,
+# non-amortizing (measured: a trivial jit and a 3 GiB reduction both
+# cost ~25 ms/dispatch even when 96 dispatches are chained before the
+# fetch).  Any wall-clock timing of a single scan therefore reports
+# max(floor, device_time) and saturates at the floor for fast scans.
+# The floor is a property of the tunnel, not the device: repeating the
+# pass R times *inside one jit* (carry chained so nothing dedups) and
+# taking the marginal cost (t_R - t_1)/(R - 1) cancels the fixed cost
+# and recovers pure device execution time — the quantity a real
+# (untunneled) deployment pays per scan.
+
+
+def time_marginal(build, carry0, snaps, repeat=5, repeats=3):
+    """Marginal seconds per pass of ``build(R)(carry0, snaps)``.
+
+    ``build(R)`` must return a jitted function running the measured
+    pass ``R`` times chained (carry of pass i feeds pass i+1) and
+    returning reduced scalars (so nothing is DCE'd yet fetch is cheap).
+    """
+
+    def best_of(fn):
+        out = fn(carry0, snaps)  # compile + warm
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(carry0, snaps)
+            for o in out if isinstance(out, tuple) else (out,):
+                np.asarray(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(build(1))
+    tR = best_of(build(repeat))
+    return max((tR - t1) / (repeat - 1), 1e-12), t1
+
+
+# ----------------------------------------------------------------------
 # synthetic benchmark data: smooth orbital motion, fixed membership
 # ----------------------------------------------------------------------
 
@@ -288,15 +329,14 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
 
     # On-device event compaction: the scan emits [S, H, K] event lists
     # + counts (what the savefile writer consumes) instead of full
-    # [S, H, P] masks.  Timing is fetch-to-fetch on a scalar (on
-    # tunneled devices `block_until_ready` does not reliably wait); the
-    # compact event tensors stay jit outputs so they are really
-    # materialized.
+    # [S, H, P] masks.  Timing is the dispatch-floor-free marginal cost
+    # per scan (see time_marginal); a materializing pass runs once for
+    # the event-count correctness checks.
     # event capacity: ample headroom over the per-halo event rate
     # (overflowing rows are detectable via cnt > K and re-run)
     K = max(128, capacity // 16)
 
-    def run(c, s):
+    def run_one(c, s):
         if engine == "aligned":
             carry, (cnt, ids, angles, _slots) = scan_events_aligned(
                 c, s, K, mode="pericentric", box_size=box, soa_batch=True,
@@ -306,27 +346,40 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
                 c, s, K, mode="pericentric", box_size=box,
                 fused=True, cur_presorted=True, soa_batch=True,
             )
-        return jnp.sum(cnt), jnp.max(cnt), ids, angles
+        return carry, cnt, ids, angles
 
-    fn = jax.jit(run)
-    out = fn(carry0, snaps)  # compile + warm-up
+    # correctness pass: materialize the event tensors once, check counts
+    check = jax.jit(
+        lambda c, s: (lambda o: (jnp.sum(o[1]), jnp.max(o[1]), o[2], o[3]))(
+            run_one(c, s)
+        )
+    )
+    out = check(carry0, snaps)
     events = int(np.asarray(out[0]))
     assert int(np.asarray(out[1])) <= K, "event capacity overflow in bench"
 
-    # The tunneled device adds a fixed ~27 ms host<->device round trip
-    # per fetch (measured: trivial S=1 and S=480 scans both cost ~27 ms
-    # call-to-fetch) — so time CHAINED async dispatches and fetch once
-    # at the end; the fixed cost amortizes out of the per-scan number
-    # and what remains is device execution (the quantity the tracker's
-    # pipelined ingest actually overlaps).
-    chain = 6
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        outs = [fn(carry0, snaps) for _ in range(chain)]
-        for o in outs:
-            int(np.asarray(o[0]))
-        best = min(best, (time.perf_counter() - t0) / chain)
+    # timing: R chained passes in one jit (see time_marginal) — the
+    # event outputs are reduced to scalars each pass so the compaction
+    # is not DCE'd but the fetch stays cheap
+    def build(R):
+        @jax.jit
+        def fn(c, s):
+            def body(_, st):
+                c, tot, sink = st
+                c, cnt, ids, angles = run_one(c, s)
+                tot = tot + jnp.sum(cnt)
+                sink = (sink + jnp.sum(angles)
+                        + jnp.sum(ids.astype(jnp.float32)))
+                return (c, tot, sink)
+            _, tot, sink = jax.lax.fori_loop(
+                0, R, body, (c, jnp.int32(0), jnp.float32(0))
+            )
+            return tot, sink
+        return fn
+
+    best, t_dispatch = time_marginal(build, carry0, snaps)
+    log(f"  [{engine}] single-dispatch wall (incl. tunnel floor): "
+        f"{t_dispatch*1e3:.1f} ms")
     updates = n_snaps * n_halos * (n_valid or capacity)
     return updates / best, events, best
 
