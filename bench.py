@@ -338,7 +338,7 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
 
     def run_one(c, s):
         if engine == "aligned":
-            carry, (cnt, ids, angles, _slots) = scan_events_aligned(
+            carry, (cnt, ids, angles) = scan_events_aligned(
                 c, s, K, mode="pericentric", box_size=box, soa_batch=True,
             )
         else:

@@ -213,10 +213,11 @@ def main():
 
         def body(carry, snap):
             carry, ev = step(carry, snap)
-            return carry, (ev.count,
-                           jnp.sum(ev.ids.astype(jnp.float32))
-                           + jnp.sum(ev.angles)
-                           + jnp.sum(ev.slots.astype(jnp.float32)))
+            sink = (jnp.sum(ev.ids.astype(jnp.float32))
+                    + jnp.sum(ev.angles))
+            if ev.slots is not None:
+                sink = sink + jnp.sum(ev.slots.astype(jnp.float32))
+            return carry, (ev.count, sink)
         fc, (cnt, sink) = jax.lax.scan(body, c, s)
         return fc, jnp.sum(cnt).astype(jnp.float32) + 0.0 * jnp.sum(sink)
 

@@ -156,9 +156,16 @@ def scan_events_aligned(
     no device-side join.  ``carry`` is an
     :class:`orbitanalysis_tpu.ops.sorted_step.AlignedCarry`
     (:func:`~orbitanalysis_tpu.ops.sorted_step.init_aligned_carry`);
-    events come back ``(count [S,H], ids [S,H,K], angles [S,H,K],
-    slots [S,H,K])`` with prev load slots for host-side
-    reference-order restoration.
+    events come back ``(count [S,H], positions [S,H,K],
+    angles [S,H,K])`` — the stable layout makes events purely
+    positional: callers map positions through their staged tables
+    (``staged.ids[s][h, pos]`` for particle IDs, the previous
+    snapshot's staged slots for reference-order restoration, as the
+    tracker does).  Event angles are quantized to float16 at the
+    device boundary (the savefile's storage dtype) — that is what lets
+    the whole event ride one u32 payload word through the compaction
+    network (:func:`orbitanalysis_tpu.ops.pallas_compact.
+    compact_payload`).
 
     ``batched=False`` (default) runs the per-step ``lax.scan`` over
     :func:`~orbitanalysis_tpu.ops.sorted_step.make_aligned_native_step`
@@ -181,7 +188,7 @@ def scan_events_aligned(
       3. the only true time dependency — the angle accumulator — as a
          ``lax.scan`` whose carry is a SINGLE ``[H, P]`` plane reading
          precomputed ``dtheta``/reset slices (a few MB per iteration);
-      4. ONE :func:`~orbitanalysis_tpu.ops.pallas_compact.compact_events`
+      4. ONE :func:`~orbitanalysis_tpu.ops.pallas_compact.compact_payload`
          launch over all ``S*H`` rows — one kernel dispatch per
          sequence instead of per snapshot.
 
@@ -206,7 +213,7 @@ def scan_events_aligned(
 
         def body(c, s):
             c, ev = step(c, s)
-            return c, (ev.count, ev.ids, ev.angles, ev.slots)
+            return c, (ev.count, ev.ids, ev.angles)
 
         return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
@@ -216,11 +223,10 @@ def scan_events_aligned(
             "'pericentric' or 'apocentric'."
         )
     from orbitanalysis_tpu.ops.geometry import region_frame
-    from orbitanalysis_tpu.ops.pallas_compact import compact_events
+    from orbitanalysis_tpu.ops.pallas_compact import compact_payload
     from orbitanalysis_tpu.ops.pallas_step import _acos_f32
     from orbitanalysis_tpu.ops.sorted_step import (
         AlignedCarry,
-        _finish_events,
         _vr_bits,
     )
     from orbitanalysis_tpu.utils.padding import invalid_id_for
@@ -308,30 +314,37 @@ def scan_events_aligned(
         body, ang0, (dtheta, fresh, apsis, valid)
     )
 
-    # one compaction launch over all S*H rows
-    key = (ids.astype(jnp.uint32) << 1) | 1
-    cur_sv = snaps.slot | (vrb << 24)
-    prev_sv = jnp.concatenate([carry.sv[None], cur_sv[:-1]], axis=0)
-    ev_packed = jax.lax.bitcast_convert_type(ev_ang, jnp.uint32) | (
-        apsis.astype(jnp.uint32) << 31
+    # one compaction launch over all S*H rows — a single u32 payload
+    # word per event (see compact_payload): position + f16 angle; the
+    # key/prev-sv channels disappeared with the positional contract
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, H, P), 2)
+    ang15 = jax.lax.bitcast_convert_type(
+        ev_ang.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    payload = jnp.where(
+        apsis,
+        ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
+        jnp.uint32(0),
     )
-    evk, evsv, evp = compact_events(
-        ev_packed.reshape(S * H, P),
-        key.reshape(S * H, P),
-        prev_sv.reshape(S * H, P),
-        k_eff,
-    )
+    evpay = compact_payload(payload.reshape(S * H, P), k_eff)
+    ev_pos = (evpay >> 15).astype(jnp.int32) - 1
     evang = jax.lax.bitcast_convert_type(
-        evp & jnp.uint32(0x7FFFFFFF), jnp.float32
-    )
-    ev_ids, ev_angles, ev_slots = _finish_events(
-        count.reshape(S * H), (evk >> 1).astype(id_dt),
-        evsv & 0x00FFFFFF, evang, K, invalid, id_dt, jnp.float32,
-        id_order=True,
-    )
+        (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    kw = ev_pos.shape[-1]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (S * H, kw), 1)
+    ev_ok = kiota < count.reshape(S * H)[:, None]
+    ev_ids = jnp.where(ev_ok, ev_pos, jnp.asarray(invalid, id_dt))[:, :K]
+    ev_angles = jnp.where(ev_ok, evang, 0.0)[:, :K]
     kw = ev_ids.shape[-1]
+    key = jnp.where(
+        valid[-1],
+        (pos_iota[-1].astype(jnp.uint32) << 1) | 1,
+        (jnp.uint32(invalid) << 1) | 1,
+    )
+    cur_sv = snaps.slot | (vrb << 24)
     final_carry = AlignedCarry(
-        key=key[-1],
+        key=key,
         sv=cur_sv[-1],
         rhat=rhat[:, -1],
         packed=jax.lax.bitcast_convert_type(ang_final, jnp.uint32)
@@ -341,7 +354,6 @@ def scan_events_aligned(
         count,
         ev_ids.reshape(S, H, kw),
         ev_angles.reshape(S, H, kw),
-        ev_slots.reshape(S, H, kw),
     )
 
 

@@ -447,11 +447,14 @@ class _DeviceEngine:
         c = jax.tree.map(_fetch_host, self.carry)
         if self.join == "aligned":
             c = decode_aligned_carry(c)
-        if self.surrogate:
+            # the aligned carry is positional (keys hold row positions,
+            # never particle IDs) — the real IDs come from the host's
+            # staged stable-position table
             if layout_ids is None:
                 raise ValueError(
-                    "surrogate-ID aligned engine: to_general needs the "
-                    "stable layout's wide-ID table (layout_ids=)"
+                    "the aligned engine's carry is positional: "
+                    "to_general needs the stable layout's ID table "
+                    "(layout_ids=)"
                 )
             ids_s = np.asarray(layout_ids)
         else:
@@ -894,6 +897,7 @@ def track_orbits(
     engine: Optional[_DeviceEngine] = None  # layout leader = engines[0]
     box_size = None
     prev_ids_host = None       # [H, P] packed ids of last processed snapshot
+    prev_slot_host = None      # [H, P] staged load slots of the same
     prev_rows = None           # active halo rows of last processed snapshot
     stable_layout: Optional[StableLayout] = None  # join_impl='aligned'
     resume_layout_flat = None  # checkpointed stable positions (aligned)
@@ -978,7 +982,46 @@ def track_orbits(
                 apsis_ids_flat = ids_flat[sel]
                 apsis_angles_flat = ang_flat[sel]
                 apsis_offsets = np.concatenate(([0], np.cumsum(lens)))
-            elif engine.join in ("sorted", "aligned"):
+            elif engine.join == "aligned":
+                # positional events: the device returns stable-layout
+                # row positions + f16-exact angles only (one u32 payload
+                # word through the compaction kernel); particle IDs and
+                # reference ordering come from the host's staged tables
+                # — the current snapshot's ID table (an event position's
+                # tenant is unchanged since the previous snapshot) and
+                # the PREVIOUS snapshot's load slots (the reference
+                # emits apsides in prev-snapshot region load order,
+                # track_orbits.py:300-314)
+                counts = ev_count[saved_rows]
+                width = events.ids.shape[1]
+                kf = min(round_up(max(int(counts.max(initial=0)), 1), 256),
+                         width)
+                with phase_timer(phases, "fetch"):
+                    ev_pos = _fetch_host(
+                        _slice_cols(events.ids, kf))[saved_rows]
+                    ev_angles = _fetch_host(
+                        _slice_cols(events.angles, kf))[saved_rows]
+                sel = np.arange(kf)[None, :] < counts[:, None]
+                prev_slot = p["prev_packed_slot"][saved_rows]
+                pos_idx = np.clip(
+                    ev_pos.astype(np.int64), 0, prev_slot.shape[1] - 1
+                )
+                ev_slots = np.take_along_axis(prev_slot, pos_idx, axis=-1)
+                slot_key = np.where(sel, ev_slots, np.iinfo(np.int32).max)
+                order = np.argsort(slot_key, axis=-1, kind="stable")
+                ev_pos = np.take_along_axis(ev_pos, order, axis=-1)
+                ev_angles = np.take_along_axis(ev_angles, order, axis=-1)
+                id_tab = p["packed_ids"][saved_rows]
+                ev_ids = np.take_along_axis(
+                    id_tab,
+                    np.clip(ev_pos.astype(np.int64), 0,
+                            id_tab.shape[1] - 1),
+                    axis=-1,
+                )
+                apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
+                apsis_ids_flat = ev_ids[sel]
+                apsis_angles_flat = ev_angles[sel]
+            elif engine.join == "sorted":
                 # overflow-free: the kernel event buffer spans the whole
                 # capacity; fetch a count-bounded slice (rounded to limit
                 # distinct slice shapes) and restore reference order from
@@ -999,17 +1042,6 @@ def track_orbits(
                 order = np.argsort(slot_key, axis=-1, kind="stable")
                 ev_ids = np.take_along_axis(ev_ids, order, axis=-1)
                 ev_angles = np.take_along_axis(ev_angles, order, axis=-1)
-                if getattr(engine, "surrogate", False):
-                    # device events carry stable-position surrogates;
-                    # the real wide IDs come from the staged host-side
-                    # ID table at those positions (entries past each
-                    # row's count are masked by `sel` below)
-                    pos_idx = np.minimum(
-                        ev_ids.astype(np.int64), engine.capacity - 1
-                    )
-                    ev_ids = np.take_along_axis(
-                        p["packed_ids"][saved_rows], pos_idx, axis=-1
-                    )
                 apsis_offsets = np.concatenate(([0], np.cumsum(counts)))
                 apsis_ids_flat = ev_ids[sel]
                 apsis_angles_flat = ev_angles[sel]
@@ -1288,7 +1320,16 @@ def track_orbits(
                         f"{new_cap}; switching to the general join engine "
                         "(avoids a fused-kernel recompile)\n"
                     )
-                converted = [e.to_general(new_cap) for e in engines]
+                converted = [
+                    e.to_general(
+                        new_cap,
+                        layout_ids=(
+                            prev_ids_host
+                            if e.join == "aligned" else None
+                        ),
+                    )
+                    for e in engines
+                ]
                 engines = [e for e, _ in converted]
                 engine = engines[0]
                 prev_ids_host = converted[0][1]
@@ -1310,6 +1351,14 @@ def track_orbits(
                         ((0, 0),
                          (0, engine.capacity - prev_ids_host.shape[1])),
                         constant_values=engine.invalid,
+                    )
+                if prev_slot_host is not None:
+                    # padded positions are all FRESH next step, so no
+                    # event can reference them; pad values are inert
+                    prev_slot_host = np.pad(
+                        prev_slot_host,
+                        ((0, 0),
+                         (0, engine.capacity - prev_slot_host.shape[1])),
                     )
 
         if engine.join == "hash":
@@ -1491,6 +1540,7 @@ def track_orbits(
                 layout_ids=layout_ids,
                 packed_ids=packed_ids_host,
                 packed_slot=packed_slot_host,
+                prev_packed_slot=prev_slot_host,
                 snapshot_number=snapshot_number,
                 n_particles=len(snapshot["ids"]),
                 halo_ids_saved=halo_ids[saved_rows],
@@ -1508,6 +1558,7 @@ def track_orbits(
         pending = new_pending
 
         prev_ids_host = packed_ids_host
+        prev_slot_host = packed_slot_host
         prev_rows = rows
 
        flush_pending()

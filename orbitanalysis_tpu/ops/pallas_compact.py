@@ -215,6 +215,70 @@ def compact_events(packed, key, sv, event_capacity: int):
     )
 
 
+def _compact_payload_kernel(n, pay_ref, out_ref):
+    pay = pay_ref[0]
+    # an event payload is ((pos + 1) << 15) | angle15 with pos + 1 >= 1,
+    # so any event is >= 2^15 and a non-event is exactly 0: selhood
+    # lives in the payload itself — no separate flag stream
+    sel = (pay >= jnp.uint32(1 << 15)).astype(jnp.int32)
+    (out,) = _compact_group(sel, [pay], n)
+    out_ref[0] = out[:out_ref.shape[1]]
+
+
+@functools.partial(jax.jit, static_argnames=("k128", "interpret"))
+def _compact_payload_call(k128, interpret, payload):
+    h, r, _ = payload.shape
+    n = r * _LANES
+    kr = k128 // _LANES
+    return pl.pallas_call(
+        functools.partial(_compact_payload_kernel, n),
+        grid=(h,),
+        out_shape=jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(payload)
+
+
+def compact_payload(payload, event_capacity: int):
+    """Single-stream event compaction — the aligned engine's whole
+    sparse-extraction layer in its minimal form: ONE ``[H, P]`` uint32
+    input, ONE ``[H, K]`` output, and a 2-channel select-shift network
+    (the gap counter plus this payload) instead of
+    :func:`compact_events`'s 4 channels.
+
+    The diet exploits the stable layout twice: an event's identity and
+    load slot are fully determined by its row *position* (the host's
+    staged tables map positions back to IDs and prev-snapshot load
+    slots at write time — the wide-ID surrogate path generalized), and
+    apsis angles are non-negative so their float16 encoding needs only
+    15 bits.  Payload format: ``((pos + 1) << 15) | f16_bits(angle)``
+    — ``pos + 1`` needs 17 bits at the fused engine's 131072-row
+    ceiling, exactly filling the word; zero means "no event", so the
+    selection mask is derived in-kernel and no flag stream is read.
+
+    Returns ``[H, k128]`` uint32 with flagged entries front-packed in
+    position order; entries past each row's count are unspecified.
+    """
+    h, p = payload.shape
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, p)
+    r = p // _LANES
+    interpret = default_interpret()
+    out = _compact_payload_call(
+        k128, interpret, payload.reshape(h, r, _LANES)
+    )
+    return out.reshape(h, k128)
+
+
 def compact_rows(sel_a, ops_a, len_a, sel_b, ops_b, len_b):
     """Stable two-group compaction of ``[H, N]`` rows.
 

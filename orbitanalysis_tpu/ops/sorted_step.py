@@ -816,7 +816,18 @@ def make_aligned_native_step(
         )
 
         cur_vrb = _vr_bits(frame.vrad)
-        cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
+        # positional keys: the stable layout makes detection (and hence
+        # the event stream) purely positional — the key channel carries
+        # the row position, never the particle ID, and events come back
+        # as positions the host maps through its staged tables (IDs,
+        # prev load slots).  Invalid positions keep the sentinel-ID key
+        # so validity-by-key consumers (the pallas kernel, the decoded
+        # carry) are unchanged.
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
+        inv_key = (jnp.uint32(invalid) << 1) | 1
+        cur_key = jnp.where(
+            valid_cur, (pos_iota.astype(jnp.uint32) << 1) | 1, inv_key
+        )
         # slot already carries FRESH<<27 from staging; vrb lands in
         # bits 24-25 (slot proper is < 2^24)
         cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
@@ -824,7 +835,7 @@ def make_aligned_native_step(
         k_eff = min(K, p)
         if detect_impl == "xla":
             from orbitanalysis_tpu.ops.pallas_compact import (
-                compact_events,
+                compact_payload,
             )
 
             fresh = (snap.slot & (1 << 27)) != 0
@@ -849,24 +860,48 @@ def make_aligned_native_step(
                 jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
                 jnp.uint32,
             ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
-            ev_packed = jax.lax.bitcast_convert_type(
-                jnp.where(apsis, angle_acc, 0.0), jnp.uint32
-            ) | (apsis.astype(jnp.uint32) << 31)
+            # single-payload event word: ((pos + 1) << 15) | f16(angle)
+            # — angles are non-negative so their f16 encoding needs only
+            # 15 bits (the savefile stores f16 anyway), and pos + 1 at
+            # the 131072-row fused ceiling needs 17; zero = no event.
+            # One u32 stream through the compaction network instead of
+            # (flags, key, sv) — see compact_payload.
+            ang15 = jax.lax.bitcast_convert_type(
+                angle_acc.astype(jnp.float16), jnp.uint16
+            ).astype(jnp.uint32)
+            payload = jnp.where(
+                apsis,
+                ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
+                jnp.uint32(0),
+            )
             count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
-            evk, evsv, evp = compact_events(
-                ev_packed, cur_key, carry.sv, k_eff
-            )
+            evpay = compact_payload(payload, k_eff)
+            ev_pos = (evpay >> 15).astype(jnp.int32) - 1
             evang = jax.lax.bitcast_convert_type(
-                evp & jnp.uint32(0x7FFFFFFF), jnp.float32
+                (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16),
+                jnp.float16,
+            ).astype(angle_dtype)
+            new_carry = AlignedCarry(
+                key=cur_key, sv=cur_sv, rhat=frame.rhat, packed=packed
             )
-        else:
-            packed, evk, evsv, evang, count = fused_static_detect(
-                (carry.key, carry.sv, carry.rhat[0], carry.rhat[1],
-                 carry.rhat[2], carry.packed),
-                (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
-                 frame.rhat[2]),
-                pericentric, invalid, k_eff, native=True,
+            kw = ev_pos.shape[1]
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (h, kw), 1)
+            ev_ok = kiota < count[:, None]
+            return new_carry, CompactEvents(
+                count=count,
+                ids=jnp.where(ev_ok, ev_pos, jnp.int32(invalid))[:, :K],
+                angles=jnp.where(ev_ok, evang, 0.0)[:, :K],
+                bulk_vel=frame.bulk_vel,
+                slots=None,
             )
+
+        packed, evk, evsv, evang, count = fused_static_detect(
+            (carry.key, carry.sv, carry.rhat[0], carry.rhat[1],
+             carry.rhat[2], carry.packed),
+            (cur_key, cur_sv, frame.rhat[0], frame.rhat[1],
+             frame.rhat[2]),
+            pericentric, invalid, k_eff, native=True,
+        )
         new_carry = AlignedCarry(
             key=cur_key, sv=cur_sv, rhat=frame.rhat, packed=packed
         )

@@ -15,6 +15,7 @@ import pytest
 
 from orbitanalysis_tpu import track_orbits
 from orbitanalysis_tpu.engine.packing import (
+    SLOT_MASK,
     StableLayout,
     pack_snapshot_aligned,
 )
@@ -203,6 +204,9 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
     carry_a = init_sorted_carry(3, P)
     carry_n = init_aligned_carry(3, P)
     carry_s = init_sorted_carry(3, P)
+    # no events can fire on the first snapshot (everything FRESH), so
+    # the initial prev-slot table is never actually consulted
+    prev_slot = np.zeros((3, P), np.int32)
 
     for s in range(len(snaps)):
         rp, rr = regions(s, branches[s])
@@ -223,26 +227,46 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
         carry_n, ev_n = step_n(carry_n, batch(pk_a))
         carry_s, ev_s = step_s(carry_s, batch(pk_s))
 
-        # the carry-native step must match the select-staged aligned
-        # step bit-for-bit (same staged batch, same positions)
+        # the carry-native step's events are positional (row positions
+        # + f16-exact angles); the legacy select-staged step emits real
+        # IDs + prev load slots + f32 angles.  Map positions through the
+        # staged tables (IDs from the current snapshot, slots from the
+        # previous — an event position's tenant is unchanged across the
+        # pair) and compare at the savefile's f16 storage precision.
         en = jax.tree.map(np.asarray, ev_n)
         ea = jax.tree.map(np.asarray, ev_a)
+        assert en.slots is None
         assert np.array_equal(en.count, ea.count), s
+        id_tab = np.asarray(pk_a.ids)
         for h in range(3):
             n = en.count[h]
-            on = np.argsort(en.slots[h][:n], kind="stable")
+            pos = en.ids[h][:n]
+            en_ids = id_tab[h, pos]
+            en_slots = prev_slot[h, pos]
+            on = np.argsort(en_slots, kind="stable")
             oa = np.argsort(ea.slots[h][:n], kind="stable")
+            assert np.array_equal(en_ids[on], ea.ids[h][:n][oa]), (s, h)
             assert np.array_equal(
-                en.ids[h][:n][on], ea.ids[h][:n][oa]), (s, h)
+                en_slots[on], ea.slots[h][:n][oa]), (s, h)
             np.testing.assert_array_equal(
-                en.angles[h][:n][on], ea.angles[h][:n][oa],
+                en.angles[h][:n][on],
+                ea.angles[h][:n][oa].astype(np.float16).astype(
+                    np.float32),
                 err_msg=f"native vs legacy {s},{h}",
             )
         dn = decode_aligned_carry(jax.tree.map(np.asarray, carry_n))
         na_ = jax.tree.map(np.asarray, carry_a)
-        assert np.array_equal(dn.ids, na_.ids), s
+        # native carry keys hold row positions at valid entries; the
+        # legacy carry holds the real IDs — same validity, and the
+        # staged ID table maps one onto the other
+        valid_n = dn.ids != INV
+        assert np.array_equal(valid_n, na_.ids != INV), s
+        pos_iota = np.broadcast_to(np.arange(P), (3, P))
+        assert np.array_equal(dn.ids[valid_n], pos_iota[valid_n]), s
+        assert np.array_equal(id_tab[valid_n], na_.ids[valid_n]), s
         np.testing.assert_array_equal(dn.angles, na_.angles)
         assert np.array_equal(dn.vrb & 3, np.asarray(na_.vrb) & 3), s
+        prev_slot = np.asarray(pk_a.slot) & SLOT_MASK
 
         ca = jax.tree.map(np.asarray, ev_a)
         cs = jax.tree.map(np.asarray, ev_s)
@@ -313,7 +337,7 @@ def test_scan_aligned_matches_scan_sorted(batched):
             soa_batch=True,
         )
     )(init_sorted_carry(H, P), sorted_staged)
-    carry_a, (cnt_a, ids_a, ang_a, slots_a) = jax.jit(
+    carry_a, (cnt_a, ids_a, ang_a) = jax.jit(
         lambda c, s: scan_events_aligned(
             c, s, K, box_size=100.0, soa_batch=True, batched=batched
         )
@@ -334,15 +358,24 @@ def test_scan_aligned_matches_scan_sorted(batched):
     assert np.array_equal(cnt_s, cnt_a)
     ids_s, ids_a = np.asarray(ids_s), np.asarray(ids_a)
     ang_s, ang_a = np.asarray(ang_s), np.asarray(ang_a)
+    # aligned events are positional: map row positions through the
+    # staged ID tables; angles come back f16-exact, so compare both
+    # engines at the savefile's f16 storage precision
+    staged_ids = np.asarray(aligned_staged.ids)
     total = 0
     for s in range(S):
         for h in range(H):
             n = cnt_s[s, h]
             total += n
-            ea = set(zip(ids_a[s, h][:n].tolist(),
-                         ang_a[s, h][:n].tolist()))
-            es = set(zip(ids_s[s, h][:n].tolist(),
-                         ang_s[s, h][:n].tolist()))
+            pos = ids_a[s, h][:n]
+            ea = set(zip(
+                staged_ids[s, h][pos].tolist(),
+                ang_a[s, h][:n].astype(np.float16).tolist(),
+            ))
+            es = set(zip(
+                ids_s[s, h][:n].tolist(),
+                ang_s[s, h][:n].astype(np.float16).tolist(),
+            ))
             assert ea == es, (s, h)
     assert total > 0  # the sequence must actually produce events
 
