@@ -35,8 +35,12 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 import numpy as np  # noqa: E402
 
 
+_T0 = time.perf_counter()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter() - _T0:6.1f}s]", *a,
+          file=sys.stderr, flush=True)
 
 
 # ----------------------------------------------------------------------
@@ -55,12 +59,14 @@ def log(*a):
 # (untunneled) deployment pays per scan.
 
 
-def time_marginal(build, carry0, snaps, repeat=5, repeats=3):
+def time_marginal(build, carry0, snaps, repeat=5, repeats=3, fn1=None):
     """Marginal seconds per pass of ``build(R)(carry0, snaps)``.
 
     ``build(R)`` must return a jitted function running the measured
     pass ``R`` times chained (carry of pass i feeds pass i+1) and
     returning reduced scalars (so nothing is DCE'd yet fetch is cheap).
+    ``fn1``: an already-compiled ``build(1)`` to reuse (saves one
+    tunnel-expensive compile when the caller warmed it for checks).
     """
 
     def best_of(fn):
@@ -75,7 +81,7 @@ def time_marginal(build, carry0, snaps, repeat=5, repeats=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = best_of(build(1))
+    t1 = best_of(fn1 if fn1 is not None else build(1))
     tR = best_of(build(repeat))
     return max((tR - t1) / (repeat - 1), 1e-12), t1
 
@@ -330,8 +336,8 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     # On-device event compaction: the scan emits [S, H, K] event lists
     # + counts (what the savefile writer consumes) instead of full
     # [S, H, P] masks.  Timing is the dispatch-floor-free marginal cost
-    # per scan (see time_marginal); a materializing pass runs once for
-    # the event-count correctness checks.
+    # per scan (see time_marginal); the single-pass compile doubles as
+    # the event-count/overflow correctness pass.
     # event capacity: ample headroom over the per-halo event rate
     # (overflowing rows are detectable via cnt > K and re-run)
     K = max(128, capacity // 16)
@@ -348,36 +354,37 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
             )
         return carry, cnt, ids, angles
 
-    # correctness pass: materialize the event tensors once, check counts
-    check = jax.jit(
-        lambda c, s: (lambda o: (jnp.sum(o[1]), jnp.max(o[1]), o[2], o[3]))(
-            run_one(c, s)
-        )
-    )
-    out = check(carry0, snaps)
-    events = int(np.asarray(out[0]))
-    assert int(np.asarray(out[1])) <= K, "event capacity overflow in bench"
-
     # timing: R chained passes in one jit (see time_marginal) — the
     # event outputs are reduced to scalars each pass so the compaction
-    # is not DCE'd but the fetch stays cheap
+    # is not DCE'd but the fetch stays cheap.  The correctness signals
+    # (single-pass event total, per-row count max for the overflow
+    # check) ride build(1)'s outputs, so no separate check function —
+    # every compile on the tunneled TPU is seconds-expensive and the
+    # bench budget is dominated by compiles.
     def build(R):
         @jax.jit
         def fn(c, s):
             def body(_, st):
-                c, tot, sink = st
+                c, tot, mx, sink = st
                 c, cnt, ids, angles = run_one(c, s)
                 tot = tot + jnp.sum(cnt)
+                mx = jnp.maximum(mx, jnp.max(cnt))
                 sink = (sink + jnp.sum(angles)
                         + jnp.sum(ids.astype(jnp.float32)))
-                return (c, tot, sink)
-            _, tot, sink = jax.lax.fori_loop(
-                0, R, body, (c, jnp.int32(0), jnp.float32(0))
+                return (c, tot, mx, sink)
+            _, tot, mx, sink = jax.lax.fori_loop(
+                0, R, body, (c, jnp.int32(0), jnp.int32(0),
+                             jnp.float32(0))
             )
-            return tot, sink
+            return tot, mx, sink
         return fn
 
-    best, t_dispatch = time_marginal(build, carry0, snaps)
+    fn1 = build(1)
+    out = fn1(carry0, snaps)  # compile + correctness pass in one
+    events = int(np.asarray(out[0]))
+    assert int(np.asarray(out[1])) <= K, "event capacity overflow in bench"
+
+    best, t_dispatch = time_marginal(build, carry0, snaps, fn1=fn1)
     log(f"  [{engine}] single-dispatch wall (incl. tunnel floor): "
         f"{t_dispatch*1e3:.1f} ms")
     updates = n_snaps * n_halos * (n_valid or capacity)
@@ -420,19 +427,27 @@ def main():
 
     # secondary: the same churn through the fused device-side merge
     # join (join_impl='sorted' — the path for fully device-resident
-    # pipelines where the host never touches the sequence)
+    # pipelines where the host never touches the sequence).  Secondary
+    # engines run a 12-snapshot slice: single-core presort staging and
+    # tunnel compiles dominate the bench budget, the marginal-timing
+    # methodology amortizes the same either way, and the cross-engine
+    # event-stream equality the full-length assert used to provide is
+    # owned by tests/test_aligned.py::test_scan_aligned_matches_scan_sorted
+    s_sec = min(12, n_snaps)
     join_ups, join_events, t_j = device_updates_per_s(
-        ids_c, pos_c, vel_c, centers_c, n_valid=n_valid, engine="sorted"
+        ids_c[:s_sec], pos_c[:s_sec], vel_c[:s_sec], centers_c[:s_sec],
+        n_valid=n_valid, engine="sorted"
     )
     log(f"device churn (merge-join engine): {join_ups:.3e} updates/s "
-        f"({join_events} apsis events, {t_j:.3f} s/scan)")
-    assert join_events == churn_events, "engines disagree on event count"
+        f"({join_events} apsis events over {s_sec} snaps, "
+        f"{t_j:.3f} s/scan)")
 
     # secondary: fixed membership — the static fast path ceiling
     # (reuses the orbit pool: generation runs once)
     ids_seq, pos_seq, vel_seq, centers_seq, _ = make_static_sequence(orbits)
     static_ups, s_events, t_s = device_updates_per_s(
-        ids_seq, pos_seq, vel_seq, centers_seq
+        ids_seq[:s_sec], pos_seq[:s_sec], vel_seq[:s_sec],
+        centers_seq[:s_sec]
     )
     log(f"device static: {static_ups:.3e} updates/s "
         f"({s_events} apsis events, {t_s:.3f} s/scan)")

@@ -296,6 +296,60 @@ def test_aligned_step_matches_sorted_engine(churn_setup):  # noqa: F811
                 assert ma[i] == ms[i], (s, h, i)
 
 
+def test_aligned_detect_impls_agree(churn_setup):  # noqa: F811
+    """The two aligned detect implementations — XLA elementwise +
+    single-payload compaction ('xla', default) and the fused 10-stream
+    Pallas kernel ('pallas') — must emit identical positional event
+    sets and bit-identical carries on a churning sequence.  The pallas
+    path returns full-f32 angles with prev load slots; compare at the
+    f16 storage precision the xla path quantizes to."""
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import (
+        init_aligned_carry,
+        make_aligned_native_step,
+    )
+
+    box, snaps, regions, loader, snap_nums, branches = churn_setup
+    rows = np.arange(3)
+    P = 256
+    lay = StableLayout(3, P)
+    step_x = jax.jit(make_aligned_native_step(
+        P, box_size=box, detect_impl="xla"))
+    step_p = jax.jit(make_aligned_native_step(
+        P, box_size=box, detect_impl="pallas"))
+    carry_x = init_aligned_carry(3, P)
+    carry_p = init_aligned_carry(3, P)
+
+    total = 0
+    for s in range(len(snaps)):
+        rp, rr = regions(s, branches[s])
+        snap = loader(s, rp, rr)
+        pk = pack_snapshot_aligned(snap, rows, 3, lay, rp, None)
+        batch = SnapshotBatch(
+            ids=jnp.asarray(pk.ids), pos=jnp.asarray(pk.pos),
+            vel=jnp.asarray(pk.vel), center=jnp.asarray(pk.center),
+            mass=None if pk.mass is None else jnp.asarray(pk.mass),
+            bulk_vel=None, hubble_drag=jnp.float32(0),
+            slot=jnp.asarray(pk.slot),
+        )
+        carry_x, ev_x = step_x(carry_x, batch)
+        carry_p, ev_p = step_p(carry_p, batch)
+        ex = jax.tree.map(np.asarray, ev_x)
+        ep = jax.tree.map(np.asarray, ev_p)
+        assert np.array_equal(ex.count, ep.count), s
+        for h in range(3):
+            n = ex.count[h]
+            total += n
+            got = set(zip(ex.ids[h][:n].tolist(),
+                          ex.angles[h][:n].astype(np.float16).tolist()))
+            want = set(zip(ep.ids[h][:n].tolist(),
+                           ep.angles[h][:n].astype(np.float16).tolist()))
+            assert got == want, (s, h)
+        for a, b in zip(jax.tree.leaves(carry_x), jax.tree.leaves(carry_p)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert total > 0
+
+
 @pytest.mark.parametrize("batched", [False, True])
 def test_scan_aligned_matches_scan_sorted(batched):
     """The scan-resident aligned path (stage_batch_aligned +

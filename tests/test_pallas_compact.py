@@ -55,3 +55,43 @@ def test_compact_adversarial_gaps(rng):
     for r in range(4):
         k = int(rows[r].sum())
         np.testing.assert_array_equal(got[r, :k], vals[r, rows[r] == 1])
+
+
+@pytest.mark.parametrize("h,p,density,k", [
+    (4, 512, 0.1, 512),
+    (2, 1024, 0.9, 256),
+    (3, 256, 0.0, 128),
+])
+def test_compact_payload_front_packs(rng, h, p, density, k):
+    """Single-stream payload compaction: flagged entries (payload >=
+    2^15) land front-packed in position order; selection derives from
+    the payload itself — no flag stream."""
+    from orbitanalysis_tpu.ops.pallas_compact import compact_payload
+
+    sel = rng.random((h, p)) < density
+    pos = np.broadcast_to(np.arange(p, dtype=np.uint32), (h, p))
+    ang = rng.integers(0, 1 << 15, size=(h, p), dtype=np.int64).astype(
+        np.uint32
+    )
+    payload = np.where(sel, ((pos + 1) << 15) | ang, np.uint32(0))
+    got = np.asarray(compact_payload(jnp.asarray(payload), k))
+    for r in range(h):
+        want = payload[r, sel[r]]
+        n = min(len(want), got.shape[1])
+        np.testing.assert_array_equal(got[r, :n], want[:n])
+
+
+def test_compact_payload_edges(rng):
+    """Boundary payloads: event at position 0 (smallest key 1<<15),
+    event at the last lane, max angle bits, fully dense row."""
+    from orbitanalysis_tpu.ops.pallas_compact import compact_payload
+
+    p = 256
+    pay = np.zeros((3, p), np.uint32)
+    pay[0, 0] = (1 << 15) | 0x7FFF        # pos 0, max angle
+    pay[0, p - 1] = (np.uint32(p) << 15)  # last position, angle 0
+    pay[1] = ((np.arange(p, dtype=np.uint32) + 1) << 15) | 1  # dense
+    got = np.asarray(compact_payload(jnp.asarray(pay), p))
+    np.testing.assert_array_equal(got[0, :2], [pay[0, 0], pay[0, p - 1]])
+    np.testing.assert_array_equal(got[1], pay[1])
+    # row 2 has no events; entries past the count are unspecified
