@@ -8,10 +8,15 @@ select-shift passes.
 Algorithm: each selected element must move left by ``g = (number of
 unselected entries before it)``; processing the bits of ``g`` from LSB
 to MSB, a pass of shift ``2^j`` moves every element whose remaining
-shift has bit ``j`` set.  Intermediate positions of the selected
-elements are strictly increasing (the gap counts are monotone), so no
-two live elements ever collide; a "live" flag rides in bit 30 of the
-shift channel so vacated slots cannot re-emit stale copies.
+shift has bit ``j`` set.  After passes ``0..j-1`` element ``k`` sits at
+``target_k + 2^j * floor(gap_k / 2^j)``, strictly increasing in ``k``
+(targets strictly increase, gaps are monotone), so no two live
+elements ever collide — including settled ones (remaining shift 0).
+No separate live flag is needed: a vacated slot zeroes in the same
+pass (its ``staying`` test fails exactly when the move bit is set), a
+settled element has no bits left so it never re-arrives, and dead
+slots carry ``g = 0`` whose every bit test fails — so ``g != 0``
+doubles as liveness and each pass is just two bit tests.
 
 Like :mod:`orbitanalysis_tpu.ops.pallas_merge`, rows are ``[R, 128]``
 lane-major blocks and every pass is two-three vector ops per channel,
@@ -30,8 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orbitanalysis_tpu.ops.pallas_merge import _LANES, _roll_flat
-
-_LIVE = 1 << 30  # python int: jnp scalars would be captured as consts
 
 
 def _cumsum_flat(x):
@@ -55,13 +58,14 @@ def _cumsum_flat(x):
 
 
 def _live_shifts(sel, incl):
-    """Shift-to-target channel: live flag in bit 30, dead entries inert.
-    ``incl`` is the inclusive cumsum of ``sel``."""
+    """Remaining-shift channel: ``flat_pos - target`` for selected
+    entries, 0 for dead ones (``g != 0`` doubles as liveness — see
+    module docstring).  ``incl`` is the inclusive cumsum of ``sel``."""
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0) * _LANES
         + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
     )
-    return jnp.where(sel == 1, (flat - incl + 1) | _LIVE, 0)
+    return jnp.where(sel == 1, flat - incl + 1, 0)
 
 
 def _compact_group(sel, chans, n, g=None):
@@ -75,9 +79,12 @@ def _compact_group(sel, chans, n, g=None):
     while s < n:
         gv = _roll_flat(g, -s)
         bit = jnp.int32(1) << j
-        arriving = ((gv & _LIVE) != 0) & ((gv & bit) != 0)
-        staying = ((g & _LIVE) != 0) & ((g & bit) == 0)
-        g = jnp.where(arriving, gv, jnp.where(staying, g, 0))
+        # bit set in the rolled-in shift -> that element moves here this
+        # pass; bit set in the resident shift -> it moves out (zero the
+        # slot so nothing stale re-emits).  Dead slots are g = 0: every
+        # bit test fails, so they neither arrive nor hold.
+        arriving = (gv & bit) != 0
+        g = jnp.where(arriving, gv, jnp.where((g & bit) == 0, g, 0))
         for c in range(len(chans)):
             cv = _roll_flat(chans[c], -s)
             chans[c] = jnp.where(arriving, cv, chans[c])
