@@ -223,7 +223,11 @@ def scan_events_aligned(
             "'pericentric' or 'apocentric'."
         )
     from orbitanalysis_tpu.ops.geometry import region_frame
-    from orbitanalysis_tpu.ops.pallas_compact import compact_payload
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        PAYLOAD_MAX_ROW,
+        compact_payload,
+        compact_payload_pair,
+    )
     from orbitanalysis_tpu.ops.pallas_step import _acos_f32
     from orbitanalysis_tpu.ops.sorted_step import (
         AlignedCarry,
@@ -238,8 +242,18 @@ def scan_events_aligned(
             "stage via stage_batch_aligned"
         )
     pericentric = mode == "pericentric"
-    invalid = invalid_id_for(id_dtype)
     id_dt = jnp.dtype(id_dtype)
+    if id_dt.itemsize != 4 or not jnp.issubdtype(id_dt, jnp.signedinteger):
+        # the positional carry packs the sentinel into uint32 keys;
+        # wide (e.g. Gadget uint64) IDs must be staged through the
+        # int32 position-surrogate (pack_snapshot_aligned does this)
+        raise ValueError(
+            "the aligned sequence driver requires 32-bit signed particle "
+            "IDs on device; stage wide IDs through the int32 position "
+            "surrogate (pack_snapshot_aligned / the tracker's aligned "
+            "engine does this automatically)"
+        )
+    invalid = invalid_id_for(id_dtype)
     snaps = _with_drag_axis(snaps)
     ids = snaps.ids
     S, H, P = ids.shape
@@ -316,20 +330,33 @@ def scan_events_aligned(
 
     # one compaction launch over all S*H rows — a single u32 payload
     # word per event (see compact_payload): position + f16 angle; the
-    # key/prev-sv channels disappeared with the positional contract
+    # key/prev-sv channels disappeared with the positional contract.
+    # Rows wider than PAYLOAD_MAX_ROW (the 131072 fused ceiling) take
+    # the two-stream pair kernel: pos + 1 = 2**17 would wrap the
+    # single word to zero and silently drop the last row's events.
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, H, P), 2)
     ang15 = jax.lax.bitcast_convert_type(
         ev_ang.astype(jnp.float16), jnp.uint16
     ).astype(jnp.uint32)
-    payload = jnp.where(
-        apsis,
-        ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
-        jnp.uint32(0),
-    )
-    evpay = compact_payload(payload.reshape(S * H, P), k_eff)
-    ev_pos = (evpay >> 15).astype(jnp.int32) - 1
+    if P <= PAYLOAD_MAX_ROW:
+        payload = jnp.where(
+            apsis,
+            ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
+            jnp.uint32(0),
+        )
+        evpay = compact_payload(payload.reshape(S * H, P), k_eff)
+        ev_pos = (evpay >> 15).astype(jnp.int32) - 1
+        ev_ang_bits = evpay & jnp.uint32(0x7FFF)
+    else:
+        posw = jnp.where(
+            apsis, (pos_iota + 1).astype(jnp.uint32), jnp.uint32(0)
+        )
+        evposw, ev_ang_bits = compact_payload_pair(
+            posw.reshape(S * H, P), ang15.reshape(S * H, P), k_eff
+        )
+        ev_pos = evposw.astype(jnp.int32) - 1
     evang = jax.lax.bitcast_convert_type(
-        (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16), jnp.float16
+        ev_ang_bits.astype(jnp.uint16), jnp.float16
     ).astype(jnp.float32)
     kw = ev_pos.shape[-1]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (S * H, kw), 1)

@@ -994,6 +994,20 @@ def track_orbits(
                 # track_orbits.py:300-314)
                 counts = ev_count[saved_rows]
                 width = events.ids.shape[1]
+                if int(counts.max(initial=0)) > width:
+                    # the compaction kernel truncated events past the
+                    # buffer width while the counts (a full-row sum)
+                    # kept them — writing would misalign apsis_offsets
+                    # against the flattened ids/angles.  Fail loud; the
+                    # savefile log + checkpoint make the run resumable
+                    # with a larger capacity.
+                    raise RuntimeError(
+                        "aligned-engine event buffer overflow: a halo "
+                        f"row produced {int(counts.max(initial=0))} "
+                        f"apsides but the event buffer holds {width}; "
+                        "re-run (resume=True) with a larger "
+                        "event_capacity"
+                    )
                 kf = min(round_up(max(int(counts.max(initial=0)), 1), 256),
                          width)
                 with phase_timer(phases, "fetch"):

@@ -254,6 +254,14 @@ def _compact_payload_call(k128, interpret, payload):
     )(payload)
 
 
+#: Widest row the single-word positional payload supports: the 17 bits
+#: above the f16 angle hold ``pos + 1 <= 2**17 - 1``, i.e. positions up
+#: to 131070.  At the fused engine's 131072-row ceiling the LAST row
+#: position would wrap ``(2**17) << 15`` to zero and silently drop the
+#: event — rows that wide must go through :func:`compact_payload_pair`.
+PAYLOAD_MAX_ROW = (1 << 17) - 1
+
+
 def compact_payload(payload, event_capacity: int):
     """Single-stream event compaction — the aligned engine's whole
     sparse-extraction layer in its minimal form: ONE ``[H, P]`` uint32
@@ -267,14 +275,22 @@ def compact_payload(payload, event_capacity: int):
     slots at write time — the wide-ID surrogate path generalized), and
     apsis angles are non-negative so their float16 encoding needs only
     15 bits.  Payload format: ``((pos + 1) << 15) | f16_bits(angle)``
-    — ``pos + 1`` needs 17 bits at the fused engine's 131072-row
-    ceiling, exactly filling the word; zero means "no event", so the
-    selection mask is derived in-kernel and no flag stream is read.
+    — the 17 bits above the angle hold ``pos + 1`` up to ``2**17 - 1``
+    (position 131070); zero means "no event", so the selection mask is
+    derived in-kernel and no flag stream is read.  Rows wider than
+    :data:`PAYLOAD_MAX_ROW` are rejected (position 131071's ``pos + 1``
+    would wrap to zero): use :func:`compact_payload_pair` there.
 
     Returns ``[H, k128]`` uint32 with flagged entries front-packed in
     position order; entries past each row's count are unspecified.
     """
     h, p = payload.shape
+    if p > PAYLOAD_MAX_ROW:
+        raise ValueError(
+            f"single-word positional payloads address at most "
+            f"{PAYLOAD_MAX_ROW} row positions (got row length {p}); "
+            "use compact_payload_pair"
+        )
     if p % _LANES:
         raise ValueError(f"row length must be a multiple of {_LANES}")
     k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, p)
@@ -284,6 +300,71 @@ def compact_payload(payload, event_capacity: int):
         k128, interpret, payload.reshape(h, r, _LANES)
     )
     return out.reshape(h, k128)
+
+
+def _compact_payload_pair_kernel(n, pos_ref, ang_ref, out_pos, out_ang):
+    posw = pos_ref[0]
+    # selection lives in the position word alone: pos + 1 >= 1 for any
+    # event, exactly 0 for a non-event — the angle word rides along
+    sel = (posw != 0).astype(jnp.int32)
+    a, b = _compact_group(sel, [posw, ang_ref[0]], n)
+    rows = out_pos.shape[1]
+    out_pos[0] = a[:rows]
+    out_ang[0] = b[:rows]
+
+
+@functools.partial(jax.jit, static_argnames=("k128", "interpret"))
+def _compact_payload_pair_call(k128, interpret, posw, angw):
+    h, r, _ = posw.shape
+    n = r * _LANES
+    kr = k128 // _LANES
+    spec_in = pl.BlockSpec(
+        (1, r, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_out = pl.BlockSpec(
+        (1, kr, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_compact_payload_pair_kernel, n),
+        grid=(h,),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+        ),
+        in_specs=[spec_in, spec_in],
+        out_specs=(spec_out, spec_out),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(posw, angw)
+
+
+def compact_payload_pair(posw, angw, event_capacity: int):
+    """Two-stream positional event compaction for rows too wide for the
+    single-word encoding (``P > PAYLOAD_MAX_ROW``, i.e. the fused
+    engine's 131072-row ceiling): ``posw`` carries ``pos + 1`` (full
+    word, no bit budget) where an event fired and 0 elsewhere; ``angw``
+    carries the angle payload at the same positions.  One extra channel
+    through the select-shift network (gap counter + 2 payloads vs + 1)
+    — only paid on capacity-131072 rows.
+
+    Returns ``(ev_pos_word, ev_ang_word)``, each ``[H, k128]`` uint32
+    with events front-packed in position order; entries past each
+    row's count are unspecified.
+    """
+    h, p = posw.shape
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    k128 = min(((event_capacity + _LANES - 1) // _LANES) * _LANES, p)
+    r = p // _LANES
+    interpret = default_interpret()
+    out_pos, out_ang = _compact_payload_pair_call(
+        k128, interpret,
+        posw.reshape(h, r, _LANES),
+        angw.reshape(h, r, _LANES),
+    )
+    return out_pos.reshape(h, k128), out_ang.reshape(h, k128)
 
 
 def compact_rows(sel_a, ops_a, len_a, sel_b, ops_b, len_b):

@@ -835,7 +835,9 @@ def make_aligned_native_step(
         k_eff = min(K, p)
         if detect_impl == "xla":
             from orbitanalysis_tpu.ops.pallas_compact import (
+                PAYLOAD_MAX_ROW,
                 compact_payload,
+                compact_payload_pair,
             )
 
             fresh = (snap.slot & (1 << 27)) != 0
@@ -862,24 +864,36 @@ def make_aligned_native_step(
             ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
             # single-payload event word: ((pos + 1) << 15) | f16(angle)
             # — angles are non-negative so their f16 encoding needs only
-            # 15 bits (the savefile stores f16 anyway), and pos + 1 at
-            # the 131072-row fused ceiling needs 17; zero = no event.
-            # One u32 stream through the compaction network instead of
-            # (flags, key, sv) — see compact_payload.
+            # 15 bits (the savefile stores f16 anyway), and the 17 bits
+            # above it hold pos + 1 <= 2**17 - 1 (position 131070);
+            # zero = no event.  One u32 stream through the compaction
+            # network instead of (flags, key, sv) — see compact_payload.
+            # At the 131072-row fused ceiling the LAST position's
+            # pos + 1 = 2**17 would wrap the word to zero and drop the
+            # event, so such rows take the two-stream pair kernel.
             ang15 = jax.lax.bitcast_convert_type(
                 angle_acc.astype(jnp.float16), jnp.uint16
             ).astype(jnp.uint32)
-            payload = jnp.where(
-                apsis,
-                ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
-                jnp.uint32(0),
-            )
             count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
-            evpay = compact_payload(payload, k_eff)
-            ev_pos = (evpay >> 15).astype(jnp.int32) - 1
+            if p <= PAYLOAD_MAX_ROW:
+                payload = jnp.where(
+                    apsis,
+                    ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
+                    jnp.uint32(0),
+                )
+                evpay = compact_payload(payload, k_eff)
+                ev_pos = (evpay >> 15).astype(jnp.int32) - 1
+                ev_ang_bits = evpay & jnp.uint32(0x7FFF)
+            else:
+                posw = jnp.where(
+                    apsis, (pos_iota + 1).astype(jnp.uint32), jnp.uint32(0)
+                )
+                evposw, ev_ang_bits = compact_payload_pair(
+                    posw, ang15, k_eff
+                )
+                ev_pos = evposw.astype(jnp.int32) - 1
             evang = jax.lax.bitcast_convert_type(
-                (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16),
-                jnp.float16,
+                ev_ang_bits.astype(jnp.uint16), jnp.float16,
             ).astype(angle_dtype)
             new_carry = AlignedCarry(
                 key=cur_key, sv=cur_sv, rhat=frame.rhat, packed=packed

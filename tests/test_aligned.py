@@ -786,3 +786,111 @@ def test_aligned_wide_ids_growth_and_resume(tmp_path, growing_setup):  # noqa: F
         for k in a:
             for ds in a[k]:
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+
+def _ceiling_batch(ids, slot_arr, vx, fresh):
+    """[1, P] SnapshotBatch: all particles at +x radius 1, radial
+    velocity = vx (bulk velocity pinned to zero so vr == vx exactly)."""
+    from orbitanalysis_tpu.engine.packing import FRESH_BIT
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+
+    P = len(ids)
+    pos = np.zeros((1, P, 3), np.float32)
+    pos[0, :, 0] = 1.0
+    vel = np.zeros((1, P, 3), np.float32)
+    vel[0, :, 0] = vx
+    return SnapshotBatch(
+        ids=jnp.asarray(ids[None]),
+        pos=jnp.asarray(pos),
+        vel=jnp.asarray(vel),
+        center=jnp.zeros((1, 3), jnp.float32),
+        mass=None,
+        bulk_vel=jnp.zeros((1, 3), jnp.float32),
+        hubble_drag=jnp.float32(0),
+        slot=jnp.asarray(slot_arr[None] | (FRESH_BIT if fresh else 0)),
+    )
+
+
+def test_aligned_step_last_position_event_at_fused_ceiling():
+    """Advisor round-2 high finding: at P = MAX_FUSED_CAPACITY = 131072
+    the single-word positional payload wraps ``(pos + 1) << 15`` to zero
+    for the LAST row position, silently dropping its event while the
+    count keeps it (a wrong trailing word would then reach the
+    savefile).  Wide rows must route through the two-stream pair kernel
+    and emit every event, last position included."""
+    from orbitanalysis_tpu.ops.sorted_step import (
+        MAX_FUSED_CAPACITY,
+        init_aligned_carry,
+        make_aligned_native_step,
+    )
+
+    P = MAX_FUSED_CAPACITY
+    fire = np.array([0, 12345, P - 1])
+    ids = np.arange(P, dtype=np.int32)
+    slot = np.arange(P, dtype=np.int32)
+    vx0 = np.full(P, -1.0, np.float32)   # inward everywhere
+    vx1 = np.full(P, -1.0, np.float32)
+    vx1[fire] = 1.0                      # sign flip -> pericenter
+
+    step = make_aligned_native_step(256, detect_impl="xla")
+    carry = init_aligned_carry(1, P)
+    carry, ev0 = step(carry, _ceiling_batch(ids, slot, vx0, True))
+    carry, ev1 = step(carry, _ceiling_batch(ids, slot, vx1, False))
+    ev0, ev1 = jax.tree.map(np.asarray, (ev0, ev1))
+    assert int(ev0.count[0]) == 0        # everything FRESH at snap 0
+    assert int(ev1.count[0]) == len(fire)
+    got = np.sort(ev1.ids[0][: len(fire)])
+    np.testing.assert_array_equal(got, fire)
+    # rhat is identical across the pair, so the apsis angles are ~0
+    assert np.all(np.abs(ev1.angles[0][: len(fire)]) < 1e-3)
+
+
+def test_scan_aligned_batched_last_position_event_at_fused_ceiling():
+    """Same regression through the batched sequence driver (the second
+    site of the single-word encoding, engine/scan.py)."""
+    from orbitanalysis_tpu.engine.scan import scan_events_aligned
+    from orbitanalysis_tpu.ops.sorted_step import (
+        MAX_FUSED_CAPACITY,
+        init_aligned_carry,
+    )
+
+    P = MAX_FUSED_CAPACITY
+    fire = np.array([7, P - 1])
+    ids = np.arange(P, dtype=np.int32)
+    slot = np.arange(P, dtype=np.int32)
+    vx0 = np.full(P, -1.0, np.float32)
+    vx1 = np.full(P, -1.0, np.float32)
+    vx1[fire] = 1.0
+
+    b0 = _ceiling_batch(ids, slot, vx0, True)
+    b1 = _ceiling_batch(ids, slot, vx1, False)
+    snaps = jax.tree.map(lambda *xs: jnp.stack(xs), b0, b1)
+    _, (count, ev_pos, _ang) = scan_events_aligned(
+        init_aligned_carry(1, P), snaps, event_capacity=256, batched=True
+    )
+    count, ev_pos = np.asarray(count), np.asarray(ev_pos)
+    assert int(count[0, 0]) == 0
+    assert int(count[1, 0]) == len(fire)
+    np.testing.assert_array_equal(
+        np.sort(ev_pos[1, 0][: len(fire)]), fire
+    )
+
+
+def test_scan_aligned_batched_rejects_wide_id_dtype():
+    """Advisor round-2 low finding: the batched driver crashed with an
+    OverflowError building a uint32 sentinel when handed
+    id_dtype=int64; it must reject wide dtypes with a pointer at the
+    int32 position-surrogate instead."""
+    from orbitanalysis_tpu.engine.scan import scan_events_aligned
+    from orbitanalysis_tpu.ops.sorted_step import init_aligned_carry
+
+    P = 256
+    ids = np.arange(P, dtype=np.int32)
+    slot = np.arange(P, dtype=np.int32)
+    b = _ceiling_batch(ids, slot, np.full(P, -1.0, np.float32), True)
+    snaps = jax.tree.map(lambda *xs: jnp.stack(xs), b, b)
+    with pytest.raises(ValueError, match="position\\s+surrogate|surrogate"):
+        scan_events_aligned(
+            init_aligned_carry(1, P), snaps, event_capacity=64,
+            batched=True, id_dtype=np.int64,
+        )

@@ -95,3 +95,68 @@ def test_compact_payload_edges(rng):
     np.testing.assert_array_equal(got[0, :2], [pay[0, 0], pay[0, p - 1]])
     np.testing.assert_array_equal(got[1], pay[1])
     # row 2 has no events; entries past the count are unspecified
+
+
+def test_compact_payload_rejects_overwide_rows():
+    """The single-word encoding holds pos + 1 <= 2**17 - 1; a row at the
+    131072 fused ceiling would wrap the LAST position's payload to zero
+    and silently drop its event (advisor round-2 high finding) — such
+    rows must be rejected, not mis-compacted."""
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        PAYLOAD_MAX_ROW,
+        compact_payload,
+    )
+
+    assert PAYLOAD_MAX_ROW == (1 << 17) - 1
+    pay = jnp.zeros((1, 1 << 17), jnp.uint32)
+    with pytest.raises(ValueError, match="compact_payload_pair"):
+        compact_payload(pay, 128)
+
+
+@pytest.mark.parametrize("h,p,density,k", [
+    (4, 512, 0.1, 512),
+    (2, 1024, 0.9, 256),
+    (3, 256, 0.0, 128),
+])
+def test_compact_payload_pair_front_packs(rng, h, p, density, k):
+    """Two-stream positional compaction: selection derives from the
+    position word (pos + 1, 0 = no event); the angle word rides along."""
+    from orbitanalysis_tpu.ops.pallas_compact import compact_payload_pair
+
+    sel = rng.random((h, p)) < density
+    pos = np.broadcast_to(np.arange(p, dtype=np.uint32), (h, p))
+    ang = rng.integers(0, 1 << 15, size=(h, p), dtype=np.int64).astype(
+        np.uint32
+    )
+    posw = np.where(sel, pos + 1, np.uint32(0))
+    angw = np.where(sel, ang, np.uint32(0))
+    got_pos, got_ang = compact_payload_pair(
+        jnp.asarray(posw), jnp.asarray(angw), k
+    )
+    got_pos, got_ang = np.asarray(got_pos), np.asarray(got_ang)
+    for r in range(h):
+        want_p = posw[r, sel[r]]
+        want_a = angw[r, sel[r]]
+        n = min(len(want_p), got_pos.shape[1])
+        np.testing.assert_array_equal(got_pos[r, :n], want_p[:n])
+        np.testing.assert_array_equal(got_ang[r, :n], want_a[:n])
+
+
+def test_compact_payload_pair_last_position_131072():
+    """The exact advisor scenario: an event at row position 131071 of a
+    131072-wide row (pos + 1 = 2**17, unrepresentable in the single-word
+    encoding) survives the pair kernel."""
+    from orbitanalysis_tpu.ops.pallas_compact import compact_payload_pair
+
+    p = 1 << 17
+    posw = np.zeros((1, p), np.uint32)
+    angw = np.zeros((1, p), np.uint32)
+    posw[0, p - 1] = p          # pos + 1 = 131072
+    angw[0, p - 1] = 0x7ABC
+    posw[0, 7] = 8
+    angw[0, 7] = 3
+    got_pos, got_ang = compact_payload_pair(
+        jnp.asarray(posw), jnp.asarray(angw), 128
+    )
+    np.testing.assert_array_equal(np.asarray(got_pos)[0, :2], [8, p])
+    np.testing.assert_array_equal(np.asarray(got_ang)[0, :2], [3, 0x7ABC])
