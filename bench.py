@@ -274,6 +274,174 @@ def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
 
 
 # ----------------------------------------------------------------------
+# sustained pipeline: staging on the critical path
+# ----------------------------------------------------------------------
+
+def sustained_pipeline_updates_per_s(ids_seq, pos_seq, vel_seq,
+                                     centers_seq, n_valid, box=100.0,
+                                     chunk_snaps=2, repeats=2):
+    """End-to-end sustained rate with NOTHING pre-staged: per chunk of
+    ``chunk_snaps`` snapshots, run host stable-layout staging (the
+    native h-major incremental-table pass) -> host-to-device transfer
+    -> the aligned scan, with a staging thread running one chunk ahead
+    (the tracker's prefetch structure).  The chunk size keeps each
+    transferred array under ~48 MB — the tunneled device's put
+    bandwidth collapses ~25x beyond that (measured 1.4 GB/s below,
+    0.05 above).
+
+    Returns ``(updates_per_s, dict_of_phase_seconds, events)``.  This
+    is the number the round-2 review asked for: the host staging that
+    the marginal device metric excludes is ON the critical path here
+    (the reference's host I/O boundary, ``track_orbits.py:121-122``).
+    Persistent staging buffers are faulted in before timing — the
+    tracker reuses its buffers in steady state, so warm buffers ARE
+    the steady state being measured.
+    """
+    import queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu import native
+    from orbitanalysis_tpu.engine.packing import StableLayout, align_packed
+    from orbitanalysis_tpu.engine.scan import scan_events_aligned
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import init_aligned_carry
+
+    n_snaps, n_halos, capacity = ids_seq.shape
+    S0 = chunk_snaps
+    assert n_snaps % S0 == 0
+    n_chunks = n_snaps // S0
+    K = max(128, capacity // 16)
+
+    ids_c = np.ascontiguousarray(ids_seq)
+    pos_c = np.ascontiguousarray(pos_seq, dtype=np.float32)
+    vel_c = np.ascontiguousarray(vel_seq, dtype=np.float32)
+    cen_c = np.ascontiguousarray(centers_seq, dtype=np.float32)
+
+    # two chunk-sized staging buffer sets (double buffer), pre-faulted
+    bufs = []
+    for _ in range(2):
+        b = dict(
+            ids=np.zeros((S0, n_halos, capacity), np.int32),
+            pos=np.zeros((S0, 3, n_halos, capacity), np.float32),
+            vel=np.zeros((S0, 3, n_halos, capacity), np.float32),
+            slot=np.zeros((S0, n_halos, capacity), np.int32),
+        )
+        for a in b.values():
+            a[...] = 0
+        bufs.append(b)
+
+    @jax.jit
+    def scan_chunk(carry, snaps):
+        carry, (cnt, ids, angles) = scan_events_aligned(
+            carry, snaps, K, mode="pericentric", box_size=box,
+            soa_batch=True,
+        )
+        return carry, (jnp.sum(cnt), jnp.max(cnt),
+                       jnp.sum(angles) + jnp.sum(ids.astype(jnp.float32)))
+
+    # the CPU backend zero-copies numpy arrays into jax.Arrays, so a
+    # double-buffered staging thread would mutate what the "device" is
+    # still reading; a real TPU put copies (block_until_ready fences
+    # the transfer), so only non-TPU platforms need the defensive copy
+    needs_copy = jax.devices()[0].platform != "tpu"
+
+    def make_batch(b, c):
+        sl = slice(c * S0, (c + 1) * S0)
+
+        def put(x):
+            return jnp.asarray(x.copy() if needs_copy else x)
+
+        return SnapshotBatch(
+            ids=put(b["ids"]),
+            pos=put(b["pos"]),
+            vel=put(b["vel"]),
+            center=jnp.asarray(cen_c[sl]),
+            mass=None,
+            bulk_vel=None,
+            hubble_drag=jnp.zeros(S0, np.float32),
+            slot=put(b["slot"]),
+        )
+
+    def stage_chunk(layout, b, c):
+        sl = slice(c * S0, (c + 1) * S0)
+        res = native.stable_align_seq_native(
+            layout.layout, ids_c[sl], pos_c[sl], vel_c[sl], None,
+            layout.invalid,
+            out=(b["ids"], b["pos"], b["vel"], None, b["slot"]),
+            soa=True,
+        )
+        if res is None:  # no native library: NumPy fallback
+            for k in range(S0):
+                align_packed(
+                    layout, ids_c[sl][k], pos_c[sl][k], vel_c[sl][k],
+                    None,
+                    out=(b["ids"][k], b["pos"][k], b["vel"][k], None,
+                         b["slot"][k]),
+                    soa=True,
+                )
+
+    def run_once():
+        layout = StableLayout(n_halos, capacity)
+        carry = init_aligned_carry(n_halos, capacity)
+        phases = {"stage": 0.0, "h2d": 0.0, "dispatch": 0.0, "drain": 0.0}
+        staged_q = queue.Queue()
+        free_q = queue.Queue()
+        for b in range(2):
+            free_q.put(b)
+
+        def stager():
+            # staging runs one chunk ahead on its own thread (ctypes
+            # releases the GIL); strictly in order — the stable layout
+            # is sequential by construction.  A buffer is reused only
+            # after the main thread finished transferring it (free_q
+            # token), else staging chunk c+2 races the put of chunk c.
+            for c in range(n_chunks):
+                b = free_q.get()
+                t0 = time.perf_counter()
+                stage_chunk(layout, bufs[b], c)
+                phases["stage"] += time.perf_counter() - t0
+                staged_q.put((c, b))
+
+        th = threading.Thread(target=stager, daemon=True)
+        t_all = time.perf_counter()
+        th.start()
+        outs = []
+        for c in range(n_chunks):
+            got, b = staged_q.get()
+            assert got == c
+            t0 = time.perf_counter()
+            batch = make_batch(bufs[b], c)
+            jax.block_until_ready(batch)
+            free_q.put(b)
+            phases["h2d"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            carry, out = scan_chunk(carry, batch)
+            outs.append(out)
+            phases["dispatch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tot = sum(int(np.asarray(o[0])) for o in outs)
+        mx = max(int(np.asarray(o[1])) for o in outs)
+        phases["drain"] += time.perf_counter() - t0
+        th.join()
+        wall = time.perf_counter() - t_all
+        assert mx <= K, "event capacity overflow in sustained bench"
+        return wall, phases, tot
+
+    run_once()  # compile + warm
+    best = None
+    for _ in range(repeats):
+        wall, phases, events = run_once()
+        if best is None or wall < best[0]:
+            best = (wall, phases, events)
+    wall, phases, events = best
+    updates = n_snaps * n_halos * n_valid
+    return updates / wall, dict(phases, wall=wall), events
+
+
+# ----------------------------------------------------------------------
 # device path
 # ----------------------------------------------------------------------
 
@@ -425,6 +593,24 @@ def main():
     log(f"device churn (aligned engine): {churn_ups:.3e} updates/s "
         f"({churn_events} apsis events, {t_c:.3f} s/scan)")
 
+    # sustained, staging on the critical path (round-2 review item 1):
+    # nothing pre-staged — host stable-layout staging + host->device
+    # transfer + the aligned scan, chunk-pipelined with a staging
+    # thread.  The same churn workload as the headline.
+    sus_ups, sus_phases, sus_events = sustained_pipeline_updates_per_s(
+        ids_c, pos_c, vel_c, centers_c, n_valid
+    )
+    stage_ups = (
+        n_snaps * n_halos * n_valid / sus_phases["stage"]
+        if sus_phases["stage"] > 0 else float("inf")
+    )
+    log(f"sustained incl. staging: {sus_ups:.3e} updates/s "
+        f"(wall {sus_phases['wall']:.2f} s: stage {sus_phases['stage']:.2f}"
+        f" s [{stage_ups:.2e} upd/s staging-only], h2d "
+        f"{sus_phases['h2d']:.2f} s, dispatch+drain "
+        f"{sus_phases['dispatch'] + sus_phases['drain']:.2f} s; "
+        f"{sus_events} events; 1-core host, tunnel H2D ~1.4 GB/s)")
+
     # secondary: the same churn through the fused device-side merge
     # join (join_impl='sorted' — the path for fully device-resident
     # pipelines where the host never touches the sequence).  Secondary
@@ -467,6 +653,13 @@ def main():
         "vs_baseline": round(churn_ups / b_ups, 2),
         "churn_merge_join_updates_per_sec": round(join_ups, 1),
         "static_updates_per_sec": round(static_ups, 1),
+        # staging on the critical path (nothing pre-staged): host
+        # stable-layout staging + H2D + aligned scan, chunk-pipelined
+        "sustained_updates_per_sec_incl_staging": round(sus_ups, 1),
+        "staging_updates_per_sec": round(stage_ups, 1),
+        "sustained_phase_seconds": {
+            k: round(v, 3) for k, v in sus_phases.items()
+        },
     }))
 
 

@@ -323,6 +323,8 @@ def stage_batch_aligned(batch, layout: Optional[StableLayout] = None,
     ``soa=True`` additionally stages ``pos``/``vel`` as ``[3, H, P]``
     (stacked: ``[S, 3, H, P]``).
     """
+    from orbitanalysis_tpu import native
+
     ids = np.asarray(batch.ids)
     stacked = ids.ndim == 3
     seq = ids if stacked else ids[None]
@@ -351,16 +353,29 @@ def stage_batch_aligned(batch, layout: Optional[StableLayout] = None,
     o_vel = np.zeros(vshape, vel.dtype)
     o_mass = None if mass is None else np.zeros(mass.shape, mass.dtype)
     o_slot = np.zeros((S, H, P), np.int32)
-    for s in range(S):
-        align_packed(
-            layout, seq[s], pos[s], vel[s],
-            None if mass is None else mass[s],
-            out=(
-                o_ids[s], o_pos[s], o_vel[s],
-                None if o_mass is None else o_mass[s], o_slot[s],
-            ),
-            soa=soa,
-        )
+    # whole-sequence native path: h-major row iteration in C++ with
+    # incrementally maintained per-row hash tables (~2 x churn table
+    # operations per row instead of a per-snapshot rebuild)
+    res = native.stable_align_seq_native(
+        layout.layout, np.ascontiguousarray(seq),
+        np.ascontiguousarray(pos, dtype=np.float32),
+        np.ascontiguousarray(vel, dtype=np.float32),
+        None if mass is None else np.ascontiguousarray(
+            mass, dtype=np.float32),
+        layout.invalid,
+        out=(o_ids, o_pos, o_vel, o_mass, o_slot), soa=soa,
+    )
+    if res is None:
+        for s in range(S):
+            align_packed(
+                layout, seq[s], pos[s], vel[s],
+                None if mass is None else mass[s],
+                out=(
+                    o_ids[s], o_pos[s], o_vel[s],
+                    None if o_mass is None else o_mass[s], o_slot[s],
+                ),
+                soa=soa,
+            )
     if not stacked:
         o_ids, o_pos, o_vel, o_slot = (
             o_ids[0], o_pos[0], o_vel[0], o_slot[0]

@@ -63,7 +63,7 @@ def load():
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
-            if not hasattr(lib, "stable_align3_i64"):
+            if not hasattr(lib, "stable_align_seq1"):
                 # stale prebuilt library from before the newest symbol
                 # was added (the .so is gitignored, so it survives
                 # source updates) — rebuild in place once and reload;
@@ -73,7 +73,7 @@ def load():
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_SO)
-                if not hasattr(lib, "stable_align3_i64"):
+                if not hasattr(lib, "stable_align_seq1"):
                     _load_failed = True
                     return None
             lib.pack_ragged_bytes.argtypes = [
@@ -91,6 +91,22 @@ def load():
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.grid_count_sort.restype = None
+            lib.stable_align5.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32,
+            ]
+            lib.stable_align5.restype = ctypes.c_int64
+            lib.stable_align_seq1.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ]
+            lib.stable_align_seq1.restype = ctypes.c_int64
             lib.stable_align3.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -225,7 +241,7 @@ def stable_align_native(
     ):
         return None
     align_fn = (
-        lib.stable_align3 if id_dt == np.dtype(np.int32)
+        lib.stable_align5 if id_dt == np.dtype(np.int32)
         else lib.stable_align3_i64
     )
     inv_c = (
@@ -294,6 +310,82 @@ def stable_align_native(
     if overflowed:
         raise ValueError("stable layout overflow: grow capacity first")
     return ids_o, pos_o, vel_o, mass_o, slot
+
+
+def stable_align_seq_native(
+    layout: np.ndarray,
+    ids: np.ndarray,
+    pos: np.ndarray,
+    vel: np.ndarray,
+    mass: np.ndarray | None,
+    invalid: int,
+    out,
+    soa: bool = False,
+):
+    """Whole-sequence stable-layout alignment: ``ids [S, H, P]``,
+    ``pos``/``vel`` ``[S, H, P, 3]`` load order, outputs written into
+    the caller's ``out=(ids_o, pos_o, vel_o, mass_o, slot)`` stacked
+    buffers (``pos_o``/``vel_o`` ``[S, 3, H, P]`` when ``soa``).  Rows
+    run h-major in C++ so each halo row's hash table persists across
+    the S snapshots and updates incrementally (~2 x churn operations
+    per row instead of a full rebuild) — the sequence-staging fast path
+    behind :func:`orbitanalysis_tpu.engine.packing.stage_batch_aligned`.
+    Returns the out tuple, or None when unavailable (caller falls back
+    to per-snapshot :func:`stable_align_native` / NumPy).  Raises
+    ValueError on layout overflow.
+    """
+    lib = ensure()
+    if lib is None:
+        return None
+    if (
+        np.dtype(ids.dtype) != np.dtype(np.int32)
+        or layout.dtype != np.int32
+        or pos.dtype != np.float32
+        or vel.dtype != np.float32
+        or (mass is not None and mass.dtype != np.float32)
+    ):
+        return None
+    S, H, P = ids.shape
+    if not (
+        layout.flags.c_contiguous
+        and layout.shape == (H, P)
+        and pos.shape == (S, H, P, 3)
+        and vel.shape == (S, H, P, 3)
+    ):
+        return None
+    ids = np.ascontiguousarray(ids)
+    pos = np.ascontiguousarray(pos)
+    vel = np.ascontiguousarray(vel)
+    mass = None if mass is None else np.ascontiguousarray(mass)
+    ids_o, pos_o, vel_o, mass_o, slot = out
+    vshape = (S, 3, H, P) if soa else (S, H, P, 3)
+    for a, shape, dt in (
+        (ids_o, (S, H, P), np.dtype(np.int32)),
+        (pos_o, vshape, np.float32),
+        (vel_o, vshape, np.float32),
+        (slot, (S, H, P), np.int32),
+    ):
+        if a.shape != shape or a.dtype != dt or not a.flags.c_contiguous:
+            raise ValueError(
+                f"stable_align_seq_native out buffer: want C-contiguous "
+                f"{shape} {np.dtype(dt)}, got {a.shape} {a.dtype}"
+            )
+    if (mass is None) != (mass_o is None):
+        raise ValueError(
+            "stable_align_seq_native: mass_o must be provided iff mass is"
+        )
+    overflowed = lib.stable_align_seq1(
+        layout.ctypes.data, ids.ctypes.data, pos.ctypes.data,
+        vel.ctypes.data,
+        None if mass is None else mass.ctypes.data,
+        S, H, P, ctypes.c_int32(int(invalid)), ids_o.ctypes.data,
+        pos_o.ctypes.data, vel_o.ctypes.data,
+        None if mass_o is None else mass_o.ctypes.data,
+        slot.ctypes.data, ctypes.c_int32(1 if soa else 0),
+    )
+    if overflowed:
+        raise ValueError("stable layout overflow: grow capacity first")
+    return out
 
 
 def grid_count_sort_native(flat: np.ndarray, n_cells: int):
