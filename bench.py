@@ -163,7 +163,7 @@ def make_static_sequence(orbits):
     return ids_seq, pos, vel, centers_seq, capacity
 
 
-def make_churn_sequence(orbits, churn):
+def make_churn_sequence(orbits, churn, return_members=False):
     """Membership churn over the shared orbit pool.
 
     Each row tracks ``n_valid`` of its ``capacity``-sized orbit pool;
@@ -188,6 +188,10 @@ def make_churn_sequence(orbits, churn):
     init = np.argsort(rng.random((n_halos, capacity)), axis=1)[:, :n_valid]
     np.put_along_axis(member, init, True, axis=1)
     rows = np.arange(n_halos)[:, None]
+    member_seq = (
+        np.empty((n_snaps, n_halos, capacity), bool)
+        if return_members else None
+    )
     for s in range(n_snaps):
         if s > 0 and k > 0:
             # drop k random members, then add k random non-members
@@ -197,6 +201,8 @@ def make_churn_sequence(orbits, churn):
             keys = np.where(member, np.inf, rng.random((n_halos, capacity)))
             add = np.argpartition(keys, k - 1, axis=1)[:, :k]
             member[rows, add] = True
+        if member_seq is not None:
+            member_seq[s] = member
         # members of each row in random order
         keys = np.where(member, rng.random((n_halos, capacity)), np.inf)
         sel = np.argsort(keys, axis=1)[:, :n_valid]
@@ -207,7 +213,38 @@ def make_churn_sequence(orbits, churn):
         vel_c[s, :, :n_valid] = np.take_along_axis(
             vel[s], sel[..., None], axis=1
         )
+    if member_seq is not None:
+        return ids_seq, pos_c, vel_c, centers_seq, n_valid, member_seq
     return ids_seq, pos_c, vel_c, centers_seq, n_valid
+
+
+def make_label_sequence(orbits, member_seq):
+    """The SAME churn workload, in the device-resident representation:
+    the orbit pool as a global particle array (position-stable by
+    construction) plus a per-snapshot halo LABEL per particle — what
+    the native integrator / hash record pools look like on device.
+    ``member_seq [S, H, C]`` is :func:`make_churn_sequence`'s recorded
+    membership history, so the two engines run literally the same
+    member sets and their event totals are directly comparable.
+    Returns ``(label_seq [S, N], pos [S, 3, N], vel [S, 3, N],
+    centers [S, H, 3], n_valid_total)``.
+    """
+    ids, pos, vel, centers_seq, _rng = orbits
+    n_snaps, n_halos, capacity = pos.shape[:3]
+    home = np.repeat(np.arange(n_halos, dtype=np.int32), capacity)
+    label_seq = np.where(
+        member_seq.reshape(n_snaps, -1), home[None, :], -1
+    ).astype(np.int32)
+    pos_l = np.ascontiguousarray(
+        np.moveaxis(pos.reshape(n_snaps, -1, 3), -1, 1)
+    )
+    vel_l = np.ascontiguousarray(
+        np.moveaxis(vel.reshape(n_snaps, -1, 3), -1, 1)
+    )
+    n_valid_total = int(member_seq[0].sum())
+    return label_seq, pos_l, vel_l, np.ascontiguousarray(centers_seq), (
+        n_valid_total
+    )
 
 
 def make_sequence(n_halos, capacity, n_snaps, seed=0, churn=0.0):
@@ -271,6 +308,91 @@ def numpy_baseline_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
             prev[h] = (ids, vr, rhat, ang_new)
     dt = time.perf_counter() - t0
     return n_updates / dt, n_events
+
+
+def put_chunked(x, max_mb=40):
+    """``jax.device_put`` in slabs along axis 0, concatenated on device.
+
+    The tunneled device's put bandwidth collapses ~25x for transfers
+    past ~48 MB (measured 1.4 GB/s below, 0.05 above), so one big
+    ``jnp.asarray`` of a GB-scale sequence costs tens of seconds;
+    chunking holds the 1.4 GB/s rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = np.ascontiguousarray(x)
+    if x.nbytes <= max_mb * 1024 * 1024 or x.ndim == 0 or x.shape[0] < 2:
+        return jnp.asarray(x)
+    per = max(1, int(max_mb * 1024 * 1024 // (x.nbytes // x.shape[0])))
+    slabs = [
+        jax.device_put(x[i:i + per]) for i in range(0, x.shape[0], per)
+    ]
+    return jnp.concatenate(slabs, axis=0)
+
+
+# ----------------------------------------------------------------------
+# device-resident churn: the label-native detector (no staging at all)
+# ----------------------------------------------------------------------
+
+def device_label_updates_per_s(label_seq, pos_l, vel_l, centers_seq,
+                               n_valid_total, box=100.0):
+    """Device-resident churn through the label-native detector
+    (:mod:`orbitanalysis_tpu.ops.label_step`): the pool is the stable
+    layout, membership churn is an elementwise label change, halo
+    frames ride one-hot MXU matmuls — no join, no staging, no host.
+    This is what the native integrator / hash record pools pay for
+    churn (round-2 review item 2; the reference's dynamic sets,
+    ``track_orbits.py:300-309``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.ops.label_step import (
+        init_label_carry,
+        scan_label_events,
+    )
+
+    n_snaps, n = label_seq.shape
+    row_width = 1 << 16
+    K = max(128, row_width // 16)
+    d_label = put_chunked(label_seq)
+    d_pos = put_chunked(pos_l)
+    d_vel = put_chunked(vel_l)
+    d_cen = jnp.asarray(centers_seq)
+    carry0 = init_label_carry(n)
+
+    def build(R):
+        @jax.jit
+        def fn(c, args):
+            lab, pos, vel, cen = args
+
+            def body(_, st):
+                c, tot, mx, sink = st
+                c, ev = scan_label_events(
+                    c, pos, vel, lab, cen, K, box_size=box,
+                    row_width=row_width,
+                )
+                tot = tot + jnp.sum(ev.count)
+                mx = jnp.maximum(mx, jnp.max(ev.count))
+                sink = (sink + jnp.sum(ev.angle)
+                        + jnp.sum(ev.index.astype(jnp.float32)))
+                return (c, tot, mx, sink)
+
+            _, tot, mx, sink = jax.lax.fori_loop(
+                0, R, body, (c, jnp.int32(0), jnp.int32(0), jnp.float32(0))
+            )
+            return tot, mx, sink
+        return fn
+
+    args = (d_label, d_pos, d_vel, d_cen)
+    fn1 = build(1)
+    out = fn1(carry0, args)
+    events = int(np.asarray(out[0]))
+    assert int(np.asarray(out[1])) <= K, "label event capacity overflow"
+    best, _ = time_marginal(build, carry0, args)
+    updates = n_snaps * n_valid_total
+    return updates / best, events, best
 
 
 # ----------------------------------------------------------------------
@@ -494,7 +616,7 @@ def device_updates_per_s(ids_seq, pos_seq, vel_seq, centers_seq,
     log(f"  [{engine}] host staging: {t_stage:.2f} s total "
         f"({t_stage / n_snaps * 1e3:.0f} ms/snapshot; overlapped with "
         "device compute by the tracker's prefetch pipeline)")
-    snaps = jax.tree.map(jnp.asarray, staged)
+    snaps = jax.tree.map(put_chunked, staged)
     carry0 = (
         init_aligned_carry(n_halos, capacity)
         if engine == "aligned"
@@ -583,8 +705,8 @@ def main():
     # at all and churn proceeds at static-kernel speed
     t_gen = time.perf_counter()
     orbits = make_orbits(n_halos, capacity, n_snaps)
-    ids_c, pos_c, vel_c, centers_c, n_valid = make_churn_sequence(
-        orbits, churn=0.07
+    ids_c, pos_c, vel_c, centers_c, n_valid, member_seq = (
+        make_churn_sequence(orbits, churn=0.07, return_members=True)
     )
     log(f"  sequence generation: {time.perf_counter() - t_gen:.1f} s")
     churn_ups, churn_events, t_c = device_updates_per_s(
@@ -610,6 +732,23 @@ def main():
         f"{sus_phases['h2d']:.2f} s, dispatch+drain "
         f"{sus_phases['dispatch'] + sus_phases['drain']:.2f} s; "
         f"{sus_events} events; 1-core host, tunnel H2D ~1.4 GB/s)")
+
+    # device-resident churn, no staging at all: the label-native
+    # detector (the pool is the stable layout; churn = label change,
+    # elementwise) — what the native integrator / hash record pools
+    # pay.  Same membership history as the headline, so event totals
+    # are directly comparable.
+    lab_seq, pos_l, vel_l, cen_l, nv_tot = make_label_sequence(
+        orbits, member_seq
+    )
+    label_ups, label_events, t_l = device_label_updates_per_s(
+        lab_seq, pos_l, vel_l, cen_l, nv_tot
+    )
+    log(f"device churn (label-native, device-resident): "
+        f"{label_ups:.3e} updates/s ({label_events} apsis events, "
+        f"{t_l:.3f} s/scan; aligned-engine events: {churn_events} — "
+        "bulk frames are estimated per engine, so totals may differ "
+        "by knife-edge crossings)")
 
     # secondary: the same churn through the fused device-side merge
     # join (join_impl='sorted' — the path for fully device-resident
@@ -652,6 +791,7 @@ def main():
         "unit": "particle-snapshot updates/s",
         "vs_baseline": round(churn_ups / b_ups, 2),
         "churn_merge_join_updates_per_sec": round(join_ups, 1),
+        "churn_label_device_resident_updates_per_sec": round(label_ups, 1),
         "static_updates_per_sec": round(static_ups, 1),
         # staging on the critical path (nothing pre-staged): host
         # stable-layout staging + H2D + aligned scan, chunk-pipelined

@@ -273,15 +273,21 @@ class Apsides:
             metas.append(meta)
             if len(apsis_ids) == 0:
                 continue
-            for k, fi in zip(req_inds, file_inds):
-                sl = slice(offsets[fi], offsets[fi + 1])
-                ids_h = apsis_ids[sl]
-                keep = angles[sl] > angle_cut
-                n_keep = int(keep.sum())
-                if n_keep:
-                    ev_id.append(ids_h[keep].astype(np.int64))
-                    ev_k.append(np.full(n_keep, k, np.int32))
-                    ev_s.append(np.full(n_keep, si, np.int32))
+            # vectorized pass 1 (round-2 review item 7): bucket every
+            # event to its file halo via the offsets CSR, map file
+            # halos to requested indices with an inverse table, and
+            # filter by angle cut — three array ops per snapshot
+            # instead of a Python loop over (halo, snapshot)
+            lengths = np.diff(offsets)
+            ev_file_ind = np.repeat(np.arange(len(lengths)), lengths)
+            inv = np.full(len(lengths), -1, np.int32)
+            inv[file_inds] = req_inds.astype(np.int32)
+            ev_req = inv[ev_file_ind]
+            keep = (ev_req >= 0) & (angles > angle_cut)
+            if keep.any():
+                ev_id.append(apsis_ids[keep].astype(np.int64))
+                ev_k.append(ev_req[keep])
+                ev_s.append(np.full(int(keep.sum()), si, np.int32))
 
         if ev_id:
             k_j, id_j, s_j = jax.lax.sort(

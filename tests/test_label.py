@@ -1,0 +1,205 @@
+"""Label-native detector (ops/label_step.py): the device-resident
+stable-alignment path — the pool IS the layout, churn is a label change.
+
+Tiers: unit tests for the one-hot MXU helpers and the region assigner,
+then event-stream parity against the aligned engine on a churning pool
+(the round-2 review's acceptance: device-resident churn with event
+streams equal to the staged engines, reference semantics
+``/root/reference/orbitanalysis/track_orbits.py:300-309``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbitanalysis_tpu.ops.label_step import (
+    assign_regions,
+    init_label_carry,
+    make_label_orbit_step,
+    scan_label_events,
+    take_rows_matmul,
+    take_rows_select,
+)
+
+
+def test_take_rows_matmul_exact(rng):
+    table = rng.normal(size=(7, 5)).astype(np.float32)
+    idx = rng.integers(-1, 7, size=512).astype(np.int32)
+    want = np.where(idx[:, None] >= 0, table[np.maximum(idx, 0)], 0.0)
+    got = np.asarray(take_rows_matmul(jnp.asarray(table), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+    got_s = np.asarray(take_rows_select(jnp.asarray(table), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got_s, want.astype(np.float32))
+
+
+def test_take_rows_matmul_chunked(rng):
+    table = rng.normal(size=(4, 3)).astype(np.float32)
+    idx = rng.integers(0, 4, size=1024).astype(np.int32)
+    got = np.asarray(take_rows_matmul(
+        jnp.asarray(table), jnp.asarray(idx), chunk=256))
+    np.testing.assert_array_equal(got, table[idx])
+
+
+def test_assign_regions_matches_numpy(rng):
+    box = 50.0
+    centers = rng.uniform(0, box, size=(4, 3)).astype(np.float32)
+    radii = rng.uniform(3.0, 8.0, size=4).astype(np.float32)
+    pos = rng.uniform(0, box, size=(2048, 3)).astype(np.float32)
+    got = np.asarray(assign_regions(
+        jnp.asarray(pos), centers, radii, box_size=box))
+    # NumPy oracle: nearest wrapped center within its radius
+    d = pos[:, None, :] - centers[None, :, :]
+    d -= box * np.round(d / box)
+    d2 = (d ** 2).sum(-1)
+    inside = d2 < radii[None, :] ** 2
+    d2m = np.where(inside, d2, np.inf)
+    want = np.where(inside.any(1), np.argmin(d2m, axis=1), -1)
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def _churn_pool(rng, n_halos=3, per=256, n_snaps=8, box=80.0):
+    """Pool of n_halos*per particles orbit-walking around their halo's
+    center, with per-snapshot membership churn.  Returns (pos [S,3,N],
+    vel [S,3,N], label [S,N], centers [S,H,3])."""
+    n = n_halos * per
+    home = np.repeat(np.arange(n_halos, dtype=np.int32), per)
+    centers = rng.uniform(10, box - 10, size=(n_halos, 3)).astype(np.float32)
+    member = rng.random(n) < 0.85
+    pos = np.empty((n_snaps, 3, n), np.float32)
+    vel = np.empty((n_snaps, 3, n), np.float32)
+    label = np.empty((n_snaps, n), np.int32)
+    x = centers[home] + rng.normal(scale=3.0, size=(n, 3))
+    v = rng.normal(scale=1.0, size=(n, 3))
+    for s in range(n_snaps):
+        if s:
+            flip = rng.random(n) < 0.08
+            member = member ^ flip
+            v += rng.normal(scale=0.6, size=(n, 3))
+            x += v * 0.3
+        pos[s] = (x % box).T.astype(np.float32)
+        vel[s] = v.T.astype(np.float32)
+        label[s] = np.where(member, home, -1)
+    cen_seq = np.broadcast_to(centers, (n_snaps, n_halos, 3)).copy()
+    return pos, vel, label, cen_seq
+
+
+@pytest.mark.parametrize("frames", ["select", "matmul"])
+def test_label_scan_matches_aligned_engine(rng, frames):
+    """Event-stream parity: the label detector over the pool must emit
+    exactly the aligned engine's events ((halo, id, f16 angle) sets per
+    snapshot) on the same churn workload.  Explicit zero bulk
+    velocities pin both engines to the same frame (bulk estimation
+    itself is tested separately with a tolerance)."""
+    from orbitanalysis_tpu.engine.packing import stage_batch_aligned
+    from orbitanalysis_tpu.engine.scan import scan_events_aligned
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import init_aligned_carry
+    from orbitanalysis_tpu.utils.padding import invalid_id_for
+
+    box = 80.0
+    H, per, S = 3, 256, 8
+    pos, vel, label, cen_seq = _churn_pool(rng, H, per, S, box)
+    N = label.shape[1]
+    INV = invalid_id_for(np.int32)
+
+    # label side: one scan over the pool (pool index = particle id)
+    carry = init_label_carry(N)
+    _, ev = scan_label_events(
+        carry, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(label),
+        jnp.asarray(cen_seq), event_capacity=128, box_size=box,
+        bulk_vel_seq=np.zeros((S, H, 3), np.float32),
+        row_width=256, frames=frames,
+    )
+    ev = jax.tree.map(np.asarray, ev)
+
+    # aligned side: padded per-halo load-order rows of the same data
+    P = 256
+    ids_rows = np.full((S, H, P), INV, np.int32)
+    pos_rows = np.zeros((S, H, P, 3), np.float32)
+    vel_rows = np.zeros((S, H, P, 3), np.float32)
+    for s in range(S):
+        for h in range(H):
+            g = np.flatnonzero(label[s] == h)
+            g = g[rng.permutation(len(g))]  # arbitrary load order
+            ids_rows[s, h, :len(g)] = g
+            pos_rows[s, h, :len(g)] = pos[s, :, g]
+            vel_rows[s, h, :len(g)] = vel[s, :, g]
+    batch = SnapshotBatch(
+        ids=ids_rows, pos=pos_rows, vel=vel_rows,
+        center=cen_seq.astype(np.float32), mass=None,
+        bulk_vel=np.zeros((S, H, 3), np.float32),
+        hubble_drag=np.zeros(S, np.float32),
+    )
+    staged = stage_batch_aligned(batch, soa=True)
+    staged = jax.tree.map(jnp.asarray, staged)
+    _, (cnt_a, pos_a, ang_a) = scan_events_aligned(
+        init_aligned_carry(H, P), staged, event_capacity=128,
+        box_size=box, soa_batch=True,
+    )
+    cnt_a, pos_a, ang_a = map(np.asarray, (cnt_a, pos_a, ang_a))
+    staged_ids = np.asarray(staged.ids)
+
+    for s in range(S):
+        want = set()
+        for h in range(H):
+            k = cnt_a[s, h]
+            gids = staged_ids[s][h, pos_a[s, h, :k]]
+            for g, a in zip(gids, ang_a[s, h, :k]):
+                want.add((h, int(g), np.float16(a).tobytes()))
+        got = set()
+        R = ev.count.shape[1]
+        for r in range(R):
+            k = ev.count[s, r]
+            for g, a in zip(ev.index[s, r, :k], ev.angle[s, r, :k]):
+                got.add((int(label[s][g]), int(g),
+                         np.float16(a).tobytes()))
+        assert got == want, (s, len(got), len(want),
+                             got ^ want if len(got ^ want) < 10 else "...")
+
+
+def test_label_bulk_estimation_close(rng):
+    """In-step mass-weighted bulk estimation (one-hot MXU moments)
+    agrees with a NumPy segment mean to f32 reduction tolerance."""
+    box = 80.0
+    pos, vel, label, cen_seq = _churn_pool(rng)
+    N = label.shape[1]
+    mass = rng.uniform(0.5, 2.0, size=N).astype(np.float32)
+    step = make_label_orbit_step(64, box_size=box, row_width=256)
+    _, ev = step(
+        init_label_carry(N),
+        (jnp.asarray(pos[0]), jnp.asarray(vel[0]), jnp.asarray(label[0]),
+         jnp.asarray(cen_seq[0]), None, jnp.asarray(mass),
+         jnp.float32(0)),
+    )
+    bulk = np.asarray(ev.bulk_vel)
+    for h in range(3):
+        sel = label[0] == h
+        want = (mass[sel][:, None] * vel[0][:, sel].T).sum(0) / mass[sel].sum()
+        np.testing.assert_allclose(bulk[h], want, rtol=2e-6, atol=2e-6)
+
+
+def test_label_mode_both_directions(rng):
+    """Apocentric mode flips the sign condition (reference
+    track_orbits.py:311-314): a radial out->in flip is an apocenter."""
+    N, S = 256, 3
+    label = np.zeros((S, N), np.int32)
+    centers = np.zeros((S, 1, 3), np.float32)
+    pos = np.zeros((S, 3, N), np.float32)
+    vel = np.zeros((S, 3, N), np.float32)
+    pos[:, 0, :] = 2.0
+    vel[0, 0, :] = 1.0   # outward
+    vel[1, 0, :] = -1.0  # inward -> apocenter at s=1
+    vel[2, 0, :] = 1.0   # outward -> pericenter at s=2
+    kw = dict(centers_seq=jnp.asarray(centers), event_capacity=N,
+              bulk_vel_seq=np.zeros((S, 1, 3), np.float32), row_width=N)
+    _, ev_a = scan_label_events(
+        init_label_carry(N), jnp.asarray(pos), jnp.asarray(vel),
+        jnp.asarray(label), mode="apocentric", **kw)
+    _, ev_p = scan_label_events(
+        init_label_carry(N), jnp.asarray(pos), jnp.asarray(vel),
+        jnp.asarray(label), mode="pericentric", **kw)
+    ca = np.asarray(ev_a.count).sum(axis=1)
+    cp = np.asarray(ev_p.count).sum(axis=1)
+    np.testing.assert_array_equal(ca, [0, N, 0])
+    np.testing.assert_array_equal(cp, [0, 0, N])
