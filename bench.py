@@ -354,7 +354,7 @@ def device_label_updates_per_s(label_seq, pos_l, vel_l, centers_seq,
     )
 
     n_snaps, n = label_seq.shape
-    row_width = 1 << 16
+    row_width = 1 << 15
     K = max(128, row_width // 16)
     d_label = put_chunked(label_seq)
     d_pos = put_chunked(pos_l)
@@ -455,14 +455,40 @@ def sustained_pipeline_updates_per_s(ids_seq, pos_seq, vel_seq,
             a[...] = 0
         bufs.append(b)
 
+    INVALID = np.iinfo(np.int32).max
+
     @jax.jit
-    def scan_chunk(carry, snaps):
-        carry, (cnt, ids, angles) = scan_events_aligned(
+    def scan_chunk(carry, pos_slabs, vel_slabs, slot_slabs, nv, center):
+        # slabs arrive as per-snapshot device arrays (each put stayed
+        # under the tunnel's ~48 MB bandwidth cliff); the stack happens
+        # inside this jit so no eager concatenate dispatch is paid
+        pos = jnp.stack(pos_slabs)
+        vel = jnp.stack(vel_slabs)
+        slot = jnp.stack(slot_slabs)
+        # the aligned engine's events and carry are positional — the
+        # device never consumes real particle IDs, only validity.  The
+        # staged slot channel is a per-row permutation with holes
+        # numbered [n_valid, P), so validity (and a positional ID
+        # plane) reconstructs from slot + per-row member counts and
+        # the ids plane never crosses the host->device link (12% of
+        # the transfer at this shape).
+        from orbitanalysis_tpu.engine.packing import SLOT_MASK
+
+        s_, h_, p_ = slot.shape
+        iota = jax.lax.broadcasted_iota(jnp.int32, (s_, h_, p_), 2)
+        valid = (slot & SLOT_MASK) < nv[:, :, None]
+        ids = jnp.where(valid, iota, jnp.int32(INVALID))
+        snaps = SnapshotBatch(
+            ids=ids, pos=pos, vel=vel,
+            center=center, mass=None, bulk_vel=None,
+            hubble_drag=jnp.zeros(s_, np.float32), slot=slot,
+        )
+        carry, (cnt, eids, angles) = scan_events_aligned(
             carry, snaps, K, mode="pericentric", box_size=box,
             soa_batch=True,
         )
         return carry, (jnp.sum(cnt), jnp.max(cnt),
-                       jnp.sum(angles) + jnp.sum(ids.astype(jnp.float32)))
+                       jnp.sum(angles) + jnp.sum(eids.astype(jnp.float32)))
 
     # the CPU backend zero-copies numpy arrays into jax.Arrays, so a
     # double-buffered staging thread would mutate what the "device" is
@@ -470,22 +496,22 @@ def sustained_pipeline_updates_per_s(ids_seq, pos_seq, vel_seq,
     # the transfer), so only non-TPU platforms need the defensive copy
     needs_copy = jax.devices()[0].platform != "tpu"
 
-    def make_batch(b, c):
+    def make_chunk_args(b, c):
         sl = slice(c * S0, (c + 1) * S0)
 
         def put(x):
-            return jnp.asarray(x.copy() if needs_copy else x)
+            # one put per snapshot slab: the pos/vel planes of even a
+            # 2-snapshot chunk are 48 MB and a single put collapses to
+            # ~0.05 GB/s past the tunnel's cliff; the per-slab arrays
+            # stack back together inside the scan jit
+            return tuple(
+                jax.device_put(x[s].copy() if needs_copy else x[s])
+                for s in range(S0)
+            )
 
-        return SnapshotBatch(
-            ids=put(b["ids"]),
-            pos=put(b["pos"]),
-            vel=put(b["vel"]),
-            center=jnp.asarray(cen_c[sl]),
-            mass=None,
-            bulk_vel=None,
-            hubble_drag=jnp.zeros(S0, np.float32),
-            slot=put(b["slot"]),
-        )
+        nv = (b["ids"] != INVALID).sum(axis=-1).astype(np.int32)
+        return (put(b["pos"]), put(b["vel"]), put(b["slot"]),
+                jnp.asarray(nv), jnp.asarray(cen_c[sl]))
 
     def stage_chunk(layout, b, c):
         sl = slice(c * S0, (c + 1) * S0)
@@ -535,12 +561,12 @@ def sustained_pipeline_updates_per_s(ids_seq, pos_seq, vel_seq,
             got, b = staged_q.get()
             assert got == c
             t0 = time.perf_counter()
-            batch = make_batch(bufs[b], c)
-            jax.block_until_ready(batch)
+            args = make_chunk_args(bufs[b], c)
+            jax.block_until_ready(args)
             free_q.put(b)
             phases["h2d"] += time.perf_counter() - t0
             t0 = time.perf_counter()
-            carry, out = scan_chunk(carry, batch)
+            carry, out = scan_chunk(carry, *args)
             outs.append(out)
             phases["dispatch"] += time.perf_counter() - t0
         t0 = time.perf_counter()

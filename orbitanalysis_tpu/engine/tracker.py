@@ -51,6 +51,7 @@ from orbitanalysis_tpu.ops.apsis import (
 )
 from orbitanalysis_tpu.ops.sorted_step import (
     AUTO_FUSED_CAPACITY,
+    MAX_ALIGNED_CAPACITY,
     MAX_FUSED_CAPACITY,
     AlignedCarry,
     SortedCarry,
@@ -351,13 +352,20 @@ class _DeviceEngine:
         """Re-pad the carry's particle axis (rare; triggers a re-jit)."""
         if self.join in ("sorted", "aligned"):
             # bitonic merge network / static kernel: row length must be
-            # a power of two
+            # a power of two.  The aligned engine's default xla detect
+            # is elementwise (only the 2-3-stream compaction kernel
+            # enters VMEM), so its ceiling is far above the 10-stream
+            # merge kernel's — the big-halo x wide-ID exit.
             new_capacity = max(round_up_pow2(new_capacity), 128)
-            if new_capacity > MAX_FUSED_CAPACITY:
+            limit = (
+                MAX_ALIGNED_CAPACITY if self.join == "aligned"
+                else MAX_FUSED_CAPACITY
+            )
+            if new_capacity > limit:
                 raise ValueError(
                     f"region growth needs capacity {new_capacity}, beyond "
-                    f"the fused engine's per-row VMEM ceiling "
-                    f"({MAX_FUSED_CAPACITY}); re-run with "
+                    f"the {self.join} engine's per-row ceiling "
+                    f"({limit}); re-run with "
                     "join_impl='general' (resume=True continues from the "
                     "savefile)"
                 )
@@ -553,8 +561,10 @@ class _HashEngine:
 
     join = "hash"
 
-    def __init__(self, mesh, n_halos, mode, box_size, cap, angle_dtype):
+    def __init__(self, mesh, n_halos, mode, box_size, cap, angle_dtype,
+                 id_dtype=np.int32):
         from orbitanalysis_tpu.parallel.hash_sharded import (
+            WideIdMap,
             init_hash_carry,
             make_hash_sharded_step,
         )
@@ -568,6 +578,13 @@ class _HashEngine:
         self.capacity = cap
         self.event_capacity = cap  # event lists span the shard: no overflow
         self.invalid = invalid_id_for(np.int32)
+        # wide (64-bit) IDs ride dense int32 handles on device; events
+        # unmap to real IDs at write time (loader contract
+        # track_orbits.py:44-47).  Handles are persistent, so routing
+        # by handle % n_shards is stable across snapshots.
+        self.id_map = (
+            WideIdMap() if np.dtype(id_dtype).itemsize == 8 else None
+        )
         self._make = make_hash_sharded_step
         self._init = init_hash_carry
         self._build()
@@ -582,6 +599,10 @@ class _HashEngine:
     def route(self, flat):
         from orbitanalysis_tpu.parallel.hash_sharded import route_flat
 
+        if self.id_map is not None:
+            # map once here (persistent handles) so the bucket-size
+            # check below sees the same keys route_flat will shard on
+            flat = dict(flat, ids=self.id_map.map(flat["ids"]))
         ids = np.asarray(flat["ids"], dtype=np.int64)
         if ids.size:
             largest = int(np.bincount(
@@ -980,6 +1001,9 @@ def track_orbits(
                 else:
                     sel = np.zeros(0, np.int64)
                 apsis_ids_flat = ids_flat[sel]
+                if engine.id_map is not None:
+                    # device handles -> real wide IDs for the savefile
+                    apsis_ids_flat = engine.id_map.unmap(apsis_ids_flat)
                 apsis_angles_flat = ang_flat[sel]
                 apsis_offsets = np.concatenate(([0], np.cumsum(lens)))
             elif engine.join == "aligned":
@@ -1242,7 +1266,8 @@ def track_orbits(
                 )
                 engines = [
                     _HashEngine(
-                        mesh, n_rows, m, box_size, cap, angle_dtype
+                        mesh, n_rows, m, box_size, cap, angle_dtype,
+                        id_dtype=id_dtype,
                     )
                     for m in modes
                 ]
@@ -1266,13 +1291,29 @@ def track_orbits(
                     cap = max(cap, round_up_pow2(
                         int(resume_layout_flat.max()) + 1
                     ))
-                limit = (
-                    AUTO_FUSED_CAPACITY if join_was_auto
-                    else MAX_FUSED_CAPACITY
-                )
+                wide = np.dtype(id_dtype).itemsize == 8
+                if join_impl == "aligned":
+                    # the aligned engine's default xla detect is
+                    # elementwise — only the small compaction kernel
+                    # enters VMEM — so its ceiling sits far above the
+                    # merge kernel's.  Wide-ID runs keep it even under
+                    # 'auto': the general fallback would need 64-bit
+                    # device IDs (x64).
+                    limit = (
+                        MAX_ALIGNED_CAPACITY
+                        if (not join_was_auto) or wide
+                        else AUTO_FUSED_CAPACITY
+                    )
+                else:
+                    limit = (
+                        AUTO_FUSED_CAPACITY if join_was_auto
+                        else MAX_FUSED_CAPACITY
+                    )
                 if cap > limit:
                     # a whole 2*capacity merged row must fit in VMEM
-                    if join_was_auto:
+                    if join_was_auto and not (
+                        join_impl == "aligned" and wide
+                    ):
                         join_impl = "general"
                         cap = capacity or required_capacity(
                             lengths, headroom
@@ -1280,7 +1321,7 @@ def track_orbits(
                     else:
                         raise ValueError(
                             f"join_impl={join_impl!r} supports per-halo "
-                            f"capacities up to {MAX_FUSED_CAPACITY} "
+                            f"capacities up to {limit} "
                             f"(needed {cap}); use join_impl='general'"
                         )
             engines = [

@@ -60,16 +60,17 @@ class LabelCarry(NamedTuple):
     """Per-particle detector state over the global pool (all ``[N]``
     planes; ``rhat`` is ``[3, N]``).
 
-    ``label``: halo index the particle belonged to at the previous
-    step (-1 = untracked).  ``vrb``: radial-velocity sign bits (bit 0 =
-    inward, bit 1 = outward), as in
-    :func:`orbitanalysis_tpu.ops.sorted_step._vr_bits`.  ``packed``:
-    f32 angle accumulator in bits 0-30, matched flag in bit 31 — the
-    aligned engine's carry contract.
+    ``lab_sv``: previous halo label in bits 0-27 offset by +1 (0 =
+    untracked; labels are < 2**27) with the radial-velocity sign bits
+    in bits 28-29 (bit 28 = inward, bit 29 = outward, the
+    :func:`orbitanalysis_tpu.ops.sorted_step._vr_bits` convention
+    shifted) — one i32 plane instead of an i32 + a sub-word u8 (TPU
+    elementwise on u8 planes pays relayouts).  ``packed``: f32 angle
+    accumulator in bits 0-30, matched flag in bit 31 — the aligned
+    engine's carry contract.
     """
 
-    label: jnp.ndarray   # [N] int32
-    vrb: jnp.ndarray     # [N] uint8
+    lab_sv: jnp.ndarray  # [N] int32: (label + 1) | vrb << 28
     rhat: jnp.ndarray    # [3, N] float32
     packed: jnp.ndarray  # [N] uint32
 
@@ -88,16 +89,29 @@ class LabelEvents(NamedTuple):
 
 def init_label_carry(n: int) -> LabelCarry:
     return LabelCarry(
-        label=jnp.full((n,), -1, jnp.int32),
-        vrb=jnp.zeros((n,), jnp.uint8),
+        lab_sv=jnp.zeros((n,), jnp.int32),  # label -1, no sign bits
         rhat=jnp.zeros((3, n), jnp.float32),
         packed=jnp.zeros((n,), jnp.uint32),
     )
 
 
+def _auto_chunk(n: int, h: int, chunk) -> int:
+    """Single-chunk when the implied one-hot stays under ~1 GB: without
+    a ``lax.map``/``scan`` boundary XLA fuses the iota-compare into the
+    MXU operand feed and the dot output into its consumers (measured
+    ~20% faster than 128k chunks at 2M x 64); chunk only to bound
+    worst-case transient memory."""
+    if chunk is None:
+        chunk = n if n * h * 4 <= (1 << 30) else 1 << 17
+    if n % chunk:
+        chunk = n  # odd sizes: single chunk (still bounded by caller)
+    return chunk
+
+
 def take_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray,
-                     chunk: int = 1 << 17) -> jnp.ndarray:
-    """``table[idx]`` for a small table, as chunked one-hot matmuls.
+                     chunk=None) -> jnp.ndarray:
+    """``table[idx]`` for a small table, as (optionally chunked)
+    one-hot matmuls.
 
     ``table``: ``[H, C]`` f32; ``idx``: ``[N]`` int32 in ``[-1, H)``
     (-1 rows return zeros).  Exact in f32: each output row is a sum
@@ -106,8 +120,7 @@ def take_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray,
     """
     h, c = table.shape
     n = idx.shape[0]
-    if n % chunk:
-        chunk = n  # odd sizes: single chunk (still bounded by caller)
+    chunk = _auto_chunk(n, h, chunk)
 
     def body(ix):
         onehot = (ix[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])
@@ -142,7 +155,7 @@ def take_rows_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _segment_moments_matmul(values: jnp.ndarray, idx: jnp.ndarray,
                             n_halos: int,
-                            chunk: int = 1 << 17) -> jnp.ndarray:
+                            chunk=None) -> jnp.ndarray:
     """Per-halo sums of ``values [N, C]`` grouped by ``idx [N]``
     (-1 ignored), as chunked ``onehot^T @ values`` MXU passes.
 
@@ -152,8 +165,7 @@ def _segment_moments_matmul(values: jnp.ndarray, idx: jnp.ndarray,
     """
     h = n_halos
     n, c = values.shape
-    if n % chunk:
-        chunk = n
+    chunk = _auto_chunk(n, h, chunk)
 
     def body(acc, xs):
         ix, val = xs
@@ -218,8 +230,8 @@ def make_label_orbit_step(
     mode: str = "pericentric",
     box_size=None,
     n_halos: Optional[int] = None,
-    chunk: int = 1 << 17,
-    row_width: int = 1 << 16,
+    chunk=None,
+    row_width: int = 1 << 15,
     frames: str = "matmul",
 ):
     """Churn-proof detector over a position-stable pool — the aligned
@@ -299,12 +311,14 @@ def make_label_orbit_step(
         rhat = rel * inv_r[None]
         vrel = vel - bpp + hubble_drag * rel
         vr = rhat[0] * vrel[0] + rhat[1] * vrel[1] + rhat[2] * vrel[2]
-        vrb = ((vr < 0).astype(jnp.uint8)
-               | ((vr > 0).astype(jnp.uint8) << 1))
+        vrb = ((vr < 0).astype(jnp.int32)
+               | ((vr > 0).astype(jnp.int32) << 1))
 
         # FRESH: entered this halo (or just became tracked) — the
         # reference's region-entry reset (track_orbits.py:330-351)
-        fresh = label != carry.label
+        prev_label = (carry.lab_sv & 0x0FFFFFFF) - 1
+        prev_vrb = carry.lab_sv >> 28
+        fresh = label != prev_label
         matched = valid & ~fresh & ((carry.packed >> 31) > 0)
 
         cosang = jnp.clip(
@@ -318,9 +332,9 @@ def make_label_orbit_step(
             carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
         )
         if pericentric:
-            flip = ((carry.vrb & 1) > 0) & ((vrb & 2) > 0)
+            flip = ((prev_vrb & 1) > 0) & ((vrb & 2) > 0)
         else:
-            flip = ((carry.vrb & 2) > 0) & ((vrb & 1) > 0)
+            flip = ((prev_vrb & 2) > 0) & ((vrb & 1) > 0)
         apsis = matched & flip
         angle_acc = jnp.where(matched, pang + dtheta, 0.0)
         packed = jax.lax.bitcast_convert_type(
@@ -352,8 +366,9 @@ def make_label_orbit_step(
         kiota = jax.lax.broadcasted_iota(jnp.int32, (R, kw), 1)
         ev_ok = kiota < count[:, None]
         new_carry = LabelCarry(
-            label=jnp.where(valid, label, -1).astype(jnp.int32),
-            vrb=jnp.where(valid, vrb, jnp.uint8(0)),
+            lab_sv=jnp.where(
+                valid, (label + 1) | (vrb << 28), jnp.int32(0)
+            ),
             rhat=rhat,
             packed=packed,
         )
@@ -375,7 +390,7 @@ def make_label_orbit_step(
 def scan_label_events(carry, pos_seq, vel_seq, label_seq, centers_seq,
                       event_capacity: int, mode: str = "pericentric",
                       box_size=None, mass=None, bulk_vel_seq=None,
-                      hubble_drag=0.0, row_width: int = 1 << 16,
+                      hubble_drag=0.0, row_width: int = 1 << 15,
                       frames: str = "matmul"):
     """``lax.scan`` of :func:`make_label_orbit_step` over an
     ``[S]``-stacked device-resident sequence: ``pos_seq``/``vel_seq``

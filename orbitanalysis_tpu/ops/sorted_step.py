@@ -65,6 +65,17 @@ MAX_FUSED_CAPACITY = 131072
 #: ``join_impl='sorted'``), not something 'auto' should spring on a run.
 AUTO_FUSED_CAPACITY = 65536
 
+#: Per-row ceiling of the ALIGNED engine's default (detect_impl='xla')
+#: path: detection is plain elementwise XLA — no merged row, no
+#: VMEM-resident 10-stream kernel — and only the event compaction
+#: enters Pallas (2-3 u32 streams per row; ~8 MB VMEM at this width).
+#: Rows past the single-word positional-payload budget route through
+#: compact_payload_pair automatically.  This is the big-halo x wide-ID
+#: exit: a halo outgrowing MAX_FUSED_CAPACITY keeps tracking on the
+#: aligned engine instead of demanding a general-engine conversion
+#: (which 64-bit surrogate IDs cannot take without x64).
+MAX_ALIGNED_CAPACITY = 1 << 19
+
 #: key_B value for merged entries that are neither part of the next
 #: carry nor an apsis event (departed / padding / matched-away prev).
 _DEAD_KEY = 1 << 30  # python int: a jnp scalar here would

@@ -54,6 +54,72 @@ from orbitanalysis_tpu.utils.numerics import periodic_displacement
 _INVALID = np.int32(np.iinfo(np.int32).max)
 
 
+class WideIdMap:
+    """Persistent wide (e.g. Gadget uint64) particle-ID -> dense int32
+    handle mapping for the hash engine — the position-surrogate idea
+    from the aligned engine (``engine/tracker.py``) adapted to a
+    record-pool engine whose device join keys on the ID itself: the
+    device only ever needs keys that are *stable and unique per
+    particle*, not the real 64-bit values, so the host hands out dense
+    int32 handles on first sight and maps event handles back to real
+    IDs at write time (loader contract
+    ``/root/reference/orbitanalysis/track_orbits.py:44-47``).
+
+    Handles are deterministic given the snapshot stream (assigned in
+    sorted order per batch of unseen IDs), and routing by
+    ``handle % n_shards`` is stable across snapshots because handles
+    are persistent.  A resumed run rebuilds an equivalent map from the
+    resume snapshot onward — handles never cross run boundaries (the
+    savefile and checkpoint carry only real IDs / load-order state).
+    """
+
+    def __init__(self):
+        self._sorted = np.empty(0, np.int64)   # known ids, ascending
+        self._handle = np.empty(0, np.int32)   # handle per sorted id
+        self.inverse = np.empty(0, np.int64)   # handle -> id
+
+    def map(self, ids) -> np.ndarray:
+        """int32 handles for ``ids`` (assigning new handles to unseen
+        values)."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size and ids.min() < 0:
+            raise ValueError(
+                "negative particle IDs are not supported; remap IDs to "
+                ">= 0 in the loader"
+            )
+        if len(self._sorted):
+            idx = np.searchsorted(self._sorted, ids)
+            idxc = np.minimum(idx, len(self._sorted) - 1)
+            found = self._sorted[idxc] == ids
+        else:
+            found = np.zeros(len(ids), bool)
+        new = np.unique(ids[~found])
+        if len(new):
+            base = len(self.inverse)
+            if base + len(new) >= np.iinfo(np.int32).max - 1:
+                raise ValueError(
+                    "wide-ID handle space exhausted (>= 2^31-2 distinct "
+                    "particles on one tracker)"
+                )
+            handles_new = np.arange(
+                base, base + len(new), dtype=np.int32
+            )
+            self.inverse = np.concatenate([self.inverse, new])
+            merged = np.concatenate([self._sorted, new])
+            mh = np.concatenate([self._handle, handles_new])
+            order = np.argsort(merged, kind="stable")
+            self._sorted = merged[order]
+            self._handle = mh[order]
+            idx = np.searchsorted(self._sorted, ids)
+        return self._handle[idx] if len(self._sorted) else (
+            np.empty(0, np.int32)
+        )
+
+    def unmap(self, handles) -> np.ndarray:
+        """Real wide IDs for int32 ``handles``."""
+        return self.inverse[np.asarray(handles, np.int64)]
+
+
 class HashCarry(NamedTuple):
     """Per-shard particle state, [D, C] (one row per shard)."""
 
@@ -98,18 +164,25 @@ def init_hash_carry(n_shards: int, cap: int, n_halos: int) -> HashCarry:
     )
 
 
-def route_flat(flat: dict, n_shards: int, cap: int) -> HashBatch:
+def route_flat(flat: dict, n_shards: int, cap: int,
+               id_map: Optional[WideIdMap] = None) -> HashBatch:
     """Host-side bucketing of a flat (halo, id, pos, vel[, mass]) record
     list into ``[n_shards, cap]`` padded blocks by ``id % n_shards``.
 
     ``flat['slot']`` defaults to the record's position — the reference's
     load order (region-major), which the event path preserves.
+    ``id_map``: a :class:`WideIdMap` translating wide (64-bit) IDs to
+    dense int32 device handles (events come back as handles; unmap at
+    write time).
     """
     ids = np.asarray(flat["ids"], dtype=np.int64)
+    if id_map is not None:
+        ids = id_map.map(ids).astype(np.int64)
     if ids.size and (ids.min() < 0 or ids.max() >= 2**31 - 1):
         raise ValueError(
-            "hash-sharded tracking stores particle IDs as int32; remap "
-            "IDs into [0, 2^31-1) in the loader"
+            "hash-sharded tracking stores particle IDs as int32; pass "
+            "id_dtype=np.int64 to track_orbits (dense int32 handles via "
+            "WideIdMap) or remap IDs into [0, 2^31-1) in the loader"
         )
     n = len(ids)
     halo = np.asarray(flat["halo"], dtype=np.int32)

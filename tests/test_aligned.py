@@ -894,3 +894,91 @@ def test_scan_aligned_batched_rejects_wide_id_dtype():
             init_aligned_carry(1, P), snaps, event_capacity=64,
             batched=True, id_dtype=np.int64,
         )
+
+
+@pytest.mark.slow
+def test_aligned_big_halo_wide_ids_growth():
+    """The big-halo x wide-ID exit (round-2 review item 8): a halo
+    growing past MAX_FUSED_CAPACITY (131072) with id_dtype=np.int64
+    completes a tracked run on the aligned engine — its xla detect path
+    is elementwise, so its ceiling (MAX_ALIGNED_CAPACITY) sits far
+    above the 10-stream merge kernel's, and rows wider than the
+    single-word positional payload route through the two-stream pair
+    kernel.  Savefiles must equal the int32 twin's, IDs shifted."""
+    import tempfile
+
+    from orbitanalysis_tpu.ops.sorted_step import (
+        MAX_ALIGNED_CAPACITY,
+        MAX_FUSED_CAPACITY,
+    )
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    assert MAX_ALIGNED_CAPACITY > MAX_FUSED_CAPACITY
+    rng = np.random.default_rng(31)
+    box = 200.0
+    n_pool, n_small, n_big, n_snap = 160_000, 95_000, 150_000, 6
+    center = np.array([100.0, 100.0, 100.0], np.float32)
+    x = (center + rng.normal(scale=5.0, size=(n_pool, 3))).astype(
+        np.float32
+    )
+    v = rng.normal(scale=1.0, size=(n_pool, 3)).astype(np.float32)
+    snaps = []
+    for s in range(n_snap):
+        if s:
+            v = (v + rng.normal(scale=0.5, size=v.shape)).astype(
+                np.float32
+            )
+            x = (x + 0.3 * v).astype(np.float32)
+        n_mem = n_small if s < 3 else n_big  # growth at snapshot 3
+        sel = rng.permutation(n_pool)[:n_mem]
+        snaps.append(dict(ids=sel.astype(np.int64), pos=x[sel].copy(),
+                          vel=v[sel].copy()))
+
+    def regions(snapshot_number, halo_ids):
+        return center[None, :], np.array([1e9])
+
+    def make_loader(shift):
+        def loader(s, rp, rr):
+            d = snaps[s]
+            return dict(
+                ids=d["ids"] + shift,
+                coordinates=d["pos"],
+                velocities=d["vel"],
+                masses=1.0,
+                region_offsets=np.array([0]),
+                box_size=box,
+            )
+        return loader
+
+    snap_nums = np.arange(n_snap)
+    branches = np.zeros((n_snap, 1), np.int64)
+    out = {}
+    for tag, shift, idt in (
+        ("narrow", 0, np.int32), ("wide", np.int64(2) ** 33, np.int64)
+    ):
+        m = Metrics()
+        save = tempfile.mktemp(suffix=f"_{tag}.h5")
+        track_orbits(
+            snap_nums, branches, regions, make_loader(shift), save,
+            join_impl="aligned", id_dtype=idt, metrics=m, verbose=False,
+        )
+        caps = _capacities(m)
+        assert caps and caps[0] <= MAX_FUSED_CAPACITY
+        assert max(caps) > MAX_FUSED_CAPACITY, caps  # growth fired
+        out[tag] = save
+
+    SHIFT = np.int64(2) ** 33
+    with h5py.File(out["narrow"]) as a, h5py.File(out["wide"]) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        n_events = 0
+        for k in a:
+            for ds in a[k]:
+                va, vb = a[k][ds][:], b[k][ds][:]
+                if ds.endswith("center_IDs"):
+                    assert vb.dtype == np.int64, (k, ds)
+                    assert np.array_equal(
+                        va.astype(np.int64) + SHIFT, vb), (k, ds)
+                    n_events += va.size
+                else:
+                    assert np.array_equal(va, vb), (k, ds)
+        assert n_events > 0

@@ -236,3 +236,27 @@ def test_route_flat_capacity_guard():
     )
     with pytest.raises(ValueError, match="shard capacity"):
         route_flat(flat, 8, 8)
+
+
+def test_wide_id_map_deterministic_and_stable():
+    """WideIdMap: persistent handles (same id -> same handle across
+    calls), dense int32 range, exact inverse, deterministic assignment."""
+    from orbitanalysis_tpu.parallel.hash_sharded import WideIdMap
+
+    rng = np.random.default_rng(7)
+    m = WideIdMap()
+    a = rng.choice(2**40, size=500, replace=False).astype(np.int64)
+    h1 = m.map(a)
+    assert h1.dtype == np.int32 and len(np.unique(h1)) == len(a)
+    np.testing.assert_array_equal(m.unmap(h1), a)
+    # overlap + new ids: survivors keep their handles
+    b = np.concatenate([a[100:200], a[300:] + 1])
+    h2 = m.map(b)
+    np.testing.assert_array_equal(h2[:100], h1[100:200])
+    np.testing.assert_array_equal(m.unmap(h2), b)
+    # a second map built from the same stream assigns identically
+    m2 = WideIdMap()
+    np.testing.assert_array_equal(m2.map(a), h1)
+    np.testing.assert_array_equal(m2.map(b), h2)
+    with pytest.raises(ValueError, match="negative"):
+        m.map(np.array([-1], np.int64))
