@@ -203,3 +203,58 @@ def test_label_mode_both_directions(rng):
     cp = np.asarray(ev_p.count).sum(axis=1)
     np.testing.assert_array_equal(ca, [0, N, 0])
     np.testing.assert_array_equal(cp, [0, 0, N])
+
+
+def test_sharded_label_step_matches_single():
+    """Particle-sharded label step (shard_map over 'particles', psum'd
+    bulk moments) equals the single-device step: carries exact on the
+    integer planes, events the same (index, ~angle) sets."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from orbitanalysis_tpu.parallel import make_mesh
+    from orbitanalysis_tpu.parallel.label_sharded import (
+        make_sharded_label_step,
+        shard_label_tree,
+    )
+    from orbitanalysis_tpu.ops.label_step import make_label_orbit_step
+
+    rng = np.random.default_rng(3)
+    box = 80.0
+    H, per, S = 3, 1024, 4    # N = 3072 -> 384/shard (3 x 128)
+    pos, vel, label, cen_seq = _churn_pool(rng, H, per, S, box)
+    N = label.shape[1]
+    mesh = make_mesh({"particles": 8})
+    rw = N // 8
+
+    step_s, _ = make_sharded_label_step(
+        mesh, 64, H, box_size=box, row_width=rw)
+    step_1 = make_label_orbit_step(64, box_size=box, row_width=rw)
+
+    c_s = shard_label_tree(mesh, init_label_carry(N))
+    c_1 = init_label_carry(N)
+    for s in range(S):
+        inputs = (jnp.asarray(pos[s]), jnp.asarray(vel[s]),
+                  jnp.asarray(label[s]), jnp.asarray(cen_seq[s]),
+                  None, jnp.float32(0))
+        c_s, ev_s = step_s(c_s, inputs)
+        c_1, ev_1 = step_1(
+            c_1, (inputs[0], inputs[1], inputs[2], inputs[3], None,
+                  None, inputs[5]))
+        es, e1 = jax.tree.map(np.asarray, (ev_s, ev_1))
+        np.testing.assert_allclose(es.bulk_vel, e1.bulk_vel,
+                                   rtol=1e-5, atol=1e-5)
+        got = {}
+        for r in range(es.count.shape[0]):
+            for i in range(es.count[r]):
+                got[int(es.index[r, i])] = es.angle[r, i]
+        want = {}
+        for r in range(e1.count.shape[0]):
+            for i in range(e1.count[r]):
+                want[int(e1.index[r, i])] = e1.angle[r, i]
+        assert got.keys() == want.keys(), s
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=2e-3)
+        cs, c1h = jax.tree.map(np.asarray, (c_s, c_1))
+        np.testing.assert_array_equal(cs.lab_sv, c1h.lab_sv)
