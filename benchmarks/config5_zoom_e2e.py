@@ -220,6 +220,114 @@ def run_device_scale(args):
         ])
 
 
+def run_device_scale_label(args):
+    """Device-resident zoom census at FULL config-5 scale (1e8
+    particles, 3-species masses) on ONE chip, via the label-native
+    detector with the octahedral-packed carry (12 B/particle: lab_sv +
+    packed angle + oct rhat): the pool is the stable layout, churn is
+    an elementwise label change, halo frames ride chunked one-hot MXU
+    passes, and counts are unaffected by the rhat quantization by
+    construction (radial-velocity signs never read the carried rhat —
+    parity: tests/test_label.py).  The round-2 review's item 3 target:
+    a 1e8 row, one chip, mass channel on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from orbitanalysis_tpu.ops.label_step import (
+        init_label_carry,
+        make_label_orbit_step,
+    )
+
+    target = int(args.device_scale * 1e6)
+    H, P = 1536, 65536
+    while H * P > max(target, 1):
+        H -= 64
+    H = max(H, 64)
+    N = H * P
+    S = 4
+    dt, ecc = 0.3, 0.3
+    print(f"\nlabel-native zoom census: N={N / 1e6:.0f}M particles "
+          f"({H} subhalos), 3-species masses, packed carry "
+          "(12 B/particle)", flush=True)
+
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    r0 = jax.random.uniform(k1, (N,), minval=0.3, maxval=4.0)
+    omega = (1.0 / r0 ** 1.5).astype(jnp.float32)
+    phase0 = jax.random.uniform(k2, (N,), maxval=2 * np.pi).astype(
+        jnp.float32
+    )
+    phase_r0 = jax.random.uniform(k3, (N,), maxval=2 * np.pi).astype(
+        jnp.float32
+    )
+    species = jax.random.categorical(
+        k4, jnp.log(jnp.array([0.8, 0.15, 0.05])), shape=(N,)
+    )
+    mass = jnp.asarray(SPECIES_MASSES, jnp.float32)[species]
+    r0 = r0.astype(jnp.float32)
+    home = (jnp.arange(N, dtype=jnp.int32) // P).astype(jnp.int32)
+    centers = jnp.zeros((H, 3), jnp.float32)
+    churn_w = P // 16  # ~6% of each subhalo churns per step
+
+    step = make_label_orbit_step(
+        max(128, (1 << 15) // 16), box_size=None, rhat_packed=True,
+    )
+
+    def synth(k):
+        t = k.astype(jnp.float32) * dt
+        ph = phase0 + omega * t
+        phr = phase_r0 + omega * t
+        r = r0 * (1.0 + ecc * jnp.sin(phr))
+        rdot = r0 * ecc * omega * jnp.cos(phr)
+        c, s = jnp.cos(ph), jnp.sin(ph)
+        pos = jnp.stack([r * c, r * s, jnp.zeros_like(r)])
+        vel = jnp.stack(
+            [rdot * c - r * omega * s, rdot * s + r * omega * c,
+             jnp.zeros_like(r)]
+        )
+        # rotating membership window: churn_w of each subhalo's P slots
+        # are out at any step, the window advancing per step
+        local = jnp.arange(N, dtype=jnp.int32) % P
+        out = ((local + k * churn_w) % P) < churn_w
+        return pos, vel, jnp.where(out, -1, home)
+
+    def run(carry):
+        def body(c, k):
+            pos, vel, lab = synth(k)
+            c, ev = step(c, (pos, vel, lab, centers, None, mass,
+                             jnp.float32(0)))
+            return c, jnp.sum(ev.count)
+
+        return jax.lax.scan(body, carry, jnp.arange(1, S + 1))
+
+    fn = jax.jit(run)
+    carry = init_label_carry(N, rhat_packed=True)
+    seed = jax.jit(lambda c: step(
+        c, synth(jnp.int32(0)) + (centers, None, mass, jnp.float32(0))
+    )[0])
+    t0 = time.time()
+    carry = seed(carry)
+    jax.block_until_ready(carry)
+    print(f"seed step compile+run: {time.time() - t0:.1f} s", flush=True)
+
+    t0 = time.time()
+    _, events = fn(carry)
+    tot = int(np.asarray(jnp.sum(events)))
+    print(f"scan compile+first run: {time.time() - t0:.1f} s", flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, events = fn(carry)
+        tot = int(np.asarray(jnp.sum(events)))
+        best = min(best, time.perf_counter() - t0)
+    per_step = best / S
+    print(f"{N / 1e6:.0f}M-particle zoom census step [label-native, "
+          f"churn, mass channel]: {per_step * 1000:.0f} ms "
+          f"({N / per_step / 1e6:.0f}M updates/s/chip); "
+          f"{tot} events over {S} steps", flush=True)
+
+
 def _device_scale_attempt(args, H, P, S, dt, ecc):
     import jax
     import jax.numpy as jnp
@@ -324,10 +432,18 @@ if __name__ == "__main__":
                     help="millions of particles for the device-resident "
                          "section (0 = skip)")
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--label", action="store_true",
+                    help="run the device-resident section through the "
+                         "label-native detector with the octahedral-"
+                         "packed 12 B/particle carry (the full-1e8-on-"
+                         "one-chip path) instead of the sorted engine")
     args = ap.parse_args()
     rc = 0
     if not args.skip_e2e:
         rc = run_e2e(args)
     if args.device_scale > 0:
-        run_device_scale(args)
+        if args.label:
+            run_device_scale_label(args)
+        else:
+            run_device_scale(args)
     sys.exit(1 if rc else 0)

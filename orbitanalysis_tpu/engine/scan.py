@@ -149,6 +149,7 @@ def scan_events_aligned(
     id_dtype=jnp.int32,
     soa_batch: bool = False,
     batched: bool = False,
+    rhat_packed: bool = False,
 ):
     """Stable-layout sequence driver: snapshots staged by
     :func:`orbitanalysis_tpu.engine.packing.stage_batch_aligned` are
@@ -209,6 +210,7 @@ def scan_events_aligned(
         step = make_aligned_native_step(
             event_capacity, mode=mode, box_size=box_size,
             id_dtype=id_dtype, soa_batch=soa_batch,
+            rhat_packed=rhat_packed,
         )
 
         def body(c, s):
@@ -217,6 +219,12 @@ def scan_events_aligned(
 
         return jax.lax.scan(body, carry, _with_drag_axis(snaps))
 
+    if rhat_packed:
+        raise ValueError(
+            "rhat_packed applies to the per-step scan (batched=False); "
+            "the batched driver materializes rhat planes per snapshot "
+            "anyway"
+        )
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
             "Orbit detection mode not recognized. Please specify either "

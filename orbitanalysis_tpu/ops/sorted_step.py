@@ -659,9 +659,17 @@ class AlignedCarry(NamedTuple):
 
 
 def init_aligned_carry(n_halos: int, capacity: int,
-                       pos_dtype=jnp.float32) -> AlignedCarry:
+                       pos_dtype=jnp.float32,
+                       rhat_packed: bool = False) -> AlignedCarry:
     """All-invalid native carry (32-bit signed IDs; the int32-max
-    sentinel's key is ``0xFFFFFFFF``)."""
+    sentinel's key is ``0xFFFFFFFF``).  ``rhat_packed=True`` stores the
+    radial unit vectors octahedral-compressed (one uint32 plane instead
+    of 3 f32: carry drops 24 -> 16 B/particle — the 1e8-per-chip
+    memory diet; pair with ``make_aligned_native_step(...,
+    rhat_packed=True)``).  Apsis counts are unaffected by construction:
+    radial-velocity signs are recomputed from positions every step and
+    never read the carried rhat, which feeds only the angle
+    accumulator (~1e-4 rad quantization per step)."""
     invalid = invalid_id_for(jnp.int32)
     return AlignedCarry(
         key=jnp.full(
@@ -672,7 +680,11 @@ def init_aligned_carry(n_halos: int, capacity: int,
         sv=jnp.broadcast_to(
             jnp.arange(capacity, dtype=jnp.int32), (n_halos, capacity)
         ),
-        rhat=jnp.zeros((3, n_halos, capacity), dtype=pos_dtype),
+        rhat=(
+            jnp.zeros((n_halos, capacity), dtype=jnp.uint32)
+            if rhat_packed
+            else jnp.zeros((3, n_halos, capacity), dtype=pos_dtype)
+        ),
         packed=jnp.zeros((n_halos, capacity), dtype=jnp.uint32),
     )
 
@@ -719,6 +731,7 @@ def make_aligned_native_step(
     events_id_order: bool = True,
     soa_batch: bool = False,
     detect_impl: str = "xla",
+    rhat_packed: bool = False,
 ):
     """Carry-native stable-layout step — the flagship tracking path.
 
@@ -794,10 +807,16 @@ def make_aligned_native_step(
         )
     if detect_impl not in ("xla", "pallas"):
         raise ValueError(f"unknown detect_impl: {detect_impl!r}")
+    if rhat_packed and detect_impl != "xla":
+        raise ValueError(
+            "rhat_packed requires detect_impl='xla' (the fused pallas "
+            "detect kernel streams f32 rhat planes)"
+        )
     from orbitanalysis_tpu.ops.pallas_step import (
         _acos_f32,
         fused_static_detect,
     )
+    from orbitanalysis_tpu.utils.numerics import oct_decode, oct_encode
 
     pericentric = mode == "pericentric"
     invalid = invalid_id_for(id_dtype)
@@ -856,10 +875,13 @@ def make_aligned_native_step(
             pang = jax.lax.bitcast_convert_type(
                 carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
             )
+            prev_rhat = (
+                oct_decode(carry.rhat) if rhat_packed else carry.rhat
+            )
             cosang = jnp.clip(
-                carry.rhat[0] * frame.rhat[0]
-                + carry.rhat[1] * frame.rhat[1]
-                + carry.rhat[2] * frame.rhat[2],
+                prev_rhat[0] * frame.rhat[0]
+                + prev_rhat[1] * frame.rhat[1]
+                + prev_rhat[2] * frame.rhat[2],
                 -1.0, 1.0,
             )
             dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
@@ -907,7 +929,10 @@ def make_aligned_native_step(
                 ev_ang_bits.astype(jnp.uint16), jnp.float16,
             ).astype(angle_dtype)
             new_carry = AlignedCarry(
-                key=cur_key, sv=cur_sv, rhat=frame.rhat, packed=packed
+                key=cur_key, sv=cur_sv,
+                rhat=(oct_encode(frame.rhat) if rhat_packed
+                      else frame.rhat),
+                packed=packed,
             )
             kw = ev_pos.shape[1]
             kiota = jax.lax.broadcasted_iota(jnp.int32, (h, kw), 1)

@@ -258,3 +258,87 @@ def test_sharded_label_step_matches_single():
             np.testing.assert_allclose(got[k], want[k], atol=2e-3)
         cs, c1h = jax.tree.map(np.asarray, (c_s, c_1))
         np.testing.assert_array_equal(cs.lab_sv, c1h.lab_sv)
+
+
+def test_label_rhat_packed_counts_exact(rng):
+    """Octahedral rhat packing (the 1e8-per-chip carry diet): apsis
+    COUNTS are unaffected by construction — radial-velocity signs are
+    recomputed from positions every step and never read the carried
+    rhat — and angles move only by the ~1e-4 rad/step quantization."""
+    box = 80.0
+    pos, vel, label, cen_seq = _churn_pool(rng)
+    N = label.shape[1]
+    S = label.shape[0]
+    kw = dict(event_capacity=128, box_size=box, row_width=256,
+              bulk_vel_seq=np.zeros((S, 3, 3), np.float32))
+    _, ev_f = scan_label_events(
+        init_label_carry(N), jnp.asarray(pos), jnp.asarray(vel),
+        jnp.asarray(label), jnp.asarray(cen_seq), **kw)
+    _, ev_p = scan_label_events(
+        init_label_carry(N, rhat_packed=True), jnp.asarray(pos),
+        jnp.asarray(vel), jnp.asarray(label), jnp.asarray(cen_seq),
+        rhat_packed=True, **kw)
+    ev_f, ev_p = jax.tree.map(np.asarray, (ev_f, ev_p))
+    np.testing.assert_array_equal(ev_f.count, ev_p.count)
+    for s in range(S):
+        for r in range(ev_f.count.shape[1]):
+            k = ev_f.count[s, r]
+            of = np.argsort(ev_f.index[s, r, :k])
+            op = np.argsort(ev_p.index[s, r, :k])
+            np.testing.assert_array_equal(
+                ev_f.index[s, r, :k][of], ev_p.index[s, r, :k][op])
+            np.testing.assert_allclose(
+                ev_f.angle[s, r, :k][of], ev_p.angle[s, r, :k][op],
+                atol=5e-3,
+            )
+
+
+def test_aligned_rhat_packed_counts_exact(rng):
+    """Same diet on the aligned native step's xla path."""
+    from orbitanalysis_tpu.engine.packing import stage_batch_aligned
+    from orbitanalysis_tpu.engine.scan import scan_events_aligned
+    from orbitanalysis_tpu.ops.apsis import SnapshotBatch
+    from orbitanalysis_tpu.ops.sorted_step import init_aligned_carry
+    from orbitanalysis_tpu.utils.padding import invalid_id_for
+
+    box = 80.0
+    H, per, S = 3, 256, 8
+    pos, vel, label, cen_seq = _churn_pool(rng, H, per, S, box)
+    INV = invalid_id_for(np.int32)
+    P = 256
+    ids_rows = np.full((S, H, P), INV, np.int32)
+    pos_rows = np.zeros((S, H, P, 3), np.float32)
+    vel_rows = np.zeros((S, H, P, 3), np.float32)
+    for s in range(S):
+        for h in range(H):
+            g = np.flatnonzero(label[s] == h)
+            ids_rows[s, h, :len(g)] = g
+            pos_rows[s, h, :len(g)] = pos[s, :, g]
+            vel_rows[s, h, :len(g)] = vel[s, :, g]
+    batch = SnapshotBatch(
+        ids=ids_rows, pos=pos_rows, vel=vel_rows,
+        center=cen_seq.astype(np.float32), mass=None, bulk_vel=None,
+        hubble_drag=np.zeros(S, np.float32),
+    )
+    staged = jax.tree.map(
+        jnp.asarray, stage_batch_aligned(batch, soa=True))
+    _, (cnt_f, pos_f, ang_f) = scan_events_aligned(
+        init_aligned_carry(H, P), staged, 128, box_size=box,
+        soa_batch=True,
+    )
+    _, (cnt_p, pos_p, ang_p) = scan_events_aligned(
+        init_aligned_carry(H, P, rhat_packed=True), staged, 128,
+        box_size=box, soa_batch=True, rhat_packed=True,
+    )
+    cnt_f, cnt_p = np.asarray(cnt_f), np.asarray(cnt_p)
+    np.testing.assert_array_equal(cnt_f, cnt_p)
+    pos_f, pos_p = np.asarray(pos_f), np.asarray(pos_p)
+    ang_f, ang_p = np.asarray(ang_f), np.asarray(ang_p)
+    for s in range(S):
+        for h in range(3):
+            k = cnt_f[s, h]
+            of, op = np.argsort(pos_f[s, h, :k]), np.argsort(pos_p[s, h, :k])
+            np.testing.assert_array_equal(
+                pos_f[s, h, :k][of], pos_p[s, h, :k][op])
+            np.testing.assert_allclose(
+                ang_f[s, h, :k][of], ang_p[s, h, :k][op], atol=5e-3)
