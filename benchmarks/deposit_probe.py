@@ -267,6 +267,36 @@ def main():
 
     probe("logshift8N", chained(logshift), k2, v2)
 
+    # --- the shipped sorted-stream Pallas assembly (ops/pallas_deposit) ---
+    from orbitanalysis_tpu.ops.pallas_deposit import (
+        cic_deposit_sorted,
+        pallas_deposit_supported,
+    )
+
+    if pallas_deposit_supported(grid):
+
+        def dep_pallas(c, p, m):
+            pp = p + jnp.float32(1e-6) * c.astype(jnp.float32)
+            rho = cic_deposit_sorted(pp, m, grid, box)
+            return jnp.sum(rho[0, 0])
+
+        probe("pallas", chained(dep_pallas), jpos, jmass)
+
+    # --- full PM force step, scatter vs pallas deposit ---
+    from orbitanalysis_tpu.models.pm import pm_forces
+
+    def force(depkind):
+        def body(c, p, m):
+            pp = p + jnp.float32(1e-6) * c.astype(jnp.float32)
+            acc = pm_forces(pp, m, grid, box, deposit=depkind)
+            return jnp.sum(acc[0])
+
+        return body
+
+    probe("force-scat", chained(force("scatter")), jpos, jmass)
+    if pallas_deposit_supported(grid):
+        probe("force-pallas", chained(force("sorted")), jpos, jmass)
+
 
 if __name__ == "__main__":
     main()

@@ -108,12 +108,20 @@ def _cic_neighbors(pos, grid, box_size):
 
 
 def cic_deposit(pos, mass, grid, box_size):
-    """Cloud-in-cell mass deposit onto a periodic ``[grid]^3`` mesh."""
+    """Cloud-in-cell mass deposit onto a periodic ``[grid]^3`` mesh.
+
+    ``mass`` may be a scalar (equal-mass species, the reference's
+    ``masses`` float form, ``/root/reference/orbitanalysis/track_orbits.py:44``)
+    or a ``[N]`` array.
+    """
     idx, w = _cic_neighbors(pos, grid, box_size)
+    m = jnp.broadcast_to(
+        jnp.asarray(mass, pos.dtype).reshape(-1), (pos.shape[0],)
+    )
     rho = jnp.zeros((grid, grid, grid), pos.dtype)
     flat = (idx[..., 0] * grid + idx[..., 1]) * grid + idx[..., 2]
     rho = rho.reshape(-1).at[flat.reshape(-1)].add(
-        (w * mass[None, :]).reshape(-1)
+        (w * m[None, :]).reshape(-1)
     )
     return rho.reshape(grid, grid, grid)
 
@@ -304,6 +312,36 @@ def _use_rows(assignment: str) -> bool:
     return assignment == "rows"
 
 
+def select_depositor(deposit: str, grid: int):
+    """Deposit kernel policy: ``'sorted'`` = the sorted-stream Pallas
+    assembly (:func:`orbitanalysis_tpu.ops.pallas_deposit.cic_deposit_sorted`,
+    no scatter engine, ~6x the scatter form at 16.7M/256^3),
+    ``'scatter'`` = the classic 8-scatter form (:func:`cic_deposit`),
+    ``'auto'`` = sorted on TPU when the virtual mesh fits VMEM-resident
+    (grids up to ~288^3), scatter elsewhere."""
+    from orbitanalysis_tpu.ops.pallas_deposit import (
+        cic_deposit_sorted,
+        pallas_deposit_supported,
+    )
+
+    if deposit == "auto":
+        use_sorted = (
+            jax.default_backend() == "tpu" and pallas_deposit_supported(grid)
+        )
+    elif deposit in ("sorted", "scatter"):
+        if deposit == "sorted" and not pallas_deposit_supported(grid):
+            raise ValueError(
+                f"deposit='sorted' needs the virtual {grid + 1}^3 mesh "
+                "VMEM-resident; this grid exceeds the budget"
+            )
+        use_sorted = deposit == "sorted"
+    else:
+        raise ValueError(
+            f"deposit must be 'auto', 'sorted' or 'scatter', got {deposit!r}"
+        )
+    return cic_deposit_sorted if use_sorted else cic_deposit
+
+
 def select_interpolator(assignment: str):
     """The one place the ``assignment`` policy lives: returns
     :func:`cic_interpolate_rows` or :func:`cic_interpolate` (validating
@@ -319,6 +357,7 @@ def pm_forces(
     G: float = 1.0,
     deconvolve: bool = False,
     assignment: str = "auto",
+    deposit: str = "auto",
     **_,
 ) -> jnp.ndarray:
     """PM accelerations for all particles (signature-compatible with
@@ -329,13 +368,14 @@ def pm_forces(
     index-cost-minimizing folded row gather
     (:func:`cic_interpolate_rows`, 10x the scalar form at 16.7M
     particles), ``'scalar'`` = the classic 24-gather form, ``'auto'`` =
-    rows on TPU, scalar elsewhere.  The deposit always uses the classic
-    8-scatter form: its cost is XLA's per-element scatter floor either
-    way, and the row variant's lane-padded accumulator costs 8.6 GB at
-    256^3 (see :func:`cic_deposit_rows`).
+    rows on TPU, scalar elsewhere.  ``deposit`` selects the mass
+    assignment (:func:`select_depositor`): the sorted-stream Pallas
+    assembly replaces the per-element scatter floor on TPU for grids
+    whose virtual mesh fits VMEM.
     """
     interp = select_interpolator(assignment)
-    rho = cic_deposit(pos, mass, grid, box_size)
+    depositor = select_depositor(deposit, grid)
+    rho = depositor(pos, mass, grid, box_size)
     field = pm_forces_grid(
         rho, grid, box_size, G=G, deconvolve=deconvolve
     )
@@ -343,7 +383,7 @@ def pm_forces(
 
 
 def make_pm_force_fn(grid: int, deconvolve: bool = False,
-                     assignment: str = "auto"):
+                     assignment: str = "auto", deposit: str = "auto"):
     """A ``force_fn(pos, mass, box_size=..., G=..., **ignored)`` for
     :func:`orbitanalysis_tpu.models.nbody.simulate_with_tracking`."""
 
@@ -351,6 +391,7 @@ def make_pm_force_fn(grid: int, deconvolve: bool = False,
         if box_size is None:
             raise ValueError("PM forces require a periodic box_size")
         return pm_forces(pos, mass, grid, box_size, G=G,
-                         deconvolve=deconvolve, assignment=assignment)
+                         deconvolve=deconvolve, assignment=assignment,
+                         deposit=deposit)
 
     return force
