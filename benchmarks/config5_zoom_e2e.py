@@ -274,7 +274,14 @@ def run_device_scale_label(args):
         max(128, (1 << 15) // 16), box_size=None, rhat_packed=True,
     )
 
-    def synth(k):
+    # the ensemble arrays are jit ARGUMENTS, not closure captures:
+    # captured device arrays get baked into the lowered module as
+    # constants (2.3 GB of HLO at 1e8 particles — minutes of tunnel
+    # serialization per compile)
+    ens = (r0, omega, phase0, phase_r0, home)
+
+    def synth(k, e):
+        r0, omega, phase0, phase_r0, home = e
         t = k.astype(jnp.float32) * dt
         ph = phase0 + omega * t
         phr = phase_r0 + omega * t
@@ -292,33 +299,36 @@ def run_device_scale_label(args):
         out = ((local + k * churn_w) % P) < churn_w
         return pos, vel, jnp.where(out, -1, home)
 
-    def run(carry):
+    @jax.jit
+    def fn(carry, e, mass, centers):
         def body(c, k):
-            pos, vel, lab = synth(k)
+            pos, vel, lab = synth(k, e)
             c, ev = step(c, (pos, vel, lab, centers, None, mass,
                              jnp.float32(0)))
             return c, jnp.sum(ev.count)
 
         return jax.lax.scan(body, carry, jnp.arange(1, S + 1))
 
-    fn = jax.jit(run)
     carry = init_label_carry(N, rhat_packed=True)
-    seed = jax.jit(lambda c: step(
-        c, synth(jnp.int32(0)) + (centers, None, mass, jnp.float32(0))
-    )[0])
+
+    @jax.jit
+    def seed(c, e, mass, centers):
+        return step(c, synth(jnp.int32(0), e)
+                    + (centers, None, mass, jnp.float32(0)))[0]
+
     t0 = time.time()
-    carry = seed(carry)
+    carry = seed(carry, ens, mass, centers)
     jax.block_until_ready(carry)
     print(f"seed step compile+run: {time.time() - t0:.1f} s", flush=True)
 
     t0 = time.time()
-    _, events = fn(carry)
+    _, events = fn(carry, ens, mass, centers)
     tot = int(np.asarray(jnp.sum(events)))
     print(f"scan compile+first run: {time.time() - t0:.1f} s", flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _, events = fn(carry)
+        _, events = fn(carry, ens, mass, centers)
         tot = int(np.asarray(jnp.sum(events)))
         best = min(best, time.perf_counter() - t0)
     per_step = best / S
