@@ -115,8 +115,40 @@ def _auto_chunk(n: int, h: int, chunk) -> int:
     return chunk
 
 
+def _split_bf16x3(x: jnp.ndarray):
+    """Exact 3-piece bf16 decomposition of f32 ``x``: returns
+    ``(p0, p1, p2)`` bf16 with ``p0 + p1 + p2 == x`` (as reals, and
+    bit-exactly when re-summed hi-to-lo in f32).
+
+    Truncation split: bf16 is the top 16 bits of the f32 word, so
+    masking the low half yields an exactly-representable piece, the
+    residual subtraction is exact (the piece's mantissa is a prefix of
+    ``x``'s), and f32's 24 significant bits drain in <= 3 pieces of 8.
+    Exact for ``|x| >~ 2**-110`` (below that the low pieces, ~2**-17
+    smaller than ``x``, dip under bf16's 2**-133 subnormal floor and
+    round — irrelevant for physical positions/velocities/masses).
+    This is what turns a ``Precision.HIGHEST`` f32 MXU dot (~6 passes,
+    each re-feeding its fused operands) into ONE native bf16 pass
+    while keeping one-hot selection bit-exact.
+    """
+
+    def trunc(v):
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(v, jnp.uint32)
+            & jnp.uint32(0xFFFF0000),
+            jnp.float32,
+        )
+
+    p0 = trunc(x)
+    r1 = x - p0
+    p1 = trunc(r1)
+    p2 = r1 - p1
+    return (p0.astype(jnp.bfloat16), p1.astype(jnp.bfloat16),
+            p2.astype(jnp.bfloat16))
+
+
 def take_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray,
-                     chunk=None) -> jnp.ndarray:
+                     chunk=None, precision: str = "f32") -> jnp.ndarray:
     """``table[idx]`` for a small table, as (optionally chunked)
     one-hot matmuls.
 
@@ -124,14 +156,30 @@ def take_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray,
     (-1 rows return zeros).  Exact in f32: each output row is a sum
     with exactly one nonzero product.  MXU-bound at ``2 N H C`` flops
     instead of ``N`` serial gather lookups (10-30 ns each on TPU).
+
+    ``precision='f32'`` (default) is the ``Precision.HIGHEST`` f32
+    dot — MEASURED FASTEST on the session v5e
+    (benchmarks/label_ablation.py: 20.6 ms full-step scan vs 28.3 for
+    'bf16x3' and 31.1 for the Pallas kernels at N=2.1M x H=64 — the
+    extra f32 MXU passes are cheaper than the bf16x3 variant's wider
+    output + piece re-sum).  ``'bf16x3'`` runs ONE native bf16 MXU
+    pass over the exactly-split table (:func:`_split_bf16x3`) — also
+    bit-exact, kept for hardware where f32 passes dominate.
     """
     h, c = table.shape
     n = idx.shape[0]
     chunk = _auto_chunk(n, h, chunk)
+    table = table.astype(jnp.float32)
+    if precision == "bf16x3":
+        cat = jnp.concatenate(_split_bf16x3(table), axis=1)  # [H, 3C]
 
     def body(ix):
-        onehot = (ix[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])
-        return jnp.dot(onehot.astype(table.dtype), table,
+        eq = ix[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
+        if precision == "bf16x3":
+            out3 = jnp.dot(eq.astype(jnp.bfloat16), cat,
+                           preferred_element_type=jnp.float32)
+            return (out3[:, :c] + out3[:, c:2 * c]) + out3[:, 2 * c:]
+        return jnp.dot(eq.astype(table.dtype), table,
                        precision=jax.lax.Precision.HIGHEST)
 
     if n == chunk:
@@ -160,32 +208,340 @@ def take_rows_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _onehot_hn(idx: jnp.ndarray, h: int) -> jnp.ndarray:
+    """``[H, N]`` bool one-hot of ``idx [N]`` (-1 -> zero column)."""
+    return idx[None, :] == jnp.arange(h, dtype=jnp.int32)[:, None]
+
+
+# two-level split width (probed: benchmarks/frames_probe.py) and the
+# halo count above which the two-level forms win (the direct one-hot's
+# N*H generation/dot cost overtakes the split's (H/HL + C*HL)*N)
+_TWOLEVEL_HL = 32
+_TWOLEVEL_MIN_H = 256
+
+
+def take_rows_twolevel(table: jnp.ndarray, idx: jnp.ndarray,
+                       chunk=None, hl: int = _TWOLEVEL_HL) -> jnp.ndarray:
+    """``table[idx].T`` (SoA ``[C, N]``) via a two-level hi/lo label
+    split — the large-``H`` form of :func:`take_rows_soa`.
+
+    One-hot work drops from ``H*N`` to ``(H/hl)*N`` on the MXU plus a
+    ``C*hl*N`` VPU contraction: ``partial[(c, lo), n] =
+    table[hi(n)*hl + lo, c]`` comes from a ``[C*hl, H/hl]`` re-tiled
+    table dot with ``onehot(idx // hl)``, then the low one-hot
+    contracts elementwise.  Bit-exact (both stages select exactly one
+    nonzero product per output).  Measured on the session v5e at
+    H=1536, N=8.4M: 12.2 ms vs 29.6 direct (2.4x); at H=64 the direct
+    form wins — :func:`make_label_orbit_step` switches on
+    ``_TWOLEVEL_MIN_H``.
+    """
+    h, c = table.shape
+    n = idx.shape[0]
+    hh = -(-h // hl)
+    pad_h = hh * hl - h
+    table = table.astype(jnp.float32)
+    if pad_h:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad_h, c), jnp.float32)])
+    # L[c*hl + lo, hi] = table[hi*hl + lo, c]
+    L = jnp.transpose(table.reshape(hh, hl, c), (2, 1, 0)).reshape(
+        c * hl, hh)
+    if chunk is None:
+        chunk = n if n * (c * hl) * 4 <= (1 << 30) else 1 << 17
+    if n % chunk:
+        chunk = n
+
+    def body(ix):
+        m = ix.shape[0]
+        hi = ix // hl  # -1 -> -1 (floor div): zero oh_hi column
+        oh_hi = _onehot_hn(hi, hh)
+        partial = jax.lax.dot_general(
+            L, oh_hi.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [c*hl, m]
+        lo = ix - hi * hl
+        oh_lo = _onehot_hn(lo, hl)
+        return jnp.sum(
+            partial.reshape(c, hl, m)
+            * oh_lo.astype(jnp.float32)[None],
+            axis=1,
+        )  # [c, m]
+
+    if n == chunk:
+        return body(idx)
+    out = jax.lax.map(body, idx.reshape(n // chunk, chunk))
+    return jnp.moveaxis(out, 0, 1).reshape(c, n)
+
+
+def _frame_geometry(p3, v3, cpp, bpp, hubble_drag, box_size):
+    """Radial geometry in plane-wise (unstacked) form: ``p3``/``v3``/
+    ``cpp``/``bpp`` are 3-tuples of ``[...]`` f32 planes (position,
+    velocity, per-particle center, per-particle bulk velocity).
+    Returns ``(rhat 3-tuple, vr)`` — the reference's region-frame
+    radial quantities (``track_orbits.py:276-288``: ``v_phys = v -
+    v_bulk + H·r/(1+z)``, ``vr = r̂·v_phys``).
+
+    Plane-wise on purpose: stacked ``[3, N]`` f32 temporaries tile as
+    T(4,128) on TPU — 1.33x sublane padding, ~400 MB wasted per
+    temporary at 1e8 particles (the unfused form OOM'd the 101M census
+    by 2.3 MB).  XLA fuses the elementwise chain identically either
+    way; the plane form just never asks for padded stacks.
+    """
+    rel = []
+    for d in range(3):
+        rd = p3[d] - cpp[d]
+        if box_size is not None:
+            rd = rd - box_size * jnp.round(rd / box_size)
+        rel.append(rd)
+    r2 = rel[0] * rel[0] + rel[1] * rel[1] + rel[2] * rel[2]
+    r = jnp.sqrt(r2)
+    inv_r = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+    rhat = tuple(rd * inv_r for rd in rel)
+    vr = sum(
+        rhat[d] * (v3[d] - bpp[d] + hubble_drag * rel[d])
+        for d in range(3)
+    )
+    return rhat, vr
+
+
+def _frame_detect_twolevel(table, lab, pos, vel, hubble_drag,
+                           box_size, chunk=None,
+                           hl: int = _TWOLEVEL_HL):
+    """Fused frame-rows + radial geometry for large halo counts: one
+    chunked pass selects ``table[label]`` via the two-level hi/lo
+    split (:func:`take_rows_twolevel`) and immediately consumes the
+    rows into :func:`_frame_geometry`, so the ``[6, N]`` frame-row
+    array never exists in HBM.  Returns ``(rhat 3-tuple, vr)``, each
+    plane ``[N]`` f32.  Bit-exact row selection; geometry identical to
+    the unfused form.
+    """
+    h, c = table.shape
+    n = lab.shape[0]
+    hh = -(-h // hl)
+    pad_h = hh * hl - h
+    table = table.astype(jnp.float32)
+    if pad_h:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad_h, c), jnp.float32)])
+    L = jnp.transpose(table.reshape(hh, hl, c), (2, 1, 0)).reshape(
+        c * hl, hh)
+    if chunk is None:
+        chunk = n if n * (c * hl) * 4 <= (1 << 30) else 1 << 17
+    if n % chunk:
+        chunk = n
+
+    def body(xs):
+        ix = xs[0]
+        m = ix.shape[0]
+        hi = ix // hl  # -1 -> -1 (floor div): zero oh_hi column
+        oh_hi = _onehot_hn(hi, hh)
+        partial = jax.lax.dot_general(
+            L, oh_hi.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [c*hl, m]
+        lo = ix - hi * hl
+        oh_lo = _onehot_hn(lo, hl)
+        rows = jnp.sum(
+            partial.reshape(c, hl, m)
+            * oh_lo.astype(jnp.float32)[None],
+            axis=1,
+        )  # [c, m]
+        rhat, vr = _frame_geometry(
+            xs[1:4], xs[4:7],
+            (rows[0], rows[1], rows[2]),
+            (rows[3], rows[4], rows[5]),
+            hubble_drag, box_size,
+        )
+        return rhat + (vr,)
+
+    planes = (lab,) + tuple(pos[d] for d in range(3)) + tuple(
+        vel[d] for d in range(3))
+    if n == chunk:
+        out = body(planes)
+        return out[:3], out[3]
+    k = n // chunk
+    out = jax.lax.map(
+        body, tuple(p.reshape(k, chunk) for p in planes))
+    rhx, rhy, rhz, vr = (o.reshape(n) for o in out)
+    return (rhx, rhy, rhz), vr
+
+
+def _segment_moments_twolevel(values: jnp.ndarray, idx: jnp.ndarray,
+                              n_halos: int, chunk=None,
+                              hl: int = _TWOLEVEL_HL) -> jnp.ndarray:
+    """Per-halo sums ``[H, C]`` of SoA ``values [C, N]`` grouped by
+    ``idx`` via the two-level split: the low one-hot multiplies into
+    the values as a fused ``[C*hl, N]`` MXU operand, the high one-hot
+    is the dot's other side — ``H*N`` one-hot work becomes
+    ``(C*hl + H/hl)*N``.  Measured at H=1536, N=8.4M: 5.6 ms vs 21.4
+    direct (3.8x).  Same f32-accumulation tolerance class as the
+    direct forms (different reduction order)."""
+    h = n_halos
+    c, n = values.shape
+    hh = -(-h // hl)
+    values = values.astype(jnp.float32)
+    if chunk is None:
+        chunk = n if n * (c * hl) * 4 <= (1 << 30) else 1 << 17
+    if n % chunk:
+        chunk = n
+
+    def dot_chunk(ix, val):
+        hi = ix // hl
+        lo = ix - hi * hl
+        oh_hi = _onehot_hn(hi, hh)
+        oh_lo = _onehot_hn(lo, hl)
+        # y[(c, lo), n] = val[c, n] * oh_lo[lo, n] (fused dot operand)
+        y = (val[:, None, :] * oh_lo.astype(jnp.float32)[None]
+             ).reshape(c * hl, ix.shape[0])
+        return jax.lax.dot_general(
+            y, oh_hi.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [c*hl, hh]
+
+    if n == chunk:
+        mom2 = dot_chunk(idx, values)
+    else:
+        k = n // chunk
+
+        def body(acc, xs):
+            # re-stack the chunk from per-plane slices — stacking the
+            # full [C, N] into chunk-major order would materialize a
+            # transposed copy of the whole array
+            return acc + dot_chunk(xs[0], jnp.stack(xs[1:])), None
+
+        mom2, _ = jax.lax.scan(
+            body, jnp.zeros((c * hl, hh), jnp.float32),
+            (idx.reshape(k, chunk),)
+            + tuple(values[i].reshape(k, chunk) for i in range(c)),
+        )
+    mom = jnp.transpose(mom2.reshape(c, hl, hh), (2, 1, 0)).reshape(
+        hh * hl, c)
+    return mom[:h]
+
+
+def take_rows_soa(table: jnp.ndarray, idx: jnp.ndarray,
+                  chunk=None, precision: str = "f32") -> jnp.ndarray:
+    """``table[idx].T`` — the SoA form of :func:`take_rows_matmul`:
+    ``[C, N]`` out of ``table [H, C]`` + ``idx [N]`` via
+    ``table.T @ onehot [H, N]``, so the frame planes come out in the
+    ``[3, N]`` layout the detector consumes with no transpose and no
+    lane-padded ``[N, C]`` intermediate.  Bit-exact for both
+    precisions (one-hot selection; 'bf16x3' re-sums the exact split
+    hi-to-lo)."""
+    h, c = table.shape
+    n = idx.shape[0]
+    chunk = _auto_chunk(n, h, chunk)
+    tt = table.astype(jnp.float32).T  # [C, H]
+    if precision == "bf16x3":
+        cat = jnp.concatenate(_split_bf16x3(tt), axis=0)  # [3C, H]
+
+    def body(ix):
+        oh = _onehot_hn(ix, h)
+        if precision == "bf16x3":
+            out3 = jax.lax.dot_general(
+                cat, oh.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [3C, n]
+            return (out3[:c] + out3[c:2 * c]) + out3[2 * c:]
+        return jax.lax.dot_general(
+            tt, oh.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [C, n]
+
+    if n == chunk:
+        return body(idx)
+    out = jax.lax.map(body, idx.reshape(n // chunk, chunk))  # [k, C, c]
+    return jnp.moveaxis(out, 0, 1).reshape(c, n)
+
+
+def _segment_moments_soa(values: jnp.ndarray, idx: jnp.ndarray,
+                         n_halos: int, chunk=None,
+                         precision: str = "f32") -> jnp.ndarray:
+    """Per-halo sums ``[H, C]`` of SoA ``values [C, N]`` grouped by
+    ``idx [N]`` (-1 ignored): ``values @ onehot^T`` with the particle
+    axis contracted in its native lane layout (no ``[N, C]``
+    intermediate)."""
+    h = n_halos
+    c, n = values.shape
+    values = values.astype(jnp.float32)
+    chunk = _auto_chunk(n, h, chunk)
+
+    def dot_n(ix, val):
+        oh = _onehot_hn(ix, h)
+        if precision == "bf16x3":
+            cat = jnp.concatenate(_split_bf16x3(val), axis=0)  # [3C, n]
+            out3 = jax.lax.dot_general(
+                cat, oh.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [3C, H]
+            return (out3[:c] + out3[c:2 * c]) + out3[2 * c:]
+        return jax.lax.dot_general(
+            val, oh.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [C, H]
+
+    if n == chunk:
+        return dot_n(idx, values).T
+
+    def body(acc, xs):
+        ix, val = xs
+        return acc + dot_n(ix, val), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((c, h), jnp.float32),
+        (idx.reshape(n // chunk, chunk),
+         jnp.moveaxis(values.reshape(c, n // chunk, chunk), 1, 0)),
+    )
+    return acc.T
+
+
 def _segment_moments_matmul(values: jnp.ndarray, idx: jnp.ndarray,
-                            n_halos: int,
-                            chunk=None) -> jnp.ndarray:
+                            n_halos: int, chunk=None,
+                            precision: str = "f32") -> jnp.ndarray:
     """Per-halo sums of ``values [N, C]`` grouped by ``idx [N]``
     (-1 ignored), as chunked ``onehot^T @ values`` MXU passes.
 
     f32 accumulation in halo-major chunk order — deterministic, and
     within one ulp of a NumPy segment sum (the aligned engine's
     bulk-velocity tolerance class, ``tests/test_engine.py``).
+    ``precision='bf16x3'`` (default) splits ``values`` exactly into 3
+    bf16 planes (:func:`_split_bf16x3`) and runs ONE native bf16 MXU
+    pass over the ``[N, 3C]`` concat — each per-halo piece sum is a
+    0/1-weighted f32-accumulated reduction, so the only change vs the
+    f32 ``Precision.HIGHEST`` dot is the (already tolerance-classed)
+    accumulation order.
     """
     h = n_halos
     n, c = values.shape
+    values = values.astype(jnp.float32)
     chunk = _auto_chunk(n, h, chunk)
+
+    def dot_t(ix, val):
+        eq = ix[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
+        if precision == "bf16x3":
+            cat = jnp.concatenate(_split_bf16x3(val), axis=1)  # [n, 3C]
+            out3 = jnp.dot(eq.astype(jnp.bfloat16).T, cat,
+                           preferred_element_type=jnp.float32)
+            return (out3[:, :c] + out3[:, c:2 * c]) + out3[:, 2 * c:]
+        return jnp.dot(eq.astype(val.dtype).T, val,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    if n == chunk:
+        return dot_t(idx, values)
 
     def body(acc, xs):
         ix, val = xs
-        onehot = (ix[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])
-        return acc + jnp.dot(onehot.astype(values.dtype).T, val,
-                             precision=jax.lax.Precision.HIGHEST), None
+        return acc + dot_t(ix, val), None
 
-    if n == chunk:
-        onehot = (idx[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])
-        return jnp.dot(onehot.astype(values.dtype).T, values,
-                       precision=jax.lax.Precision.HIGHEST)
     acc, _ = jax.lax.scan(
-        body, jnp.zeros((h, c), values.dtype),
+        body, jnp.zeros((h, c), jnp.float32),
         (idx.reshape(n // chunk, chunk),
          values.reshape(n // chunk, chunk, c)),
     )
@@ -239,7 +595,7 @@ def make_label_orbit_step(
     n_halos: Optional[int] = None,
     chunk=None,
     row_width: int = 1 << 15,
-    frames: str = "matmul",
+    frames: str = "auto",
     rhat_packed: bool = False,
 ):
     """Churn-proof detector over a position-stable pool — the aligned
@@ -264,6 +620,9 @@ def make_label_orbit_step(
     from orbitanalysis_tpu.ops.pallas_step import _acos_f32
     from orbitanalysis_tpu.utils.numerics import oct_decode, oct_encode
 
+    if frames not in ("auto", "matmul", "matmul_bf16x3", "soa",
+                      "soa_bf16x3", "twolevel", "select", "pallas"):
+        raise ValueError(f"unknown frames impl {frames!r}")
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
             "Orbit detection mode not recognized. Please specify either "
@@ -284,42 +643,111 @@ def make_label_orbit_step(
             )
         h = centers.shape[0] if n_halos is None else n_halos
         valid = label >= 0
+        lab_m = jnp.where(valid, label, -1)
+        # 'auto' resolves per halo count (static at trace time).
+        # Small H: the f32 HIGHEST one-hot matmul — measured fastest
+        # of six implementations on the session v5e
+        # (benchmarks/label_ablation.py at N=2.1M x H=64: matmul 20.6
+        # ms/scan; soa 21.0; soa_bf16x3 25.6; matmul_bf16x3 28.3;
+        # pallas 31.1; XLA fuses the iota-compare into the MXU operand
+        # feed, so the VMEM-blocked Pallas kernels save no HBM traffic
+        # and only add grid overhead).  Large H: the two-level hi/lo
+        # split — its one-hot work is (H/32 + 6*32)*N instead of H*N
+        # (benchmarks/frames_probe.py at H=1536, N=8.4M: take-rows
+        # 12.2 vs 29.6 ms, moments 5.6 vs 21.4).  'select' is the
+        # bit-exact H-pass alternative for parity tests.
+        impl = frames
+        if impl == "auto":
+            impl = "twolevel" if h >= _TWOLEVEL_MIN_H else "matmul"
 
-        # halo frames via one MXU pass: moments [H, 8] = [m·vx, m·vy,
-        # m·vz, m] (+ zeros padding); bulk = m·v sums / m sum
+        # halo frames via one MXU pass: moments [H, 4] = [m·vx, m·vy,
+        # m·vz, m]; bulk = m·v sums / m sum
         if bulk_vel is None:
-            w = jnp.ones((n,), jnp.float32) if mass is None else mass
-            w = jnp.where(valid, w, 0.0)
-            mom = _segment_moments_matmul(
-                jnp.stack([vel[0] * w, vel[1] * w, vel[2] * w, w],
-                          axis=-1),
-                jnp.where(valid, label, -1), h, chunk=chunk,
-            )
+            if impl == "pallas":
+                from orbitanalysis_tpu.ops.pallas_frames import (
+                    segment_moments,
+                )
+
+                mom = segment_moments(lab_m, vel, mass, n_halos=h)
+            elif impl == "twolevel":
+                w = (jnp.ones((n,), jnp.float32) if mass is None
+                     else mass)
+                w = jnp.where(valid, w, 0.0)
+                mom = _segment_moments_twolevel(
+                    jnp.concatenate([vel * w[None], w[None, :]],
+                                    axis=0),
+                    lab_m, h, chunk=chunk,
+                )
+            elif impl in ("soa", "soa_bf16x3"):
+                w = (jnp.ones((n,), jnp.float32) if mass is None
+                     else mass)
+                w = jnp.where(valid, w, 0.0)
+                mom = _segment_moments_soa(
+                    jnp.concatenate([vel * w[None], w[None, :]],
+                                    axis=0),
+                    lab_m, h, chunk=chunk,
+                    precision=("bf16x3" if impl == "soa_bf16x3"
+                               else "f32"),
+                )
+            else:
+                w = (jnp.ones((n,), jnp.float32) if mass is None
+                     else mass)
+                w = jnp.where(valid, w, 0.0)
+                mom = _segment_moments_matmul(
+                    jnp.stack([vel[0] * w, vel[1] * w, vel[2] * w, w],
+                              axis=-1),
+                    lab_m, h, chunk=chunk,
+                    precision=("bf16x3" if impl == "matmul_bf16x3"
+                               else "f32"),
+                )
             bulk = mom[:, :3] / jnp.maximum(mom[:, 3:4], 1e-30)
         else:
             bulk = jnp.asarray(bulk_vel, jnp.float32)
 
-        # per-particle center & bulk rows: one chunked one-hot matmul
-        # over the combined [H, 6] table ('select': the bit-exact
-        # H-pass alternative for small halo counts / parity tests)
+        # per-particle center & bulk rows: one one-hot matmul over the
+        # combined [H, 6] table
         table = jnp.concatenate([centers.astype(jnp.float32), bulk],
                                 axis=-1)
-        take = take_rows_matmul if frames == "matmul" else (
-            lambda t, ix, chunk=None: take_rows_select(t, ix)
-        )
-        rows = take(table, jnp.where(valid, label, -1), chunk=chunk)
-        cpp = rows[:, :3].T  # [3, N] center per particle
-        bpp = rows[:, 3:].T
+        if impl == "twolevel":
+            # rows selection + geometry fused in one chunked pass —
+            # no [6, N] or padded [3, N] temporaries
+            rhat, vr = _frame_detect_twolevel(
+                table, lab_m, pos, vel, hubble_drag, box_size,
+                chunk=chunk,
+            )
+        else:
+            if impl == "pallas":
+                from orbitanalysis_tpu.ops.pallas_frames import (
+                    frame_rows,
+                )
 
-        rel = pos - cpp
-        if box_size is not None:
-            rel = rel - box_size * jnp.round(rel / box_size)
-        r2 = rel[0] ** 2 + rel[1] ** 2 + rel[2] ** 2
-        r = jnp.sqrt(r2)
-        inv_r = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
-        rhat = rel * inv_r[None]
-        vrel = vel - bpp + hubble_drag * rel
-        vr = rhat[0] * vrel[0] + rhat[1] * vrel[1] + rhat[2] * vrel[2]
+                rows_soa = frame_rows(table, lab_m)
+                cpp = rows_soa[:3]  # [3, N] center per particle
+                bpp = rows_soa[3:]
+            elif impl in ("soa", "soa_bf16x3"):
+                rows_soa = take_rows_soa(
+                    table, lab_m, chunk=chunk,
+                    precision=("bf16x3" if impl == "soa_bf16x3"
+                               else "f32"),
+                )
+                cpp = rows_soa[:3]
+                bpp = rows_soa[3:]
+            else:
+                if impl == "select":
+                    rows = take_rows_select(table, lab_m)
+                else:
+                    rows = take_rows_matmul(
+                        table, lab_m, chunk=chunk,
+                        precision=("bf16x3" if impl == "matmul_bf16x3"
+                                   else "f32"),
+                    )
+                cpp = rows[:, :3].T
+                bpp = rows[:, 3:].T
+            rhat, vr = _frame_geometry(
+                (pos[0], pos[1], pos[2]), (vel[0], vel[1], vel[2]),
+                (cpp[0], cpp[1], cpp[2]), (bpp[0], bpp[1], bpp[2]),
+                hubble_drag, box_size,
+            )
         vrb = ((vr < 0).astype(jnp.int32)
                | ((vr > 0).astype(jnp.int32) << 1))
 
@@ -381,7 +809,7 @@ def make_label_orbit_step(
             lab_sv=jnp.where(
                 valid, (label + 1) | (vrb << 28), jnp.int32(0)
             ),
-            rhat=oct_encode(rhat) if rhat_packed else rhat,
+            rhat=oct_encode(rhat) if rhat_packed else jnp.stack(rhat),
             packed=packed,
         )
         return new_carry, LabelEvents(
@@ -403,7 +831,7 @@ def scan_label_events(carry, pos_seq, vel_seq, label_seq, centers_seq,
                       event_capacity: int, mode: str = "pericentric",
                       box_size=None, mass=None, bulk_vel_seq=None,
                       hubble_drag=0.0, row_width: int = 1 << 15,
-                      frames: str = "matmul", rhat_packed: bool = False):
+                      frames: str = "auto", rhat_packed: bool = False):
     """``lax.scan`` of :func:`make_label_orbit_step` over an
     ``[S]``-stacked device-resident sequence: ``pos_seq``/``vel_seq``
     ``[S, 3, N]``, ``label_seq`` ``[S, N]``, ``centers_seq``

@@ -26,8 +26,10 @@ except ImportError:  # pragma: no cover
     _SHARD_MAP_KW = {"check_rep": False}
 
 from orbitanalysis_tpu.ops.label_step import (
+    _TWOLEVEL_MIN_H,
     LabelCarry,
     _segment_moments_matmul,
+    _segment_moments_twolevel,
     make_label_orbit_step,
 )
 from orbitanalysis_tpu.ops.pallas_config import (
@@ -58,7 +60,7 @@ def make_sharded_label_step(
     mode: str = "pericentric",
     box_size=None,
     row_width: int = 1 << 15,
-    frames: str = "matmul",
+    frames: str = "auto",
 ):
     """Particle-sharded label step: ``step(carry, (pos [3, N], vel,
     label [N], centers [H, 3], mass or None, hubble_drag))`` with every
@@ -83,13 +85,39 @@ def make_sharded_label_step(
         # global mass-weighted bulk moments: local one-hot MXU pass +
         # one tiny psum over the particle axis
         valid = label >= 0
-        w = (jnp.ones(label.shape, jnp.float32) if mass is None
-             else mass)
-        w = jnp.where(valid, w, 0.0)
-        mom = _segment_moments_matmul(
-            jnp.stack([vel[0] * w, vel[1] * w, vel[2] * w, w], axis=-1),
-            jnp.where(valid, label, -1), n_halos,
-        )
+        lab_m = jnp.where(valid, label, -1)
+        # 'auto' resolves per halo count, like the single-chip step
+        # (ops/label_step.py): the two-level hi/lo split above
+        # _TWOLEVEL_MIN_H, the f32 HIGHEST one-hot matmul below it
+        impl = frames
+        if impl == "auto":
+            impl = ("twolevel" if n_halos >= _TWOLEVEL_MIN_H
+                    else "matmul")
+        if impl == "pallas":
+            from orbitanalysis_tpu.ops.pallas_frames import (
+                segment_moments,
+            )
+
+            mom = segment_moments(lab_m, vel, mass, n_halos=n_halos)
+        elif impl == "twolevel":
+            w = (jnp.ones(label.shape, jnp.float32) if mass is None
+                 else mass)
+            w = jnp.where(valid, w, 0.0)
+            mom = _segment_moments_twolevel(
+                jnp.concatenate([vel * w[None], w[None, :]], axis=0),
+                lab_m, n_halos,
+            )
+        else:
+            w = (jnp.ones(label.shape, jnp.float32) if mass is None
+                 else mass)
+            w = jnp.where(valid, w, 0.0)
+            mom = _segment_moments_matmul(
+                jnp.stack([vel[0] * w, vel[1] * w, vel[2] * w, w],
+                          axis=-1),
+                lab_m, n_halos,
+                precision=("bf16x3" if impl == "matmul_bf16x3"
+                           else "f32"),
+            )
         mom = jax.lax.psum(mom, axis_name="particles")
         bulk = mom[:, :3] / jnp.maximum(mom[:, 3:4], 1e-30)
         new_carry, ev = local(

@@ -24,13 +24,35 @@ from orbitanalysis_tpu.ops.label_step import (
 
 
 def test_take_rows_matmul_exact(rng):
-    table = rng.normal(size=(7, 5)).astype(np.float32)
+    # full 24-bit mantissas across a wide exponent range: the bf16x3
+    # split path must still be bit-exact
+    table = (rng.normal(size=(7, 5))
+             * np.exp2(rng.integers(-40, 40, size=(7, 5)))
+             ).astype(np.float32)
     idx = rng.integers(-1, 7, size=512).astype(np.int32)
     want = np.where(idx[:, None] >= 0, table[np.maximum(idx, 0)], 0.0)
-    got = np.asarray(take_rows_matmul(jnp.asarray(table), jnp.asarray(idx)))
-    np.testing.assert_array_equal(got, want.astype(np.float32))
+    for prec in ("bf16x3", "f32"):
+        got = np.asarray(take_rows_matmul(
+            jnp.asarray(table), jnp.asarray(idx), precision=prec))
+        np.testing.assert_array_equal(got, want.astype(np.float32))
     got_s = np.asarray(take_rows_select(jnp.asarray(table), jnp.asarray(idx)))
     np.testing.assert_array_equal(got_s, want.astype(np.float32))
+
+
+def test_split_bf16x3_exact(rng):
+    """The truncation split reconstructs every normal f32 bit-exactly
+    when re-summed hi-to-lo (the take_rows_matmul exactness basis)."""
+    from orbitanalysis_tpu.ops.label_step import _split_bf16x3
+
+    x = np.concatenate([
+        (rng.normal(size=4096)
+         * np.exp2(rng.integers(-100, 100, size=4096))),
+        [0.0, -0.0, 1.0, -1.0, np.pi, 2.0**-126, -(2.0**127)],
+    ]).astype(np.float32)
+    p0, p1, p2 = jax.jit(_split_bf16x3)(jnp.asarray(x))
+    back = ((np.asarray(p0, np.float32) + np.asarray(p1, np.float32))
+            + np.asarray(p2, np.float32))
+    np.testing.assert_array_equal(back, x)
 
 
 def test_take_rows_matmul_chunked(rng):
@@ -39,6 +61,39 @@ def test_take_rows_matmul_chunked(rng):
     got = np.asarray(take_rows_matmul(
         jnp.asarray(table), jnp.asarray(idx), chunk=256))
     np.testing.assert_array_equal(got, table[idx])
+
+
+def test_take_rows_soa_exact(rng):
+    """SoA form: [C, N] out, bit-exact vs gather for both precisions,
+    chunked and unchunked; the SoA segment moments match the AoS form
+    to f32 reduction tolerance."""
+    from orbitanalysis_tpu.ops.label_step import (
+        _segment_moments_matmul,
+        _segment_moments_soa,
+        take_rows_soa,
+    )
+
+    table = (rng.normal(size=(7, 6))
+             * np.exp2(rng.integers(-40, 40, size=(7, 6)))
+             ).astype(np.float32)
+    idx = rng.integers(-1, 7, size=1024).astype(np.int32)
+    want = np.where(idx[:, None] >= 0, table[np.maximum(idx, 0)], 0.0).T
+    for prec in ("f32", "bf16x3"):
+        for chunk in (None, 256):
+            got = np.asarray(take_rows_soa(
+                jnp.asarray(table), jnp.asarray(idx), chunk=chunk,
+                precision=prec))
+            np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    vals = rng.normal(size=(4, 1024)).astype(np.float32)
+    ref = np.asarray(_segment_moments_matmul(
+        jnp.asarray(vals.T), jnp.asarray(idx), 7, precision="f32"))
+    for prec in ("f32", "bf16x3"):
+        for chunk in (None, 256):
+            got = np.asarray(_segment_moments_soa(
+                jnp.asarray(vals), jnp.asarray(idx), 7, chunk=chunk,
+                precision=prec))
+            np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
 
 
 def test_assign_regions_matches_numpy(rng):
@@ -84,7 +139,43 @@ def _churn_pool(rng, n_halos=3, per=256, n_snaps=8, box=80.0):
     return pos, vel, label, cen_seq
 
 
-@pytest.mark.parametrize("frames", ["select", "matmul"])
+def test_take_rows_twolevel_exact(rng):
+    """Two-level hi/lo split: bit-exact vs gather (both stages select
+    exactly one nonzero product), including non-multiple-of-hl halo
+    counts and the padded -1 column; moments match the direct form to
+    f32 reduction tolerance."""
+    from orbitanalysis_tpu.ops.label_step import (
+        _segment_moments_matmul,
+        _segment_moments_twolevel,
+        take_rows_twolevel,
+    )
+
+    for h in (7, 300):
+        table = (rng.normal(size=(h, 6))
+                 * np.exp2(rng.integers(-40, 40, size=(h, 6)))
+                 ).astype(np.float32)
+        idx = rng.integers(-1, h, size=4096).astype(np.int32)
+        want = np.where(
+            idx[:, None] >= 0, table[np.maximum(idx, 0)], 0.0).T
+        for chunk in (None, 1024):
+            got = np.asarray(take_rows_twolevel(
+                jnp.asarray(table), jnp.asarray(idx), chunk=chunk))
+            np.testing.assert_array_equal(got, want.astype(np.float32))
+
+        vals = rng.normal(size=(4, 4096)).astype(np.float32)
+        ref = np.asarray(_segment_moments_matmul(
+            jnp.asarray(vals.T), jnp.asarray(idx), h, precision="f32"))
+        for chunk in (None, 1024):
+            got = np.asarray(_segment_moments_twolevel(
+                jnp.asarray(vals), jnp.asarray(idx), h, chunk=chunk))
+            # different f32 reduction order than the direct dot
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "frames",
+    ["select", "matmul", "matmul_bf16x3", "soa", "soa_bf16x3",
+     "twolevel", "pallas"])
 def test_label_scan_matches_aligned_engine(rng, frames):
     """Event-stream parity: the label detector over the pool must emit
     exactly the aligned engine's events ((halo, id, f16 angle) sets per
