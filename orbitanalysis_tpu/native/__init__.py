@@ -160,7 +160,7 @@ def pack_ragged_native(
     Returns None when the native library is unavailable or the input is
     not a case it handles (the caller then uses the NumPy path).
     """
-    lib = load()
+    lib = ensure()
     if lib is None:
         return None
     values = np.ascontiguousarray(values)
@@ -392,7 +392,7 @@ def grid_count_sort_native(flat: np.ndarray, n_cells: int):
     """Stable counting sort of cell keys: ``(cell_starts, order)`` like
     ``np.searchsorted(sorted, arange)`` + ``np.argsort(kind='stable')``
     — or None when the native library is unavailable."""
-    lib = load()
+    lib = ensure()
     if lib is None:
         return None
     flat = np.ascontiguousarray(flat, dtype=np.int64)

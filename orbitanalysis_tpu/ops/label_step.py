@@ -102,17 +102,39 @@ def init_label_carry(n: int, rhat_packed: bool = False) -> LabelCarry:
     )
 
 
-def _auto_chunk(n: int, h: int, chunk) -> int:
-    """Single-chunk when the implied one-hot stays under ~1 GB: without
+def _auto_chunk(n: int, h: int, chunk):
+    """Chunk size + pad for the chunked one-hot passes.
+
+    Single-chunk when the implied one-hot stays under ~1 GB: without
     a ``lax.map``/``scan`` boundary XLA fuses the iota-compare into the
     MXU operand feed and the dot output into its consumers (measured
     ~20% faster than 128k chunks at 2M x 64); chunk only to bound
-    worst-case transient memory."""
+    worst-case transient memory.  When ``n`` is not a chunk multiple
+    the PLANES ARE PADDED to the next multiple (``pad`` tail entries:
+    idx −1 → zero one-hot column, values 0) instead of collapsing to a
+    single ``n``-sized chunk — a single chunk at the scales these
+    paths target materializes an ``[n, H]``-scale transient and OOMs
+    (round-3 advisor finding).  Returns ``(chunk, pad)``.
+    """
     if chunk is None:
         chunk = n if n * h * 4 <= (1 << 30) else 1 << 17
-    if n % chunk:
-        chunk = n  # odd sizes: single chunk (still bounded by caller)
-    return chunk
+    chunk = min(int(chunk), n)
+    return chunk, (-n) % chunk
+
+
+def _pad_tail(pad: int, idx: jnp.ndarray, *planes):
+    """Append ``pad`` inert entries (idx −1, values 0) to ``[N]``/
+    ``[C, N]`` planes so chunked passes divide evenly.  Returns
+    ``(idx,) + planes`` padded along the last axis."""
+    if not pad:
+        return (idx,) + planes
+    idx = jnp.concatenate(
+        [idx, jnp.full((pad,), -1, idx.dtype)])
+    return (idx,) + tuple(
+        jnp.concatenate(
+            [p, jnp.zeros(p.shape[:-1] + (pad,), p.dtype)], axis=-1)
+        for p in planes
+    )
 
 
 def _split_bf16x3(x: jnp.ndarray):
@@ -168,7 +190,7 @@ def take_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray,
     """
     h, c = table.shape
     n = idx.shape[0]
-    chunk = _auto_chunk(n, h, chunk)
+    chunk, pad = _auto_chunk(n, h, chunk)
     table = table.astype(jnp.float32)
     if precision == "bf16x3":
         cat = jnp.concatenate(_split_bf16x3(table), axis=1)  # [H, 3C]
@@ -184,8 +206,9 @@ def take_rows_matmul(table: jnp.ndarray, idx: jnp.ndarray,
 
     if n == chunk:
         return body(idx)
-    out = jax.lax.map(body, idx.reshape(n // chunk, chunk))
-    return out.reshape(n, c)
+    (idx,) = _pad_tail(pad, idx)
+    out = jax.lax.map(body, idx.reshape((n + pad) // chunk, chunk))
+    return out.reshape(n + pad, c)[:n]
 
 
 def take_rows_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -246,10 +269,7 @@ def take_rows_twolevel(table: jnp.ndarray, idx: jnp.ndarray,
     # L[c*hl + lo, hi] = table[hi*hl + lo, c]
     L = jnp.transpose(table.reshape(hh, hl, c), (2, 1, 0)).reshape(
         c * hl, hh)
-    if chunk is None:
-        chunk = n if n * (c * hl) * 4 <= (1 << 30) else 1 << 17
-    if n % chunk:
-        chunk = n
+    chunk, pad = _auto_chunk(n, c * hl, chunk)
 
     def body(ix):
         m = ix.shape[0]
@@ -270,8 +290,9 @@ def take_rows_twolevel(table: jnp.ndarray, idx: jnp.ndarray,
 
     if n == chunk:
         return body(idx)
-    out = jax.lax.map(body, idx.reshape(n // chunk, chunk))
-    return jnp.moveaxis(out, 0, 1).reshape(c, n)
+    (idx,) = _pad_tail(pad, idx)
+    out = jax.lax.map(body, idx.reshape((n + pad) // chunk, chunk))
+    return jnp.moveaxis(out, 0, 1).reshape(c, n + pad)[:, :n]
 
 
 def _frame_geometry(p3, v3, cpp, bpp, hubble_drag, box_size):
@@ -326,10 +347,7 @@ def _frame_detect_twolevel(table, lab, pos, vel, hubble_drag,
             [table, jnp.zeros((pad_h, c), jnp.float32)])
     L = jnp.transpose(table.reshape(hh, hl, c), (2, 1, 0)).reshape(
         c * hl, hh)
-    if chunk is None:
-        chunk = n if n * (c * hl) * 4 <= (1 << 30) else 1 << 17
-    if n % chunk:
-        chunk = n
+    chunk, pad = _auto_chunk(n, c * hl, chunk)
 
     def body(xs):
         ix = xs[0]
@@ -361,10 +379,11 @@ def _frame_detect_twolevel(table, lab, pos, vel, hubble_drag,
     if n == chunk:
         out = body(planes)
         return out[:3], out[3]
-    k = n // chunk
+    planes = _pad_tail(pad, planes[0], *planes[1:])
+    k = (n + pad) // chunk
     out = jax.lax.map(
         body, tuple(p.reshape(k, chunk) for p in planes))
-    rhx, rhy, rhz, vr = (o.reshape(n) for o in out)
+    rhx, rhy, rhz, vr = (o.reshape(n + pad)[:n] for o in out)
     return (rhx, rhy, rhz), vr
 
 
@@ -382,10 +401,7 @@ def _segment_moments_twolevel(values: jnp.ndarray, idx: jnp.ndarray,
     c, n = values.shape
     hh = -(-h // hl)
     values = values.astype(jnp.float32)
-    if chunk is None:
-        chunk = n if n * (c * hl) * 4 <= (1 << 30) else 1 << 17
-    if n % chunk:
-        chunk = n
+    chunk, pad = _auto_chunk(n, c * hl, chunk)
 
     def dot_chunk(ix, val):
         hi = ix // hl
@@ -404,7 +420,9 @@ def _segment_moments_twolevel(values: jnp.ndarray, idx: jnp.ndarray,
     if n == chunk:
         mom2 = dot_chunk(idx, values)
     else:
-        k = n // chunk
+        padded = _pad_tail(pad, idx, values)
+        idx, values = padded[0], padded[1]
+        k = (n + pad) // chunk
 
         def body(acc, xs):
             # re-stack the chunk from per-plane slices — stacking the
@@ -433,7 +451,7 @@ def take_rows_soa(table: jnp.ndarray, idx: jnp.ndarray,
     hi-to-lo)."""
     h, c = table.shape
     n = idx.shape[0]
-    chunk = _auto_chunk(n, h, chunk)
+    chunk, pad = _auto_chunk(n, h, chunk)
     tt = table.astype(jnp.float32).T  # [C, H]
     if precision == "bf16x3":
         cat = jnp.concatenate(_split_bf16x3(tt), axis=0)  # [3C, H]
@@ -455,8 +473,10 @@ def take_rows_soa(table: jnp.ndarray, idx: jnp.ndarray,
 
     if n == chunk:
         return body(idx)
-    out = jax.lax.map(body, idx.reshape(n // chunk, chunk))  # [k, C, c]
-    return jnp.moveaxis(out, 0, 1).reshape(c, n)
+    (idx,) = _pad_tail(pad, idx)
+    out = jax.lax.map(
+        body, idx.reshape((n + pad) // chunk, chunk))  # [k, C, c]
+    return jnp.moveaxis(out, 0, 1).reshape(c, n + pad)[:, :n]
 
 
 def _segment_moments_soa(values: jnp.ndarray, idx: jnp.ndarray,
@@ -469,7 +489,7 @@ def _segment_moments_soa(values: jnp.ndarray, idx: jnp.ndarray,
     h = n_halos
     c, n = values.shape
     values = values.astype(jnp.float32)
-    chunk = _auto_chunk(n, h, chunk)
+    chunk, pad = _auto_chunk(n, h, chunk)
 
     def dot_n(ix, val):
         oh = _onehot_hn(ix, h)
@@ -490,14 +510,17 @@ def _segment_moments_soa(values: jnp.ndarray, idx: jnp.ndarray,
     if n == chunk:
         return dot_n(idx, values).T
 
+    idx, values = _pad_tail(pad, idx, values)
+    k = (n + pad) // chunk
+
     def body(acc, xs):
         ix, val = xs
         return acc + dot_n(ix, val), None
 
     acc, _ = jax.lax.scan(
         body, jnp.zeros((c, h), jnp.float32),
-        (idx.reshape(n // chunk, chunk),
-         jnp.moveaxis(values.reshape(c, n // chunk, chunk), 1, 0)),
+        (idx.reshape(k, chunk),
+         jnp.moveaxis(values.reshape(c, k, chunk), 1, 0)),
     )
     return acc.T
 
@@ -511,17 +534,18 @@ def _segment_moments_matmul(values: jnp.ndarray, idx: jnp.ndarray,
     f32 accumulation in halo-major chunk order — deterministic, and
     within one ulp of a NumPy segment sum (the aligned engine's
     bulk-velocity tolerance class, ``tests/test_engine.py``).
-    ``precision='bf16x3'`` (default) splits ``values`` exactly into 3
-    bf16 planes (:func:`_split_bf16x3`) and runs ONE native bf16 MXU
-    pass over the ``[N, 3C]`` concat — each per-halo piece sum is a
-    0/1-weighted f32-accumulated reduction, so the only change vs the
-    f32 ``Precision.HIGHEST`` dot is the (already tolerance-classed)
+    ``precision='f32'`` (the default) is the ``Precision.HIGHEST`` f32
+    dot — measured fastest on the session v5e.  ``'bf16x3'`` splits
+    ``values`` exactly into 3 bf16 planes (:func:`_split_bf16x3`) and
+    runs ONE native bf16 MXU pass over the ``[N, 3C]`` concat — each
+    per-halo piece sum is a 0/1-weighted f32-accumulated reduction, so
+    the only change vs the f32 dot is the (already tolerance-classed)
     accumulation order.
     """
     h = n_halos
     n, c = values.shape
     values = values.astype(jnp.float32)
-    chunk = _auto_chunk(n, h, chunk)
+    chunk, pad = _auto_chunk(n, h, chunk)
 
     def dot_t(ix, val):
         eq = ix[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
@@ -536,14 +560,20 @@ def _segment_moments_matmul(values: jnp.ndarray, idx: jnp.ndarray,
     if n == chunk:
         return dot_t(idx, values)
 
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
+        values = jnp.concatenate(
+            [values, jnp.zeros((pad, c), values.dtype)], axis=0)
+    k = (n + pad) // chunk
+
     def body(acc, xs):
         ix, val = xs
         return acc + dot_t(ix, val), None
 
     acc, _ = jax.lax.scan(
         body, jnp.zeros((h, c), jnp.float32),
-        (idx.reshape(n // chunk, chunk),
-         values.reshape(n // chunk, chunk, c)),
+        (idx.reshape(k, chunk),
+         values.reshape(k, chunk, c)),
     )
     return acc
 

@@ -65,9 +65,26 @@ _WINDOW = 512
 # lane width of the padded fold buffer: window + up to 127 lanes of
 # static corner shift + 1 lane of z-fold
 _NLANES = _WINDOW // 128 + 1
-# VMEM grid-block budget (v5e VMEM is 128 MB; leave headroom for the
-# streamed input blocks and compiler temporaries)
-_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=1)
+def _vmem_budget() -> int:
+    """VMEM grid-block budget in bytes, derived from the local device.
+
+    v4/v5/v6-class TPU cores expose ~128 MB of VMEM per core (budget
+    100 MB, leaving headroom for the streamed input blocks and
+    compiler temporaries); v2/v3 have ~16 MB (budget 12 MB), so
+    ``deposit='auto'`` correctly falls back to the scatter engine for
+    grids whose resident block cannot compile there.  Non-TPU backends
+    (interpret-mode tests) get the v5e-class budget.
+    """
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    if "v2" in kind or "v3" in kind:
+        return 12 * 1024 * 1024
+    return 100 * 1024 * 1024
 
 
 def _strides(grid: int) -> tuple[int, int]:
@@ -85,7 +102,7 @@ def _out_rows(grid: int) -> int:
 
 def pallas_deposit_supported(grid: int) -> bool:
     """True when the virtual ``(grid+1)^3`` mesh fits VMEM-resident."""
-    return _out_rows(grid) * 128 * 4 <= _VMEM_BUDGET - 4 * 1024 * 1024
+    return _out_rows(grid) * 128 * 4 <= _vmem_budget() - 4 * 1024 * 1024
 
 
 def _deposit_kernel(grid: int, keys_ref, fr_ref, out_ref):
@@ -183,7 +200,7 @@ def _deposit_call(keys, fracs, grid, interpret):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_budget() + 16 * 1024 * 1024,
         ),
         interpret=interpret,
     )(keys, fracs)

@@ -121,7 +121,10 @@ def frame_rows(table, labels, *, block=_BLOCK, interpret=None):
     table = jnp.asarray(table, jnp.float32)
     labels = jnp.asarray(labels, jnp.int32)
     n = labels.shape[0]
-    block = min(block, max(128, n))
+    # round the block up to a lane multiple: real-TPU BlockSpecs
+    # need a 128-aligned lane width (the pad below absorbs the
+    # difference with inert -1/0 entries)
+    block = min(block, max(128, -(-n // 128) * 128))
     pad = (-n) % block
     if pad:
         labels = jnp.concatenate(
@@ -194,7 +197,10 @@ def segment_moments(labels, vel, mass=None, *, n_halos, block=_BLOCK,
     labels = jnp.asarray(labels, jnp.int32)
     vel = jnp.asarray(vel, jnp.float32)
     n = labels.shape[0]
-    block = min(block, max(128, n))
+    # round the block up to a lane multiple: real-TPU BlockSpecs
+    # need a 128-aligned lane width (the pad below absorbs the
+    # difference with inert -1/0 entries)
+    block = min(block, max(128, -(-n // 128) * 128))
     w = (jnp.ones((n,), jnp.float32) if mass is None
          else jnp.asarray(mass, jnp.float32))
     pad = (-n) % block

@@ -26,8 +26,36 @@ import jax  # noqa: E402
 if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+import signal  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    """Honor ``@pytest.mark.timeout(seconds)`` without the
+    pytest-timeout plugin (not installable in this environment):
+    a SIGALRM raised in the main thread fails the test in bounded
+    time — the multihost process tests would otherwise hang CI
+    indefinitely on a wedged ``jax.distributed`` rendezvous."""
+    marker = item.get_closest_marker("timeout")
+    if marker is None or not hasattr(signal, "SIGALRM"):
+        return (yield)
+    seconds = int(marker.args[0])
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded its timeout mark of {seconds}s"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture
