@@ -97,7 +97,12 @@ def main():
         print(f"{name:10s}: {best*1e3:7.2f} ms/scan  "
               f"({ups/1e9:.2f}e9 elem/s)", flush=True)
 
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        compact_payload_blocked,
+    )
+
     run("network", lambda p: compact_payload(p, K), pay)
+    run("blocked", lambda p: compact_payload_blocked(p, K), pay)
     run(f"topk{K}", lambda p: jax.lax.top_k(p, K)[0], ipay)
     run(f"topk{K//4}", lambda p: jax.lax.top_k(p, K // 4)[0], ipay)
     run("sortK", lambda p: jax.lax.sort(

@@ -315,24 +315,30 @@ def _use_rows(assignment: str) -> bool:
 def select_depositor(deposit: str, grid: int):
     """Deposit kernel policy: ``'sorted'`` = the sorted-stream Pallas
     assembly (:func:`orbitanalysis_tpu.ops.pallas_deposit.cic_deposit_sorted`,
-    no scatter engine, ~6x the scatter form at 16.7M/256^3),
+    no scatter engine, ~6x the scatter form at 16.7M/256^3; grids past
+    the single-VMEM-block ceiling — e.g. the 512^3 full-box anchor —
+    run its X-slab ``lax.scan`` form automatically),
     ``'scatter'`` = the classic 8-scatter form (:func:`cic_deposit`),
-    ``'auto'`` = sorted on TPU when the virtual mesh fits VMEM-resident
-    (grids up to ~288^3), scatter elsewhere."""
+    ``'auto'`` = sorted on TPU whenever either sorted form applies,
+    scatter elsewhere."""
     from orbitanalysis_tpu.ops.pallas_deposit import (
         cic_deposit_sorted,
+        pallas_deposit_slab_supported,
         pallas_deposit_supported,
     )
 
+    def sorted_ok():
+        return (pallas_deposit_supported(grid)
+                or pallas_deposit_slab_supported(grid))
+
     if deposit == "auto":
-        use_sorted = (
-            jax.default_backend() == "tpu" and pallas_deposit_supported(grid)
-        )
+        use_sorted = jax.default_backend() == "tpu" and sorted_ok()
     elif deposit in ("sorted", "scatter"):
-        if deposit == "sorted" and not pallas_deposit_supported(grid):
+        if deposit == "sorted" and not sorted_ok():
             raise ValueError(
                 f"deposit='sorted' needs the virtual {grid + 1}^3 mesh "
-                "VMEM-resident; this grid exceeds the budget"
+                "VMEM-resident or slab-partitionable; this grid "
+                "exceeds both"
             )
         use_sorted = deposit == "sorted"
     else:

@@ -254,6 +254,163 @@ def _compact_payload_call(k128, interpret, payload):
     )(payload)
 
 
+def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
+    """Two-stage blocked compaction of one payload row (see
+    :func:`compact_payload_blocked`): per-128-lane-block compaction
+    (7 lane-local roll passes — ~1.7% typical event occupancy means
+    almost all movement is short-range), then a full-range select-shift
+    over only the ``B``-lane block fronts (1/8 of the elements at
+    ``B = 16``).  Sets ``ov_ref`` when any block holds more than ``B``
+    events — the caller falls back to the exact full-range network."""
+    pay = pay_ref[0]                                   # [r, 128] u32
+    r = pay.shape[0]
+    sel = (pay >= jnp.uint32(1 << 15)).astype(jnp.int32)
+    # in-block inclusive ranks in ONE MXU pass: dot with the 0/1
+    # upper-triangular matrix (counts <= 128 are bf16-exact, and the
+    # f32-accumulated 0/1 products are exact)
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    )
+    incl = jax.lax.dot_general(
+        sel.astype(jnp.bfloat16), tri.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                # [r, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1)
+    g = jnp.where(sel == 1, lane - incl + 1, 0)
+    # stage 1: per-row (lane-cyclic) select-shift — in-block shifts
+    # never exceed the element's in-block gap, so nothing live wraps
+    j, s = 0, 1
+    while s < _LANES:
+        bit = jnp.int32(1) << j
+        # leftward move by s == cyclic lane roll by (128 - s)
+        gv = pltpu.roll(g, _LANES - s, axis=1)
+        arriving = (gv & bit) != 0
+        g = jnp.where(arriving, gv, jnp.where((g & bit) == 0, g, 0))
+        pv = pltpu.roll(pay, _LANES - s, axis=1)
+        pay = jnp.where(arriving, pv, pay)
+        j, s = j + 1, s * 2
+
+    cnt = incl[:, _LANES - 1:]                         # [r, 1]
+    ov_ref[0] = jnp.max(cnt).astype(jnp.int32).reshape(1, 1)
+    # exclusive cumsum of block counts (tiny [r, 1] roll-adds)
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    t = cnt
+    sh = 1
+    while sh < r:
+        t = t + jnp.where(row >= sh, pltpu.roll(t, sh, axis=0), 0)
+        sh *= 2
+    base = t - cnt                                     # [r, 1] exclusive
+    # stage 2 over the block fronts only: element (block, j < cnt) sits
+    # at slab position block*B + j, targets base[block] + j — the gap
+    # g2 = block*B - base[block] is block-constant
+    slab = pay[:, :b]                                  # [r, B]
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (r, b), 1)
+    g2 = jnp.where(
+        lane_b < cnt, jnp.broadcast_to(row * b - base, (r, b)), 0
+    )
+    rows2 = (r * b) // _LANES
+    slab = slab.reshape(rows2, _LANES)
+    g2 = g2.reshape(rows2, _LANES)
+    (out,) = _compact_group(
+        (g2 != 0).astype(jnp.int32), [slab], r * b, g=g2
+    )
+    out_ref[0] = out[:kr]
+
+
+@functools.partial(jax.jit, static_argnames=("b", "k128", "interpret"))
+def _compact_payload_blocked_call(b, k128, interpret, payload):
+    h, r, _ = payload.shape
+    n = r * _LANES
+    kr = k128 // _LANES
+    return pl.pallas_call(
+        functools.partial(_compact_payload_blocked_kernel, n, b, kr),
+        grid=(h,),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((h, 1, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(payload)
+
+
+#: Per-128-lane-block event capacity of the blocked kernel's fast path.
+#: Events land on stable-layout row positions (hole reuse is
+#: order-free), so block occupancy is near-Poisson: at the contract's
+#: own worst sustained density (K/P = 6.25% -> lambda = 8 per block)
+#: P(block > 16) ~ 3e-3 — and an overflowing step just takes the exact
+#: full-range network via the built-in fallback, so this is a
+#: performance knob, not a correctness bound.
+BLOCK_CAP = 16
+
+
+def compact_payload_blocked(payload, event_capacity: int,
+                            block_cap: int = BLOCK_CAP):
+    """:func:`compact_payload` with a two-stage blocked network — the
+    event-sparse fast path (round-3 review item 2).
+
+    The single-stage network pays ``log2(P)`` full-range select-shift
+    passes (each a ~6-op ``_roll_flat`` + selects) over EVERY element,
+    ~15 passes at ``P = 32768`` — work proportional to capacity, not to
+    events.  This kernel splits the move: (1) compact within each
+    128-lane block (7 single-op lane rolls; ranks from one MXU
+    triangular matmul instead of a 15-pass cumsum), then (2) run the
+    full-range network only over the first ``block_cap`` lanes of each
+    block (1/8 of the elements at the default 16).  Measured at the
+    bench shape (~1.7% occupancy): 8.7 -> 2.9 ms/scan standalone.
+
+    Exactness is unconditional: blocks holding more than ``block_cap``
+    events (detected in-kernel) reroute THAT STEP through the exact
+    single-stage :func:`compact_payload` via ``lax.cond``.  Output
+    contract is identical to :func:`compact_payload`.
+    """
+    h, p = payload.shape
+    if p > PAYLOAD_MAX_ROW:
+        raise ValueError(
+            f"single-word positional payloads address at most "
+            f"{PAYLOAD_MAX_ROW} row positions (got row length {p}); "
+            "use compact_payload_pair"
+        )
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    if (block_cap & (block_cap - 1)) or not (
+            0 < block_cap <= _LANES):
+        raise ValueError("block_cap must be a power of two <= 128")
+    r = p // _LANES
+    k128 = min(
+        ((event_capacity + _LANES - 1) // _LANES) * _LANES, p
+    )
+    if (r * block_cap) % _LANES or p <= _LANES or k128 > r * block_cap:
+        # slab not lane-shaped (short rows), or the event capacity
+        # exceeds the block fronts: single-stage network
+        return compact_payload(payload, event_capacity)
+    interpret = default_interpret()
+    pay3 = payload.reshape(h, r, _LANES)
+    out, ov = _compact_payload_blocked_call(
+        block_cap, k128, interpret, pay3
+    )
+    out = jax.lax.cond(
+        jnp.max(ov) > block_cap,
+        lambda: _compact_payload_call(k128, interpret, pay3),
+        lambda: out,
+    )
+    return out.reshape(h, k128)
+
+
 #: Widest row the single-word positional payload supports: the 17 bits
 #: above the f16 angle hold ``pos + 1 <= 2**17 - 1``, i.e. positions up
 #: to 131070.  At the fused engine's 131072-row ceiling the LAST row

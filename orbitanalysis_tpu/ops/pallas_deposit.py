@@ -105,6 +105,39 @@ def pallas_deposit_supported(grid: int) -> bool:
     return _out_rows(grid) * 128 * 4 <= _vmem_budget() - 4 * 1024 * 1024
 
 
+def _slab_rows(grid: int, slab_x: int) -> int:
+    """Rows of one slab's ``[ROWS, 128]`` output block: ``slab_x``
+    x-planes of rebased keys (+127 alignment slack) plus the corner
+    reach ``sx + sy + 1`` and the fold-lane margin."""
+    sx, sy = _strides(grid)
+    max_rebase = slab_x * sx + 127 + sx + sy + 1
+    rows = max_rebase // 128 + _NLANES + 1
+    return (rows + 7) & ~7
+
+
+def _pick_n_slabs(grid: int):
+    """Fewest power-of-two slabs whose block fits VMEM, or None."""
+    budget = _vmem_budget() - 4 * 1024 * 1024
+    ns = 2
+    while ns <= 256:
+        slab_x = -(-grid // ns)
+        if _slab_rows(grid, slab_x) * 128 * 4 <= budget:
+            return ns
+        ns *= 2
+    return None
+
+
+def pallas_deposit_slab_supported(grid: int) -> bool:
+    """True when the Z... X-slab partitioned sorted deposit applies:
+    the virtual grid exceeds one VMEM block but a slab of >= 2 planes
+    fits, and flat keys stay within int32."""
+    gv = grid + 1
+    if gv * gv * gv >= 2**31:
+        return False
+    return (not pallas_deposit_supported(grid)
+            and _pick_n_slabs(grid) is not None)
+
+
 def _deposit_kernel(grid: int, keys_ref, fr_ref, out_ref):
     """One sorted chunk: window loop + one-hot MXU assembly."""
     i = pl.program_id(0)
@@ -176,10 +209,11 @@ def _deposit_kernel(grid: int, keys_ref, fr_ref, out_ref):
     jax.lax.while_loop(cond, body, (jnp.int32(0),))
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "interpret"))
-def _deposit_call(keys, fracs, grid, interpret):
+@functools.partial(jax.jit, static_argnames=("grid", "interpret", "rows"))
+def _deposit_call(keys, fracs, grid, interpret, rows=None):
     n = keys.shape[1]
-    rows = _out_rows(grid)
+    if rows is None:
+        rows = _out_rows(grid)
     return pl.pallas_call(
         functools.partial(_deposit_kernel, grid),
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
@@ -206,24 +240,10 @@ def _deposit_call(keys, fracs, grid, interpret):
     )(keys, fracs)
 
 
-def cic_deposit_sorted(pos, mass, grid, box_size, *, interpret=None):
-    """Cloud-in-cell deposit onto a periodic ``[grid]^3`` mesh via the
-    sorted-stream Pallas assembly kernel.
-
-    Drop-in for :func:`orbitanalysis_tpu.models.pm.cic_deposit` (same
-    adds modulo f32 reassociation; jit-compose it — only the Pallas
-    call itself is jitted here).  ``mass`` may be scalar or ``[N]``.
-    Requires :func:`pallas_deposit_supported(grid)`.
-    """
-    if not pallas_deposit_supported(grid):
-        raise ValueError(
-            f"grid {grid}^3 exceeds the VMEM-resident deposit budget "
-            f"({_out_rows(grid) * 512 / 2**20:.0f} MB); use the scatter "
-            "deposit (models.pm.cic_deposit) for this mesh"
-        )
-    if interpret is None:
-        interpret = default_interpret()
-
+def _sorted_stream(pos, mass, grid, box_size):
+    """Cell-sorted deposit stream: ``(skeys [Np], fracs [4, Np])``
+    padded to a ``_CHUNK`` multiple (sentinel = max real key, weight
+    0)."""
     n = pos.shape[0]
     h = box_size / grid
     x = pos.astype(jnp.float32) / h - 0.5        # cell-centered coords
@@ -249,14 +269,139 @@ def cic_deposit_sorted(pos, mass, grid, box_size, *, interpret=None):
         ]
 
     skeys, sfx, sfy, sfz, sm = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    fracs = jnp.stack([sfx, sfy, sfz, sm])       # [4, Np]
-    flat = _deposit_call(
-        skeys.reshape(1, -1), fracs, grid, bool(interpret)
-    ).ravel()
+    return skeys, jnp.stack([sfx, sfy, sfz, sm])
 
+
+def _fold_virtual(flat, grid):
+    """Fold the three ``== G`` faces of the virtual mesh back into
+    plane 0 and return the real ``[G, G, G]`` density."""
     gv = grid + 1
     v3 = flat[: gv * gv * gv].reshape(gv, gv, gv)
     v3 = v3[:grid].at[0].add(v3[grid])           # fold x == G -> 0
     v3 = v3[:, :grid].at[:, 0].add(v3[:, grid])  # fold y
     v3 = v3[:, :, :grid].at[:, :, 0].add(v3[:, :, grid])  # fold z
     return v3
+
+
+def cic_deposit_sorted(pos, mass, grid, box_size, *, interpret=None,
+                       slab_headroom: float = 2.0):
+    """Cloud-in-cell deposit onto a periodic ``[grid]^3`` mesh via the
+    sorted-stream Pallas assembly kernel.
+
+    Drop-in for :func:`orbitanalysis_tpu.models.pm.cic_deposit` (same
+    adds modulo f32 reassociation; jit-compose it — only the Pallas
+    call itself is jitted here).  ``mass`` may be scalar or ``[N]``.
+
+    Grids whose virtual mesh fits VMEM run the single resident block;
+    larger grids (the 512^3 full-box anchor, BASELINE configs[2, 3])
+    run :func:`cic_deposit_sorted_slabs` — an ``lax.scan`` over
+    X-plane slabs of the SAME sorted stream (the sort is cell-major, so
+    each slab is one contiguous segment), each slab assembled by the
+    same window-loop kernel into a VMEM-sized block and accumulated
+    into the HBM-resident virtual grid.  Requires
+    :func:`pallas_deposit_supported` or
+    :func:`pallas_deposit_slab_supported`.
+    """
+    if pallas_deposit_supported(grid):
+        if interpret is None:
+            interpret = default_interpret()
+        skeys, fracs = _sorted_stream(pos, mass, grid, box_size)
+        flat = _deposit_call(
+            skeys.reshape(1, -1), fracs, grid, bool(interpret)
+        ).ravel()
+        return _fold_virtual(flat, grid)
+    if pallas_deposit_slab_supported(grid):
+        return cic_deposit_sorted_slabs(
+            pos, mass, grid, box_size, interpret=interpret,
+            headroom=slab_headroom,
+        )
+    raise ValueError(
+        f"grid {grid}^3 exceeds both the VMEM-resident deposit budget "
+        f"({_out_rows(grid) * 512 / 2**20:.0f} MB) and the slab "
+        "partitioning's int32 key range; use the scatter deposit "
+        "(models.pm.cic_deposit) for this mesh"
+    )
+
+
+def cic_deposit_sorted_slabs(pos, mass, grid, box_size, *,
+                             n_slabs=None, headroom: float = 2.0,
+                             interpret=None):
+    """Scatter-free CIC deposit for grids past the single-block VMEM
+    ceiling (round-3 review item 3; the 512^3 anchor of BASELINE
+    configs[2, 3]).
+
+    The cell-major sort already groups particles by x-plane, so the
+    stream partitions into ``n_slabs`` contiguous segments of
+    ``slab_x = ceil(G / n_slabs)`` planes each.  One ``lax.scan``
+    iteration per slab: ``dynamic_slice`` a fixed-capacity segment,
+    clamp foreign/padding tail entries into the slab's key range with
+    zero weight (clamping a sorted segment preserves sortedness, and
+    zero-weight entries deposit nothing), rebase keys to the slab's
+    128-aligned origin, assemble with the SAME window-loop kernel into
+    a ``[slab_rows, 128]`` VMEM block, and accumulate into the
+    HBM-resident virtual grid (slabs overlap only through the corner
+    margin rows, which the accumulation adds).
+
+    ``headroom`` sizes the static per-slab segment capacity at
+    ``headroom * N / n_slabs``; a slab whose true population exceeds it
+    (extreme clustering) poisons the result with NaN — fail-loud, the
+    :mod:`orbitanalysis_tpu.models.pm_sharded` overflow contract — so
+    callers can fall back to the scatter deposit or raise ``headroom``.
+    """
+    if n_slabs is None:
+        n_slabs = _pick_n_slabs(grid)
+    if n_slabs is None:
+        raise ValueError(
+            f"no slab split of grid {grid}^3 fits the VMEM budget"
+        )
+    if interpret is None:
+        interpret = default_interpret()
+    sx, sy = _strides(grid)
+    slab_x = -(-grid // n_slabs)
+    rows_slab = _slab_rows(grid, slab_x)
+
+    skeys, fracs = _sorted_stream(pos, mass, grid, box_size)
+    npad = skeys.shape[0]
+    seg_cap = min(
+        npad,
+        -(-int(npad * headroom) // (n_slabs * _CHUNK)) * _CHUNK,
+    )
+
+    # slab segment starts via searchsorted on the (sorted) keys
+    bounds = (jnp.arange(1, n_slabs, dtype=jnp.int32) * slab_x) * sx
+    starts = jnp.searchsorted(skeys, bounds).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
+    ends = jnp.concatenate(
+        [starts[1:], jnp.full((1,), npad, jnp.int32)]
+    )
+    overflow = jnp.any((ends - starts) > seg_cap)
+
+    # flat virtual grid large enough for every slab's aligned block
+    last_aligned = (((n_slabs - 1) * slab_x * sx) // 128)
+    l_rows = max(_out_rows(grid), last_aligned + rows_slab + 1)
+
+    def body(rho, xs):
+        start, k = xs
+        seg_k = jax.lax.dynamic_slice(skeys, (start,), (seg_cap,))
+        seg_f = jax.lax.dynamic_slice(fracs, (0, start), (4, seg_cap))
+        slab_lo = k * slab_x * sx
+        slab_hi = slab_lo + slab_x * sx
+        foreign = (seg_k < slab_lo) | (seg_k >= slab_hi)
+        seg_k = jnp.clip(seg_k, slab_lo, slab_hi - 1)
+        seg_f = seg_f.at[3].set(jnp.where(foreign, 0.0, seg_f[3]))
+        aligned = (slab_lo // 128) * 128
+        block = _deposit_call(
+            (seg_k - aligned).reshape(1, -1), seg_f, grid,
+            bool(interpret), rows=rows_slab,
+        ).ravel()
+        cur = jax.lax.dynamic_slice(rho, (aligned,), (rows_slab * 128,))
+        rho = jax.lax.dynamic_update_slice(rho, cur + block, (aligned,))
+        return rho, None
+
+    rho, _ = jax.lax.scan(
+        body,
+        jnp.zeros((l_rows * 128,), jnp.float32),
+        (starts, jnp.arange(n_slabs, dtype=jnp.int32)),
+    )
+    v3 = _fold_virtual(rho, grid)
+    return jnp.where(overflow, jnp.float32(jnp.nan), v3)

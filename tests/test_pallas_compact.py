@@ -97,6 +97,60 @@ def test_compact_payload_edges(rng):
     # row 2 has no events; entries past the count are unspecified
 
 
+@pytest.mark.parametrize("h,p,density,k,bcap", [
+    (2, 2048, 0.015, 256, 16),   # typical sparse: blocked fast path
+    (1, 2048, 0.0, 128, 16),     # empty
+    (2, 2048, 0.5, 2048, 16),    # dense: every block overflows -> cond
+    (3, 4096, 0.05, 512, 8),     # small block cap, mixed overflow odds
+])
+def test_compact_payload_blocked_matches_single_stage(
+        rng, h, p, density, k, bcap):
+    """The two-stage blocked network is output-identical to the exact
+    single-stage network — including when blocks overflow ``block_cap``
+    and the built-in ``lax.cond`` fallback reroutes the step."""
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        compact_payload,
+        compact_payload_blocked,
+    )
+
+    sel = rng.random((h, p)) < density
+    pos = np.broadcast_to(np.arange(p, dtype=np.uint32), (h, p))
+    ang = rng.integers(0, 1 << 15, size=(h, p), dtype=np.int64).astype(
+        np.uint32
+    )
+    payload = np.where(sel, ((pos + 1) << 15) | ang, np.uint32(0))
+    want = np.asarray(compact_payload(jnp.asarray(payload), k))
+    got = np.asarray(
+        compact_payload_blocked(jnp.asarray(payload), k, block_cap=bcap)
+    )
+    assert got.shape == want.shape
+    for r in range(h):
+        n = min(int(sel[r].sum()), got.shape[1])
+        np.testing.assert_array_equal(got[r, :n], want[r, :n])
+
+
+def test_compact_payload_blocked_clustered_overflow(rng):
+    """A single 128-lane block holding more events than ``block_cap``
+    (worst-case clustering) must still come out exact via the
+    fallback."""
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        compact_payload,
+        compact_payload_blocked,
+    )
+
+    p = 2048
+    pay = np.zeros((2, p), np.uint32)
+    # 40 events inside one block on row 0; row 1 sparse
+    pay[0, 300:340] = ((np.arange(300, 340, dtype=np.uint32) + 1) << 15) | 7
+    pay[1, ::512] = ((np.arange(0, p, 512, dtype=np.uint32) + 1) << 15) | 3
+    want = np.asarray(compact_payload(jnp.asarray(pay), 256))
+    got = np.asarray(
+        compact_payload_blocked(jnp.asarray(pay), 256, block_cap=16)
+    )
+    np.testing.assert_array_equal(got[0, :40], want[0, :40])
+    np.testing.assert_array_equal(got[1, :4], want[1, :4])
+
+
 def test_compact_payload_rejects_overwide_rows():
     """The single-word encoding holds pos + 1 <= 2**17 - 1; a row at the
     131072 fused ceiling would wrap the LAST position's payload to zero

@@ -69,20 +69,74 @@ def test_sorted_deposit_ragged_chunk_padding(rng):
 
 
 def test_deposit_support_policy():
+    from orbitanalysis_tpu.ops.pallas_deposit import (
+        pallas_deposit_slab_supported,
+    )
+
     assert pallas_deposit_supported(256)
     assert not pallas_deposit_supported(512)
-    with pytest.raises(ValueError, match="VMEM"):
+    # 512^3 is covered by the X-slab form (round-3 review item 3)
+    assert pallas_deposit_slab_supported(512)
+    # beyond int32 flat keys nothing sorted applies
+    assert not pallas_deposit_slab_supported(1536)
+    with pytest.raises(ValueError, match="slab"):
         cic_deposit_sorted(
-            jnp.zeros((8, 3), jnp.float32), 1.0, 512, 1.0
+            jnp.zeros((8, 3), jnp.float32), 1.0, 1536, 1.0
         )
 
 
 def test_select_depositor_policy():
     assert select_depositor("scatter", 256) is cic_deposit
     assert select_depositor("sorted", 64) is cic_deposit_sorted
-    with pytest.raises(ValueError, match="VMEM-resident"):
-        select_depositor("sorted", 512)
-    # auto never picks the Pallas path off-TPU unsupported grids
+    # 512 routes through the slab form inside cic_deposit_sorted
+    assert select_depositor("sorted", 512) is cic_deposit_sorted
+    with pytest.raises(ValueError, match="slab-partitionable"):
+        select_depositor("sorted", 1536)
+    # auto never picks the Pallas path off-TPU
     assert select_depositor("auto", 512) is cic_deposit
     with pytest.raises(ValueError, match="deposit must be"):
         select_depositor("bogus", 64)
+
+
+def test_slab_deposit_matches_scatter(rng):
+    """The X-slab scan form is parity-exact with the scatter deposit
+    on small grids (forced n_slabs), including the wrap seam and
+    slab-boundary-straddling particles."""
+    from orbitanalysis_tpu.ops.pallas_deposit import (
+        cic_deposit_sorted_slabs,
+    )
+
+    n, grid, box = 4096, 16, 10.0
+    h = box / grid
+    pos = _seam_positions(n, grid, box, rng)
+    # pin particles whose +x corner crosses each slab boundary
+    # (slab_x = 4 at n_slabs=4): base x in {3, 7, 11, 15}
+    for i, bx in enumerate((3, 7, 11, 15)):
+        pos[8 + i] = [(bx + 0.9) * h, 5.0, 5.0]
+    pos = jnp.asarray(pos)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    ref = np.asarray(cic_deposit(pos, mass, grid, box))
+    for ns in (2, 4):
+        got = np.asarray(cic_deposit_sorted_slabs(
+            pos, mass, grid, box, n_slabs=ns
+        ))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_slab_deposit_overflow_poisons(rng):
+    """A slab whose population exceeds the static segment capacity
+    must fail loud (NaN), not silently drop mass."""
+    from orbitanalysis_tpu.ops.pallas_deposit import (
+        cic_deposit_sorted_slabs,
+    )
+
+    n, grid, box = 4096, 16, 10.0
+    # everything in slab 0 -> its segment (headroom * N / n_slabs)
+    # overflows
+    pos = jnp.asarray(
+        rng.uniform(0, box / 8, size=(n, 3)).astype(np.float32)
+    )
+    got = np.asarray(cic_deposit_sorted_slabs(
+        pos, 1.0, grid, box, n_slabs=4, headroom=1.0
+    ))
+    assert np.isnan(got).all()
