@@ -209,7 +209,15 @@ else:
     summary[mode] = dict(wall=wall, save=save, phases=phases)
 
 # ---- progenitor linking at catalog scale (identity box: the link must
-# recover halo h -> halo h) ----
+# recover halo h -> halo h).  Phase split per the round-3 review: data
+# synthesis (not a linking cost — real pipelines read catalogs),
+# central-ID selection, and the majority vote, with the catalog-sized
+# work on device (top_k + sorted-join/segment-max vote) ----
+from orbitanalysis_tpu.progenitors import (  # noqa: E402
+    find_main_progenitors_device,
+    get_central_particle_ids_device,
+)
+
 t0 = time.time()
 s_last, s_prev = S - 1, S - 2
 blocks_last = [_halo_block(h, s_last) for h in range(H)]
@@ -221,19 +229,28 @@ snap_last = dict(
         ([0], np.cumsum([len(b[0]) for b in blocks_last]))
     )[:-1],
 )
-central_ids, central_offsets = get_central_particle_ids(
-    snap_last, CENTERS, n=100
-)
 halo_pids = np.concatenate([b[0] for b in blocks_prev])
 halo_offsets = np.concatenate(
     ([0], np.cumsum([len(b[0]) for b in blocks_prev]))
 )[:-1]
-prog = find_main_progenitors(
+t_gen = time.time() - t0
+
+t0 = time.time()
+central_ids, central_offsets = get_central_particle_ids_device(
+    snap_last, CENTERS, n=100
+)
+t_central = time.time() - t0
+
+t0 = time.time()
+prog = find_main_progenitors_device(
     halo_pids, halo_offsets, central_ids, central_offsets
 )
+t_vote = time.time() - t0
 n_correct = int(np.sum(np.asarray(prog) == np.arange(H)))
-print(f"progenitor linking: {n_correct}/{H} recovered in "
-      f"{time.time() - t0:.1f} s", flush=True)
+print(f"progenitor linking: {n_correct}/{H} recovered — phase split: "
+      f"synthesis {t_gen:.1f} s (bench-only), central-IDs "
+      f"{t_central:.1f} s, device vote {t_vote:.1f} s "
+      f"(link cost = {t_central + t_vote:.1f} s)", flush=True)
 
 # ---- collation (device-side accumulation) ----
 for mode in ("pericentric", "apocentric"):

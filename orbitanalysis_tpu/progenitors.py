@@ -105,6 +105,106 @@ def get_central_particle_ids_device(snapshot, halo_positions, n=100):
     return central_ids.astype(ids.dtype), out_offsets
 
 
+def find_main_progenitors_device(halo_pids, halo_offsets, tracked_pids,
+                                 tracked_offsets):
+    """Device path of :func:`find_main_progenitors` (round-3 review
+    item 6): the catalog-sized work — sorting ``halo_pids`` and the
+    membership lookup — runs on the accelerator as one ``lax.sort`` +
+    ``searchsorted``, and the per-descendant majority vote is a
+    bit-packed ``segment_max`` (count in the high bits, complemented
+    halo number in the low bits, so ties break to the smaller halo —
+    the reference's first-argmax, ``progenitors.py:103-116``).  Only
+    the ``[n_desc]`` winners cross back to the host.
+
+    Falls back to the host implementation when particle IDs are 64-bit
+    (the device path streams 32-bit keys without x64) or the vote-count
+    x halo-number packing exceeds 31 bits.  Results are identical to
+    :func:`find_main_progenitors` in all cases.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    halo_pids = np.asarray(halo_pids)
+    tracked_pids = np.asarray(tracked_pids)
+    halo_offsets = np.asarray(halo_offsets, dtype=np.int64)
+    tracked_offsets = np.asarray(tracked_offsets, dtype=np.int64)
+    n_desc = len(tracked_offsets)
+    if len(halo_pids) == 0 or len(tracked_pids) == 0:
+        return [-1] * n_desc
+
+    halo_lens = np.diff(np.concatenate((halo_offsets, [len(halo_pids)])))
+    tracked_lens = np.diff(
+        np.concatenate((tracked_offsets, [len(tracked_pids)]))
+    )
+    n_halos = len(halo_lens)
+    bits_c = int(tracked_lens.max(initial=1)).bit_length()
+    bits_h = max(int(n_halos - 1).bit_length(), 1)
+    if (halo_pids.dtype.itemsize > 4 or tracked_pids.dtype.itemsize > 4
+            or bits_c + bits_h > 31):
+        return find_main_progenitors(
+            halo_pids, halo_offsets, tracked_pids, tracked_offsets
+        )
+
+    # tracked side is small (n_desc x ~100): dedupe on host like the
+    # reference (progenitors.py:82-84 — duplicates vote only once)
+    _, unique_inds = np.unique(tracked_pids, return_index=True)
+    vote_ok = np.zeros(len(tracked_pids), dtype=bool)
+    vote_ok[unique_inds] = True
+    halo_number = np.repeat(
+        np.arange(n_halos, dtype=np.int32), halo_lens
+    )
+    desc_number = np.repeat(
+        np.arange(n_desc, dtype=np.int32), tracked_lens
+    )
+    halo_mask = np.int32((1 << bits_h) - 1)
+
+    @jax.jit
+    def vote(h_pids, h_num, t_pids, d_num, ok):
+        s_pids, s_num = jax.lax.sort(
+            (h_pids.astype(jnp.int32), h_num), num_keys=1,
+            is_stable=False,
+        )
+        pos = jnp.clip(
+            jnp.searchsorted(s_pids, t_pids.astype(jnp.int32)),
+            0, s_pids.shape[0] - 1,
+        )
+        found = (s_pids[pos] == t_pids) & ok
+        v = s_num[pos]
+        # votes -> per-(desc, halo) counts: 2-key sort + run-length
+        ds, vs = jax.lax.sort(
+            (jnp.where(found, d_num, jnp.int32(n_desc)),
+             jnp.where(found, v, jnp.int32(0))),
+            num_keys=2, is_stable=False,
+        )
+        new_run = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (ds[1:] != ds[:-1]) | (vs[1:] != vs[:-1]),
+        ])
+        run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(ds), run_id, num_segments=ds.shape[0],
+        )[run_id]                     # run length, broadcast per element
+        key = (counts << bits_h) | (halo_mask - vs)
+        first = new_run & (ds < n_desc)
+        best = jax.ops.segment_max(
+            jnp.where(first, key, 0),
+            jnp.where(first, ds, jnp.int32(n_desc)),
+            num_segments=n_desc + 1,
+        )[:n_desc]
+        return jnp.where(
+            best > 0, halo_mask - (best & halo_mask), jnp.int32(-1)
+        )
+
+    out = np.asarray(jax.device_get(vote(
+        jnp.asarray(halo_pids.astype(np.int32)),
+        jnp.asarray(halo_number),
+        jnp.asarray(tracked_pids.astype(np.int32)),
+        jnp.asarray(desc_number),
+        jnp.asarray(vote_ok),
+    )))
+    return list(out.astype(np.int64))
+
+
 def find_main_progenitors(halo_pids, halo_offsets, tracked_pids,
                           tracked_offsets):
     """Majority-vote main progenitors (``progenitors.py:59-117``).

@@ -203,6 +203,64 @@ def test_progenitor_linking_pipeline(rng):
     assert prog == expect
 
 
+def test_progenitor_vote_device_matches_host(rng):
+    """The device sorted-join + bit-packed segment-max vote equals the
+    host implementation on randomized catalogs — including duplicate
+    tracked IDs (vote once), ties (smaller halo wins), descendants with
+    no matches (-1), and empty tracked blocks."""
+    from orbitanalysis_tpu.progenitors import (
+        find_main_progenitors,
+        find_main_progenitors_device,
+    )
+
+    for trial in range(6):
+        n_halos = int(rng.integers(2, 9))
+        n_desc = int(rng.integers(1, 7))
+        halo_lens = rng.integers(0, 40, size=n_halos)
+        pool = rng.permutation(5000)[: halo_lens.sum()]
+        halo_pids = pool.astype(np.int32)
+        halo_offsets = np.concatenate(
+            ([0], np.cumsum(halo_lens))
+        )[:-1]
+        tracked_lens = rng.integers(0, 25, size=n_desc)
+        t = []
+        for L in tracked_lens:
+            # mix of real members, misses, and duplicates
+            members = rng.choice(pool, size=max(L // 2, 1))
+            misses = rng.integers(6000, 7000, size=L - len(members))
+            t.append(np.concatenate([members, misses])[:L])
+        tracked = (np.concatenate(t) if t else np.zeros(0)).astype(
+            np.int32
+        )
+        # inject exact duplicates across descendants
+        if len(tracked) > 4:
+            tracked[-1] = tracked[0]
+        tracked_offsets = np.concatenate(
+            ([0], np.cumsum(tracked_lens))
+        )[:-1]
+        want = find_main_progenitors(
+            halo_pids, halo_offsets, tracked, tracked_offsets
+        )
+        got = find_main_progenitors_device(
+            halo_pids, halo_offsets, tracked, tracked_offsets
+        )
+        assert got == want, (trial, got, want)
+
+
+def test_progenitor_vote_device_fallbacks(rng):
+    """64-bit IDs take the host path and still return correct links."""
+    from orbitanalysis_tpu.progenitors import find_main_progenitors_device
+
+    halo_pids = (np.arange(100) + (1 << 40)).astype(np.int64)
+    halo_offsets = np.array([0, 50])
+    tracked = halo_pids[60:70]
+    tracked_offsets = np.array([0, 5])
+    prog = find_main_progenitors_device(
+        halo_pids, halo_offsets, tracked, tracked_offsets
+    )
+    assert prog == [1, 1]
+
+
 def test_progenitor_no_match_returns_minus1(rng):
     halo_pids = np.arange(100)
     halo_offsets = np.array([0, 50])
