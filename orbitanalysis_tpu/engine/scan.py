@@ -233,7 +233,7 @@ def scan_events_aligned(
     from orbitanalysis_tpu.ops.geometry import region_frame
     from orbitanalysis_tpu.ops.pallas_compact import (
         PAYLOAD_MAX_ROW,
-        compact_payload,
+        compact_payload_blocked,
         compact_payload_pair,
     )
     from orbitanalysis_tpu.ops.pallas_step import _acos_f32
@@ -352,7 +352,7 @@ def scan_events_aligned(
             ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
             jnp.uint32(0),
         )
-        evpay = compact_payload(payload.reshape(S * H, P), k_eff)
+        evpay = compact_payload_blocked(payload.reshape(S * H, P), k_eff)
         ev_pos = (evpay >> 15).astype(jnp.int32) - 1
         ev_ang_bits = evpay & jnp.uint32(0x7FFF)
     else:

@@ -646,7 +646,9 @@ def make_label_orbit_step(
     addresses ``pos + 1 <= 2**17 - 1`` per row): global pool index =
     ``row * row_width + position``.  ``event_capacity`` is per row.
     """
-    from orbitanalysis_tpu.ops.pallas_compact import compact_payload
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        compact_payload_blocked,
+    )
     from orbitanalysis_tpu.ops.pallas_step import _acos_f32
     from orbitanalysis_tpu.utils.numerics import oct_decode, oct_encode
 
@@ -827,7 +829,7 @@ def make_label_orbit_step(
         )
         count = jnp.sum(apsis_r, axis=-1, dtype=jnp.int32)
         k_eff = min(K, row_width)
-        evpay = compact_payload(payload, k_eff)
+        evpay = compact_payload_blocked(payload, k_eff)
         ev_pos = (evpay >> 15).astype(jnp.int32) - 1
         ev_ang = jax.lax.bitcast_convert_type(
             (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16), jnp.float16

@@ -261,7 +261,14 @@ def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
     almost all movement is short-range), then a full-range select-shift
     over only the ``B``-lane block fronts (1/8 of the elements at
     ``B = 16``).  Sets ``ov_ref`` when any block holds more than ``B``
-    events — the caller falls back to the exact full-range network."""
+    events — the caller falls back to the exact full-range network.
+
+    The block fronts are packed dense ([r, B] -> [r*B/128, 128]) with a
+    sublane-split reshape plus ``128/B`` static lane-rolls and selects —
+    NOT a flat reshape: Mosaic rejects lane-merging shape casts
+    ("infer-vector-layout: unsupported shape cast"), while the
+    vreg-shaped ``[r, 128] -> [r/8, 8, 128]`` split, static middle-dim
+    indexing, and static lane rolls all lower cleanly."""
     pay = pay_ref[0]                                   # [r, 128] u32
     r = pay.shape[0]
     sel = (pay >= jnp.uint32(1 << 15)).astype(jnp.int32)
@@ -294,25 +301,36 @@ def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
 
     cnt = incl[:, _LANES - 1:]                         # [r, 1]
     ov_ref[0] = jnp.max(cnt).astype(jnp.int32).reshape(1, 1)
-    # exclusive cumsum of block counts (tiny [r, 1] roll-adds)
-    row = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-    t = cnt
+    # exclusive cumsum of block counts, lane-broadcast so the axis-0
+    # roll-adds run on full-lane vregs
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 0)
+    t = jnp.broadcast_to(cnt, (r, _LANES))
     sh = 1
     while sh < r:
         t = t + jnp.where(row >= sh, pltpu.roll(t, sh, axis=0), 0)
         sh *= 2
-    base = t - cnt                                     # [r, 1] exclusive
+    base = t - cnt                                     # [r, 128] exclusive
     # stage 2 over the block fronts only: element (block, j < cnt) sits
     # at slab position block*B + j, targets base[block] + j — the gap
-    # g2 = block*B - base[block] is block-constant
-    slab = pay[:, :b]                                  # [r, B]
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (r, b), 1)
-    g2 = jnp.where(
-        lane_b < cnt, jnp.broadcast_to(row * b - base, (r, b)), 0
-    )
-    rows2 = (r * b) // _LANES
-    slab = slab.reshape(rows2, _LANES)
-    g2 = g2.reshape(rows2, _LANES)
+    # g2 = block*B - base[block] is block-constant.  In the fast path
+    # every cnt <= B so g2 >= 0; an overflowing step computes garbage
+    # here that the caller's lax.cond discards.
+    g2f = jnp.where(
+        lane < jnp.minimum(cnt, b), row * b - base, 0
+    )                                                  # [r, 128]
+    gpb = _LANES // b                                  # blocks per row
+    r2 = r // gpb
+    pay3 = pay.reshape(r2, gpb, _LANES)
+    g3 = g2f.reshape(r2, gpb, _LANES)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (r2, _LANES), 1)
+    slab = jnp.zeros((r2, _LANES), pay.dtype)
+    g2 = jnp.zeros((r2, _LANES), jnp.int32)
+    for a in range(gpb):
+        m = (lane2 >= a * b) & (lane2 < (a + 1) * b)
+        slab = jnp.where(
+            m, pltpu.roll(pay3[:, a, :], a * b, axis=1), slab)
+        g2 = jnp.where(
+            m, pltpu.roll(g3[:, a, :], a * b, axis=1), g2)
     (out,) = _compact_group(
         (g2 != 0).astype(jnp.int32), [slab], r * b, g=g2
     )

@@ -866,7 +866,7 @@ def make_aligned_native_step(
         if detect_impl == "xla":
             from orbitanalysis_tpu.ops.pallas_compact import (
                 PAYLOAD_MAX_ROW,
-                compact_payload,
+                compact_payload_blocked,
                 compact_payload_pair,
             )
 
@@ -914,7 +914,7 @@ def make_aligned_native_step(
                     ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
                     jnp.uint32(0),
                 )
-                evpay = compact_payload(payload, k_eff)
+                evpay = compact_payload_blocked(payload, k_eff)
                 ev_pos = (evpay >> 15).astype(jnp.int32) - 1
                 ev_ang_bits = evpay & jnp.uint32(0x7FFF)
             else:
