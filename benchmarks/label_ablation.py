@@ -57,9 +57,13 @@ def main():
         orbits, member_seq)
     B.log(f"data ready: N={N} S={S}")
 
-    d_label = B.put_chunked(lab_seq)
-    d_pos = B.put_chunked(pos_l)
-    d_vel = B.put_chunked(vel_l)
+    # feed the step 2D [R, row_width] planes (the carry's layout):
+    # 1D per-step slices would pay a relayout per plane per step
+    rw0 = 1 << 15
+    R0 = N // rw0
+    d_label = B.put_chunked(lab_seq.reshape(S, R0, rw0))
+    d_pos = B.put_chunked(pos_l.reshape(S, 3, R0, rw0))
+    d_vel = B.put_chunked(vel_l.reshape(S, 3, R0, rw0))
     d_cen = jnp.asarray(cen_l)
     d_bulk = jnp.zeros((S, H, 3), jnp.float32)
     carry0 = init_label_carry(N)
@@ -112,7 +116,7 @@ def main():
 
     t = {}
     for fr in ("matmul", "matmul_bf16x3", "soa", "soa_bf16x3",
-               "pallas"):
+               "pallas", "pallas2"):
         t[fr] = run(f"full step, frames={fr}", fr, False)
     for fr in ("matmul", "soa"):
         run(f"catalog bulk, frames={fr}", fr, True)

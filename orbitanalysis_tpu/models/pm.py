@@ -169,9 +169,25 @@ def cic_deposit_rows(pos, mass, grid, box_size):
 _ROWS_CHUNK = 1 << 19
 
 
-def cic_interpolate_rows(field3, pos, grid, box_size, fold=16):
+#: corner-table bytes above which ``table_dtype='auto'`` drops to
+#: bfloat16: the table is 24 x grid^3 x itemsize (f32: 1.6 GB at 256^3
+#: but 12.9 GB at 512^3 — alone most of a v5e's HBM).  bf16 halves it
+#: for ~4e-3 relative force error, far below the CIC assignment error
+#: at these grids.
+_TABLE_BF16_BYTES = 3 << 30
+
+
+def cic_interpolate_rows(field3, pos, grid, box_size, fold=16,
+                         table_dtype="auto"):
     """TPU-fast CIC interpolation: one row gather per particle instead
     of 24 scalar gathers.
+
+    ``table_dtype``: dtype of the pre-expanded corner table —
+    ``'auto'`` keeps float32 until the table would exceed
+    ``_TABLE_BF16_BYTES`` (the 512^3 full-box anchor's 12.9 GB f32
+    table cannot share a 16 GB chip with the particle state), then
+    stores bfloat16 (~4e-3 relative force error; products and sums stay
+    f32).  Pass ``jnp.float32``/``jnp.bfloat16`` to force either.
 
     XLA's TPU gather costs per *index* (~10-30 ns each; 24 scalar
     gathers at 16.7M particles = 3.56 s measured on v5e), so the force
@@ -195,6 +211,12 @@ def cic_interpolate_rows(field3, pos, grid, box_size, fold=16):
     g3 = grid * grid * grid
     while g3 % fold:
         fold //= 2
+    if table_dtype == "auto":
+        table_dtype = (
+            jnp.bfloat16 if g3 * 24 * 4 > _TABLE_BF16_BYTES
+            else jnp.float32
+        )
+    table_dtype = jnp.dtype(table_dtype)
     i0, f = _cic_base(pos, grid, box_size)
     w = _corner_weights(f)                                    # [N, 8]
     base = (i0[:, 0] * grid + i0[:, 1]) * grid + i0[:, 2]     # [N]
@@ -202,12 +224,12 @@ def cic_interpolate_rows(field3, pos, grid, box_size, fold=16):
     # r*fold + s shifted by the corner offset.  Built column-block by
     # column-block with dynamic_update_slice so only one rolled grid
     # (g3 floats) is live alongside the table, not all 24 at once.
-    table = jnp.zeros((g3 // fold, 24 * fold), field3.dtype)
+    table = jnp.zeros((g3 // fold, 24 * fold), table_dtype)
     for comp in range(3):
         for c, (dx, dy, dz) in enumerate(_CORNERS):
             col = jnp.roll(
                 field3[comp], (-dx, -dy, -dz), axis=(0, 1, 2)
-            ).reshape(g3 // fold, fold)
+            ).reshape(g3 // fold, fold).astype(table_dtype)
             table = jax.lax.dynamic_update_slice(
                 table, col, (0, (comp * 8 + c) * fold)
             )
@@ -229,7 +251,7 @@ def folded_row_interpolate(table, base, w8, fold):
     """
     n = base.shape[0]
     if n == 0:
-        return jnp.zeros((0, 3), table.dtype)
+        return jnp.zeros((0, 3), jnp.float32)
     chunk = min(_ROWS_CHUNK, n)
     n_pad = -n % chunk
     if n_pad:
@@ -238,7 +260,11 @@ def folded_row_interpolate(table, base, w8, fold):
 
     def one_chunk(args):
         bc, wc = args
-        vals = table[bc // fold].reshape(-1, 3, 8, fold)
+        # gathered rows upcast to f32 before the weighted reduce: a
+        # bfloat16 table costs precision only in the stored values,
+        # never in the products/sums
+        vals = table[bc // fold].reshape(-1, 3, 8, fold).astype(
+            jnp.float32)
         oh = (
             jax.lax.broadcasted_iota(jnp.int32, (bc.shape[0], fold), 1)
             == (bc % fold)[:, None]

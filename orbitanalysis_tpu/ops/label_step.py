@@ -57,8 +57,17 @@ __all__ = [
 
 
 class LabelCarry(NamedTuple):
-    """Per-particle detector state over the global pool (all ``[N]``
-    planes; ``rhat`` is ``[3, N]``).
+    """Per-particle detector state over the global pool, held as 2D
+    ``[R, row_width]`` row planes (``rhat`` is ``[3, R, row_width]``,
+    or ``[R, row_width]`` uint32 when octahedral-packed): particle
+    ``i`` lives at row ``i // row_width``, lane ``i % row_width``.
+
+    2D on purpose: rank-1 ``[N]`` planes cost ~8.7x the same
+    elementwise work on TPU (measured: 0.200 vs 0.023 ms/step for the
+    detection chain at N=2.1M — a [N] f32 array lays out as one
+    sublane, so every vector op runs 1/8-utilized), and the row shape
+    is exactly what the positional event compaction consumes, so the
+    payload path needs no reshape at all.
 
     ``lab_sv``: previous halo label in bits 0-27 offset by +1 (0 =
     untracked; labels are < 2**27) with the radial-velocity sign bits
@@ -70,9 +79,9 @@ class LabelCarry(NamedTuple):
     engine's carry contract.
     """
 
-    lab_sv: jnp.ndarray  # [N] int32: (label + 1) | vrb << 28
-    rhat: jnp.ndarray    # [3, N] f32, or [N] uint32 octahedral-packed
-    packed: jnp.ndarray  # [N] uint32
+    lab_sv: jnp.ndarray  # [R, W] int32: (label + 1) | vrb << 28
+    rhat: jnp.ndarray    # [3, R, W] f32, or [R, W] u32 oct-packed
+    packed: jnp.ndarray  # [R, W] uint32
 
 
 class LabelEvents(NamedTuple):
@@ -87,18 +96,26 @@ class LabelEvents(NamedTuple):
     bulk_vel: jnp.ndarray  # [H, 3] the frame bulk velocities used
 
 
-def init_label_carry(n: int, rhat_packed: bool = False) -> LabelCarry:
-    """All-untracked carry.  ``rhat_packed=True`` stores the radial
-    unit vectors octahedral-compressed (uint32 instead of 3 x f32: the
-    carry drops from 20 to 12 B/particle — the 1e8-particles-per-chip
-    diet).  Counts are unaffected by construction (radial-velocity
-    signs never read the carried rhat); accumulated angles move by the
-    ~1e-4 rad quantization per step."""
+def init_label_carry(n: int, rhat_packed: bool = False,
+                     row_width: int = 1 << 15) -> LabelCarry:
+    """All-untracked carry over ``R = n // row_width`` row planes
+    (``row_width`` must match the step's — row geometry is part of the
+    carry layout; see :class:`LabelCarry`).  ``rhat_packed=True``
+    stores the radial unit vectors octahedral-compressed (uint32
+    instead of 3 x f32: the carry drops from 20 to 12 B/particle — the
+    1e8-particles-per-chip diet).  Counts are unaffected by
+    construction (radial-velocity signs never read the carried rhat);
+    accumulated angles move by the ~1e-4 rad quantization per step."""
+    w = min(int(row_width), n)
+    if n % w:
+        raise ValueError(
+            f"pool size {n} must be a multiple of row_width {w}")
+    r = n // w
     return LabelCarry(
-        lab_sv=jnp.zeros((n,), jnp.int32),  # label -1, no sign bits
-        rhat=(jnp.zeros((n,), jnp.uint32) if rhat_packed
-              else jnp.zeros((3, n), jnp.float32)),
-        packed=jnp.zeros((n,), jnp.uint32),
+        lab_sv=jnp.zeros((r, w), jnp.int32),  # label -1, no sign bits
+        rhat=(jnp.zeros((r, w), jnp.uint32) if rhat_packed
+              else jnp.zeros((3, r, w), jnp.float32)),
+        packed=jnp.zeros((r, w), jnp.uint32),
     )
 
 
@@ -649,11 +666,13 @@ def make_label_orbit_step(
     from orbitanalysis_tpu.ops.pallas_compact import (
         compact_payload_blocked,
     )
+    from orbitanalysis_tpu.ops.pallas_config import default_interpret
     from orbitanalysis_tpu.ops.pallas_step import _acos_f32
     from orbitanalysis_tpu.utils.numerics import oct_decode, oct_encode
 
     if frames not in ("auto", "matmul", "matmul_bf16x3", "soa",
-                      "soa_bf16x3", "twolevel", "select", "pallas"):
+                      "soa_bf16x3", "twolevel", "select", "pallas",
+                      "pallas2"):
         raise ValueError(f"unknown frames impl {frames!r}")
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -667,30 +686,50 @@ def make_label_orbit_step(
 
     def step(carry: LabelCarry, inputs):
         pos, vel, label, centers, bulk_vel, mass, hubble_drag = inputs
-        n = label.shape[0]
-        if n % row_width:
-            raise ValueError(
-                f"pool size {n} must be a multiple of row_width "
-                f"{row_width}"
-            )
+        # canonicalize to the carry's 2D [R, W] row planes (rank-1 [N]
+        # planes cost ~8.7x the same elementwise work — LabelCarry
+        # docstring); 1D callers pay one relayout per plane here,
+        # sequence drivers (scan_label_events) reshape once up front
+        if label.ndim == 1:
+            n = label.shape[0]
+            w_ = min(row_width, n)
+            if n % w_:
+                raise ValueError(
+                    f"pool size {n} must be a multiple of row_width "
+                    f"{w_}"
+                )
+            r_ = n // w_
+            label = label.reshape(r_, w_)
+            pos = jnp.reshape(pos, (3, r_, w_))
+            vel = jnp.reshape(vel, (3, r_, w_))
+            if mass is not None:
+                mass = jnp.reshape(mass, (r_, w_))
+        R, W = label.shape
+        n = R * W
         h = centers.shape[0] if n_halos is None else n_halos
         valid = label >= 0
         lab_m = jnp.where(valid, label, -1)
-        # 'auto' resolves per halo count (static at trace time).
-        # Small H: the f32 HIGHEST one-hot matmul — measured fastest
-        # of six implementations on the session v5e
-        # (benchmarks/label_ablation.py at N=2.1M x H=64: matmul 20.6
-        # ms/scan; soa 21.0; soa_bf16x3 25.6; matmul_bf16x3 28.3;
-        # pallas 31.1; XLA fuses the iota-compare into the MXU operand
-        # feed, so the VMEM-blocked Pallas kernels save no HBM traffic
-        # and only add grid overhead).  Large H: the two-level hi/lo
-        # split — its one-hot work is (H/32 + 6*32)*N instead of H*N
-        # (benchmarks/frames_probe.py at H=1536, N=8.4M: take-rows
-        # 12.2 vs 29.6 ms, moments 5.6 vs 21.4).  'select' is the
-        # bit-exact H-pass alternative for parity tests.
+        # 'auto' resolves per halo count + backend (static at trace
+        # time).  Small H on compiled TPU: the bf16x3 VMEM-one-hot
+        # Pallas kernels — the one-hot never exists in HBM and the
+        # exact-split single bf16 MXU pass replaces the f32 HIGHEST
+        # multi-pass (measured at N=2.1M x H=64 in-scan: moments 0.31
+        # vs 0.53 ms, take-rows 0.16 vs 0.24 — benchmarks/
+        # label_ablation.py carries the full-step table).  Small H in
+        # interpret mode (CPU tests): the f32 HIGHEST one-hot matmul.
+        # Large H: the two-level hi/lo split — its one-hot work is
+        # (H/32 + 6*32)*N instead of H*N (benchmarks/frames_probe.py
+        # at H=1536, N=8.4M: take-rows 12.2 vs 29.6 ms, moments 5.6 vs
+        # 21.4).  'select' is the bit-exact H-pass alternative for
+        # parity tests.
         impl = frames
         if impl == "auto":
-            impl = "twolevel" if h >= _TWOLEVEL_MIN_H else "matmul"
+            if h >= _TWOLEVEL_MIN_H:
+                impl = "twolevel"
+            elif not default_interpret():
+                impl = "pallas2"
+            else:
+                impl = "matmul"
 
         # halo frames via one MXU pass: moments [H, 4] = [m·vx, m·vy,
         # m·vz, m]; bulk = m·v sums / m sum
@@ -700,38 +739,46 @@ def make_label_orbit_step(
                     segment_moments,
                 )
 
-                mom = segment_moments(lab_m, vel, mass, n_halos=h)
-            elif impl == "twolevel":
-                w = (jnp.ones((n,), jnp.float32) if mass is None
-                     else mass)
-                w = jnp.where(valid, w, 0.0)
-                mom = _segment_moments_twolevel(
-                    jnp.concatenate([vel * w[None], w[None, :]],
-                                    axis=0),
-                    lab_m, h, chunk=chunk,
+                mom = segment_moments(
+                    lab_m.reshape(n), jnp.reshape(vel, (3, n)),
+                    None if mass is None else jnp.reshape(mass, (n,)),
+                    n_halos=h,
                 )
-            elif impl in ("soa", "soa_bf16x3"):
-                w = (jnp.ones((n,), jnp.float32) if mass is None
-                     else mass)
-                w = jnp.where(valid, w, 0.0)
-                mom = _segment_moments_soa(
-                    jnp.concatenate([vel * w[None], w[None, :]],
-                                    axis=0),
-                    lab_m, h, chunk=chunk,
-                    precision=("bf16x3" if impl == "soa_bf16x3"
-                               else "f32"),
+            elif impl == "pallas2":
+                from orbitanalysis_tpu.ops.pallas_frames import (
+                    segment_moments_bf16x3,
                 )
+
+                mom = segment_moments_bf16x3(
+                    lab_m, vel, mass, n_halos=h)
             else:
+                lab_f = lab_m.reshape(n)
+                vel_f = jnp.reshape(vel, (3, n))
                 w = (jnp.ones((n,), jnp.float32) if mass is None
-                     else mass)
-                w = jnp.where(valid, w, 0.0)
-                mom = _segment_moments_matmul(
-                    jnp.stack([vel[0] * w, vel[1] * w, vel[2] * w, w],
-                              axis=-1),
-                    lab_m, h, chunk=chunk,
-                    precision=("bf16x3" if impl == "matmul_bf16x3"
-                               else "f32"),
-                )
+                     else jnp.reshape(mass, (n,)))
+                w = jnp.where(lab_f >= 0, w, 0.0)
+                if impl == "twolevel":
+                    mom = _segment_moments_twolevel(
+                        jnp.concatenate([vel_f * w[None], w[None, :]],
+                                        axis=0),
+                        lab_f, h, chunk=chunk,
+                    )
+                elif impl in ("soa", "soa_bf16x3"):
+                    mom = _segment_moments_soa(
+                        jnp.concatenate([vel_f * w[None], w[None, :]],
+                                        axis=0),
+                        lab_f, h, chunk=chunk,
+                        precision=("bf16x3" if impl == "soa_bf16x3"
+                                   else "f32"),
+                    )
+                else:
+                    mom = _segment_moments_matmul(
+                        jnp.stack([vel_f[0] * w, vel_f[1] * w,
+                                   vel_f[2] * w, w], axis=-1),
+                        lab_f, h, chunk=chunk,
+                        precision=("bf16x3" if impl == "matmul_bf16x3"
+                                   else "f32"),
+                    )
             bulk = mom[:, :3] / jnp.maximum(mom[:, 3:4], 1e-30)
         else:
             bulk = jnp.asarray(bulk_vel, jnp.float32)
@@ -740,25 +787,43 @@ def make_label_orbit_step(
         # combined [H, 6] table
         table = jnp.concatenate([centers.astype(jnp.float32), bulk],
                                 axis=-1)
-        if impl == "twolevel":
+        if impl == "pallas2":
+            from orbitanalysis_tpu.ops.pallas_frames import (
+                frame_rows_bf16x3,
+            )
+
+            rows_soa = frame_rows_bf16x3(table, lab_m).reshape(
+                6, R, W)
+            rhat, vr = _frame_geometry(
+                (pos[0], pos[1], pos[2]), (vel[0], vel[1], vel[2]),
+                (rows_soa[0], rows_soa[1], rows_soa[2]),
+                (rows_soa[3], rows_soa[4], rows_soa[5]),
+                hubble_drag, box_size,
+            )
+        elif impl == "twolevel":
             # rows selection + geometry fused in one chunked pass —
             # no [6, N] or padded [3, N] temporaries
-            rhat, vr = _frame_detect_twolevel(
-                table, lab_m, pos, vel, hubble_drag, box_size,
-                chunk=chunk,
+            rhat_f, vr_f = _frame_detect_twolevel(
+                table, lab_m.reshape(n),
+                tuple(jnp.reshape(pos[d], (n,)) for d in range(3)),
+                tuple(jnp.reshape(vel[d], (n,)) for d in range(3)),
+                hubble_drag, box_size, chunk=chunk,
             )
+            rhat = tuple(x.reshape(R, W) for x in rhat_f)
+            vr = vr_f.reshape(R, W)
         else:
+            lab_f = lab_m.reshape(n)
             if impl == "pallas":
                 from orbitanalysis_tpu.ops.pallas_frames import (
                     frame_rows,
                 )
 
-                rows_soa = frame_rows(table, lab_m)
+                rows_soa = frame_rows(table, lab_f)
                 cpp = rows_soa[:3]  # [3, N] center per particle
                 bpp = rows_soa[3:]
             elif impl in ("soa", "soa_bf16x3"):
                 rows_soa = take_rows_soa(
-                    table, lab_m, chunk=chunk,
+                    table, lab_f, chunk=chunk,
                     precision=("bf16x3" if impl == "soa_bf16x3"
                                else "f32"),
                 )
@@ -766,20 +831,23 @@ def make_label_orbit_step(
                 bpp = rows_soa[3:]
             else:
                 if impl == "select":
-                    rows = take_rows_select(table, lab_m)
+                    rows = take_rows_select(table, lab_f)
                 else:
                     rows = take_rows_matmul(
-                        table, lab_m, chunk=chunk,
+                        table, lab_f, chunk=chunk,
                         precision=("bf16x3" if impl == "matmul_bf16x3"
                                    else "f32"),
                     )
                 cpp = rows[:, :3].T
                 bpp = rows[:, 3:].T
-            rhat, vr = _frame_geometry(
-                (pos[0], pos[1], pos[2]), (vel[0], vel[1], vel[2]),
+            rhat_f, vr_f = _frame_geometry(
+                tuple(jnp.reshape(pos[d], (n,)) for d in range(3)),
+                tuple(jnp.reshape(vel[d], (n,)) for d in range(3)),
                 (cpp[0], cpp[1], cpp[2]), (bpp[0], bpp[1], bpp[2]),
                 hubble_drag, box_size,
             )
+            rhat = tuple(x.reshape(R, W) for x in rhat_f)
+            vr = vr_f.reshape(R, W)
         vrb = ((vr < 0).astype(jnp.int32)
                | ((vr > 0).astype(jnp.int32) << 1))
 
@@ -813,22 +881,19 @@ def make_label_orbit_step(
             jnp.where(apsis | ~valid, 0.0, angle_acc), jnp.uint32
         ) | (valid.astype(jnp.uint32) << 31)
 
-        # positional single-payload event extraction (aligned contract)
-        R = n // row_width
-        pos_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (R, row_width), 1
-        )
+        # positional single-payload event extraction (aligned
+        # contract); the planes already ARE the [R, W] compaction rows
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
         ang15 = jax.lax.bitcast_convert_type(
             angle_acc.astype(jnp.float16), jnp.uint16
-        ).astype(jnp.uint32).reshape(R, row_width)
-        apsis_r = apsis.reshape(R, row_width)
+        ).astype(jnp.uint32)
         payload = jnp.where(
-            apsis_r,
+            apsis,
             ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
             jnp.uint32(0),
         )
-        count = jnp.sum(apsis_r, axis=-1, dtype=jnp.int32)
-        k_eff = min(K, row_width)
+        count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+        k_eff = min(K, W)
         evpay = compact_payload_blocked(payload, k_eff)
         ev_pos = (evpay >> 15).astype(jnp.int32) - 1
         ev_ang = jax.lax.bitcast_convert_type(
@@ -848,8 +913,7 @@ def make_label_orbit_step(
             count=count,
             index=jnp.where(
                 ev_ok,
-                ev_pos + jnp.arange(R, dtype=jnp.int32)[:, None]
-                * row_width,
+                ev_pos + jnp.arange(R, dtype=jnp.int32)[:, None] * W,
                 -1,
             )[:, :K],
             angle=jnp.where(ev_ok, ev_ang, 0.0)[:, :K],
@@ -868,12 +932,29 @@ def scan_label_events(carry, pos_seq, vel_seq, label_seq, centers_seq,
     ``[S]``-stacked device-resident sequence: ``pos_seq``/``vel_seq``
     ``[S, 3, N]``, ``label_seq`` ``[S, N]``, ``centers_seq``
     ``[S, H, 3]``.  Returns ``(carry, LabelEvents stacked [S, ...])``.
+
+    The sequences are reshaped to the carry's 2D ``[R, row_width]``
+    row planes ONCE here, outside the scan, so the per-step relayout
+    the 1D step entry would pay never recurs.
     """
     step = make_label_orbit_step(
         event_capacity, mode=mode, box_size=box_size,
         row_width=row_width, frames=frames, rhat_packed=rhat_packed,
     )
     S = label_seq.shape[0]
+    label_seq = jnp.asarray(label_seq)
+    if label_seq.ndim == 2:
+        n = label_seq.shape[1]
+        w_ = min(int(row_width), n)
+        if n % w_:
+            raise ValueError(
+                f"pool size {n} must be a multiple of row_width {w_}")
+        r_ = n // w_
+        label_seq = label_seq.reshape(S, r_, w_)
+        pos_seq = jnp.reshape(jnp.asarray(pos_seq), (S, 3, r_, w_))
+        vel_seq = jnp.reshape(jnp.asarray(vel_seq), (S, 3, r_, w_))
+        if mass is not None:
+            mass = jnp.reshape(jnp.asarray(mass), (r_, w_))
     drag = jnp.broadcast_to(
         jnp.asarray(hubble_drag, jnp.float32), (S,)
     )

@@ -54,7 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_config import default_interpret
 
-__all__ = ["frame_rows", "segment_moments"]
+__all__ = [
+    "frame_rows",
+    "frame_rows_bf16x3",
+    "segment_moments",
+    "segment_moments_bf16x3",
+]
 
 # particles per grid step: onehot [H, B] f32 must fit VMEM alongside
 # the double-buffered input blocks (H <= 1024 -> <= 64 MB; typical
@@ -134,6 +139,178 @@ def frame_rows(table, labels, *, block=_BLOCK, interpret=None):
         labels.reshape(1, -1), table.T, block, interpret
     )
     return out[:, :n] if pad else out
+
+
+def _split3(x):
+    """Exact 3-piece bf16 split (see
+    :func:`orbitanalysis_tpu.ops.label_step._split_bf16x3`) — local copy
+    to keep the kernel modules import-light."""
+
+    def trunc(v):
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(v, jnp.uint32)
+            & jnp.uint32(0xFFFF0000),
+            jnp.float32,
+        )
+
+    p0 = trunc(x)
+    r1 = x - p0
+    p1 = trunc(r1)
+    p2 = r1 - p1
+    return (p0.astype(jnp.bfloat16), p1.astype(jnp.bfloat16),
+            p2.astype(jnp.bfloat16))
+
+
+def _frame_rows_bf16x3_kernel(h, lab_ref, tab_ref, out_ref):
+    lab = lab_ref[:]                                       # [1, B]
+    onehot = (
+        jnp.broadcast_to(lab, (h, lab.shape[1]))
+        == jax.lax.broadcasted_iota(jnp.int32, (h, lab.shape[1]), 0)
+    )
+    cat = jnp.concatenate(_split3(tab_ref[:]), axis=0)     # [3C, H]
+    c = tab_ref.shape[0]
+    out3 = jax.lax.dot_general(
+        cat, onehot.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [3C, B]
+    out_ref[:] = (out3[:c] + out3[c:2 * c]) + out3[2 * c:]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _frame_rows_bf16x3_call(lab2, table_t, block, interpret):
+    c, h = table_t.shape
+    n = lab2.shape[1]
+    return pl.pallas_call(
+        functools.partial(_frame_rows_bf16x3_kernel, h),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.float32),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lab2, table_t)
+
+
+def frame_rows_bf16x3(table, labels, *, block=_BLOCK, interpret=None):
+    """:func:`frame_rows` in ONE native bf16 MXU pass over the exactly
+    bf16x3-split table — bit-identical to a gather (each output element
+    is a sum of one nonzero product per split piece, and the pieces
+    re-sum exactly), measured 1.5-2x the f32 ``Precision.HIGHEST``
+    in-kernel dot and ~1.5x the XLA one-hot conv at the bench shape
+    (0.163 vs 0.241/0.380 ms/pass at N=2.1M x H=64,
+    ``benchmarks/_frames2d_probe.py`` removed after landing — the
+    numbers live in BASELINE.md round 4).
+
+    ``labels`` may be any shape (flattened internally); returns SoA
+    ``[C, N]`` f32 over the flattened order.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    table = jnp.asarray(table, jnp.float32)
+    labels = jnp.asarray(labels, jnp.int32).reshape(-1)
+    n = labels.shape[0]
+    block = min(block, max(128, -(-n // 128) * 128))
+    pad = (-n) % block
+    if pad:
+        labels = jnp.concatenate(
+            [labels, jnp.full((pad,), -1, jnp.int32)]
+        )
+    out = _frame_rows_bf16x3_call(
+        labels.reshape(1, -1), table.T, block, interpret
+    )
+    return out[:, :n] if pad else out
+
+
+def _segment_moments_bf16x3_kernel(h, lab_ref, val_ref, w_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lab = lab_ref[:]                                       # [1, B]
+    onehot = (
+        jnp.broadcast_to(lab, (h, lab.shape[1]))
+        == jax.lax.broadcasted_iota(jnp.int32, (h, lab.shape[1]), 0)
+    )
+    w = jnp.where(lab >= 0, w_ref[:], 0.0)                 # [1, B]
+    vals = jnp.concatenate([val_ref[:] * w, w], axis=0)    # [4, B]
+    cat = jnp.concatenate(_split3(vals), axis=0)           # [12, B]
+    out3 = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), cat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [H, 12]
+    out_ref[:] += (out3[:, :4] + out3[:, 4:8]) + out3[:, 8:]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "block", "interpret"))
+def _segment_moments_bf16x3_call(lab2, vel, w2, h, block, interpret):
+    n = lab2.shape[1]
+    return pl.pallas_call(
+        functools.partial(_segment_moments_bf16x3_kernel, h),
+        out_shape=jax.ShapeDtypeStruct((h, 4), jnp.float32),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, 4), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lab2, vel, w2)
+
+
+def segment_moments_bf16x3(labels, vel, mass=None, *, n_halos,
+                           block=_BLOCK, interpret=None):
+    """:func:`segment_moments` in ONE native bf16 MXU pass over the
+    exactly bf16x3-split weighted values — the same sums as the f32
+    form up to (already tolerance-classed) accumulation order: each
+    per-halo piece sum is a 0/1-weighted f32-accumulated reduction and
+    the three pieces re-sum the exact split.  Measured 1.7x the XLA
+    f32 one-hot conv and 4x the HIGHEST in-kernel dot at the bench
+    shape (0.309 vs 0.530/1.224 ms/pass at N=2.1M x H=64).
+
+    ``labels``/``mass`` any shape, ``vel`` ``[3, ...]`` — flattened
+    internally.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    labels = jnp.asarray(labels, jnp.int32).reshape(-1)
+    n = labels.shape[0]
+    vel = jnp.asarray(vel, jnp.float32).reshape(3, n)
+    block = min(block, max(128, -(-n // 128) * 128))
+    w = (jnp.ones((n,), jnp.float32) if mass is None
+         else jnp.asarray(mass, jnp.float32).reshape(-1))
+    pad = (-n) % block
+    if pad:
+        labels = jnp.concatenate(
+            [labels, jnp.full((pad,), -1, jnp.int32)]
+        )
+        vel = jnp.concatenate(
+            [vel, jnp.zeros((3, pad), jnp.float32)], axis=1
+        )
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
+    return _segment_moments_bf16x3_call(
+        labels.reshape(1, -1), vel, w.reshape(1, -1), int(n_halos),
+        block, interpret
+    )
 
 
 def _segment_moments_kernel(h, lab_ref, val_ref, w_ref, out_ref):

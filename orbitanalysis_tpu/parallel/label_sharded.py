@@ -41,13 +41,18 @@ __all__ = ["make_sharded_label_step", "shard_label_tree"]
 
 
 def shard_label_tree(mesh: Mesh, carry: LabelCarry):
-    """Place a :class:`LabelCarry` with its ``[N]`` planes sharded over
-    the mesh's 'particles' axis."""
-    ax = P("particles")
+    """Place a :class:`LabelCarry` with its ``[R, W]`` row planes
+    sharded over the mesh's 'particles' axis (rows are contiguous
+    particle blocks, so row-sharding IS particle-sharding; ``R`` must
+    be a multiple of the axis size)."""
     return jax.tree.map(
         lambda x: jax.device_put(
             x,
-            NamedSharding(mesh, ax if x.ndim == 1 else P(None, "particles")),
+            NamedSharding(
+                mesh,
+                P("particles", None) if x.ndim == 2
+                else P(None, "particles", None),
+            ),
         ),
         carry,
     )
@@ -135,8 +140,10 @@ def make_sharded_label_step(
         return new_carry, ev
 
     pspec = P("particles")
+    # carry planes are [R, W] rows (rhat [3, R, W]), sharded on rows
+    rowspec = P("particles", None)
     carry_spec = LabelCarry(
-        lab_sv=pspec, rhat=P(None, "particles"), packed=pspec
+        lab_sv=rowspec, rhat=P(None, "particles", None), packed=rowspec
     )
 
     def step(carry, inputs):

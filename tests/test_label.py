@@ -96,6 +96,44 @@ def test_take_rows_soa_exact(rng):
             np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
 
 
+def test_pallas_frames_bf16x3_exact(rng):
+    """The [1, N]-blocked VMEM-one-hot kernels (the compiled-TPU
+    default for small H): frame rows bit-exact vs gather (one nonzero
+    product per exact bf16x3 split piece), moments within f32
+    accumulation-order tolerance of the direct dot."""
+    from orbitanalysis_tpu.ops.label_step import _segment_moments_soa
+    from orbitanalysis_tpu.ops.pallas_frames import (
+        frame_rows_bf16x3,
+        segment_moments_bf16x3,
+    )
+
+    h, n = 7, 1024
+    table = (rng.normal(size=(h, 6))
+             * np.exp2(rng.integers(-40, 40, size=(h, 6)))
+             ).astype(np.float32)
+    idx = rng.integers(-1, h, size=n).astype(np.int32)
+    want = np.where(idx[:, None] >= 0, table[np.maximum(idx, 0)], 0.0).T
+    got = np.asarray(frame_rows_bf16x3(
+        jnp.asarray(table), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+    # 2D-shaped labels flatten to the same answer
+    got2 = np.asarray(frame_rows_bf16x3(
+        jnp.asarray(table), jnp.asarray(idx).reshape(4, 256)))
+    np.testing.assert_array_equal(got2, got)
+
+    vel = rng.normal(size=(3, n)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, size=n).astype(np.float32)
+    valid = idx >= 0
+    wm = np.where(valid, mass, 0.0)
+    ref = np.asarray(_segment_moments_soa(
+        jnp.asarray(np.concatenate([vel * wm[None], wm[None]], axis=0)),
+        jnp.asarray(idx), h))
+    got_m = np.asarray(segment_moments_bf16x3(
+        jnp.asarray(idx), jnp.asarray(vel), jnp.asarray(mass),
+        n_halos=h))
+    np.testing.assert_allclose(got_m, ref, rtol=2e-6, atol=2e-6)
+
+
 def test_assign_regions_matches_numpy(rng):
     box = 50.0
     centers = rng.uniform(0, box, size=(4, 3)).astype(np.float32)
@@ -175,7 +213,7 @@ def test_take_rows_twolevel_exact(rng):
 @pytest.mark.parametrize(
     "frames",
     ["select", "matmul", "matmul_bf16x3", "soa", "soa_bf16x3",
-     "twolevel", "pallas"])
+     "twolevel", "pallas", "pallas2"])
 def test_label_scan_matches_aligned_engine(rng, frames):
     """Event-stream parity: the label detector over the pool must emit
     exactly the aligned engine's events ((halo, id, f16 angle) sets per
@@ -195,7 +233,7 @@ def test_label_scan_matches_aligned_engine(rng, frames):
     INV = invalid_id_for(np.int32)
 
     # label side: one scan over the pool (pool index = particle id)
-    carry = init_label_carry(N)
+    carry = init_label_carry(N, row_width=256)
     _, ev = scan_label_events(
         carry, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(label),
         jnp.asarray(cen_seq), event_capacity=128, box_size=box,
@@ -258,7 +296,7 @@ def test_label_bulk_estimation_close(rng):
     mass = rng.uniform(0.5, 2.0, size=N).astype(np.float32)
     step = make_label_orbit_step(64, box_size=box, row_width=256)
     _, ev = step(
-        init_label_carry(N),
+        init_label_carry(N, row_width=256),
         (jnp.asarray(pos[0]), jnp.asarray(vel[0]), jnp.asarray(label[0]),
          jnp.asarray(cen_seq[0]), None, jnp.asarray(mass),
          jnp.float32(0)),
@@ -285,11 +323,11 @@ def test_label_mode_both_directions(rng):
     kw = dict(centers_seq=jnp.asarray(centers), event_capacity=N,
               bulk_vel_seq=np.zeros((S, 1, 3), np.float32), row_width=N)
     _, ev_a = scan_label_events(
-        init_label_carry(N), jnp.asarray(pos), jnp.asarray(vel),
-        jnp.asarray(label), mode="apocentric", **kw)
+        init_label_carry(N, row_width=N), jnp.asarray(pos),
+        jnp.asarray(vel), jnp.asarray(label), mode="apocentric", **kw)
     _, ev_p = scan_label_events(
-        init_label_carry(N), jnp.asarray(pos), jnp.asarray(vel),
-        jnp.asarray(label), mode="pericentric", **kw)
+        init_label_carry(N, row_width=N), jnp.asarray(pos),
+        jnp.asarray(vel), jnp.asarray(label), mode="pericentric", **kw)
     ca = np.asarray(ev_a.count).sum(axis=1)
     cp = np.asarray(ev_p.count).sum(axis=1)
     np.testing.assert_array_equal(ca, [0, N, 0])
@@ -323,8 +361,8 @@ def test_sharded_label_step_matches_single():
         mesh, 64, H, box_size=box, row_width=rw)
     step_1 = make_label_orbit_step(64, box_size=box, row_width=rw)
 
-    c_s = shard_label_tree(mesh, init_label_carry(N))
-    c_1 = init_label_carry(N)
+    c_s = shard_label_tree(mesh, init_label_carry(N, row_width=rw))
+    c_1 = init_label_carry(N, row_width=rw)
     for s in range(S):
         inputs = (jnp.asarray(pos[s]), jnp.asarray(vel[s]),
                   jnp.asarray(label[s]), jnp.asarray(cen_seq[s]),
@@ -363,10 +401,12 @@ def test_label_rhat_packed_counts_exact(rng):
     kw = dict(event_capacity=128, box_size=box, row_width=256,
               bulk_vel_seq=np.zeros((S, 3, 3), np.float32))
     _, ev_f = scan_label_events(
-        init_label_carry(N), jnp.asarray(pos), jnp.asarray(vel),
-        jnp.asarray(label), jnp.asarray(cen_seq), **kw)
+        init_label_carry(N, row_width=256), jnp.asarray(pos),
+        jnp.asarray(vel), jnp.asarray(label), jnp.asarray(cen_seq),
+        **kw)
     _, ev_p = scan_label_events(
-        init_label_carry(N, rhat_packed=True), jnp.asarray(pos),
+        init_label_carry(N, rhat_packed=True, row_width=256),
+        jnp.asarray(pos),
         jnp.asarray(vel), jnp.asarray(label), jnp.asarray(cen_seq),
         rhat_packed=True, **kw)
     ev_f, ev_p = jax.tree.map(np.asarray, (ev_f, ev_p))

@@ -57,6 +57,28 @@ def test_cic_rows_forms_match_scalar_forms(rng):
     np.testing.assert_allclose(f_rows, f_scalar, atol=1e-4 * scale)
 
 
+def test_cic_rows_bf16_table_close(rng):
+    """A bfloat16 corner table (the 512^3 memory diet,
+    cic_interpolate_rows(table_dtype=bfloat16)) costs only stored-value
+    precision: interpolated accelerations stay within bf16 relative
+    tolerance of the f32 form, and the f32 default is unchanged."""
+    import jax.numpy as jnp
+
+    n, grid, box = 4096, 16, 10.0
+    pos = jnp.asarray(rng.uniform(0, box, size=(n, 3)).astype(np.float32))
+    field = jnp.asarray(rng.normal(size=(3, grid, grid, grid))
+                        .astype(np.float32))
+    a32 = np.asarray(cic_interpolate_rows(
+        field, pos, grid, box, table_dtype=jnp.float32))
+    a_auto = np.asarray(cic_interpolate_rows(field, pos, grid, box))
+    np.testing.assert_array_equal(a_auto, a32)  # auto keeps f32 here
+    a16 = np.asarray(cic_interpolate_rows(
+        field, pos, grid, box, table_dtype=jnp.bfloat16))
+    assert a16.dtype == np.float32
+    scale = np.abs(a32).max()
+    np.testing.assert_allclose(a16, a32, atol=8e-3 * scale)
+
+
 def test_cic_deposit_conserves_mass(rng):
     n, grid, box = 500, 32, 50.0
     pos = jnp.asarray(rng.uniform(0, box, size=(n, 3)).astype(np.float32))
