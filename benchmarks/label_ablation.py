@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--halos", type=int, default=64)
     ap.add_argument("--cap", type=int, default=32768)
     ap.add_argument("--snaps", type=int, default=12)
+    ap.add_argument(
+        "--frames", type=str, default=None,
+        help="comma-separated frames impls to time (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -114,15 +117,20 @@ def main():
               f"({ups:.3e} upd/s)  [t1 {t1*1e3:.1f} ms]")
         return best
 
+    frames_list = (
+        args.frames.split(",") if args.frames else
+        ["matmul", "matmul_bf16x3", "soa", "soa_bf16x3",
+         "pallas", "pallas2", "fused"])
     t = {}
-    for fr in ("matmul", "matmul_bf16x3", "soa", "soa_bf16x3",
-               "pallas", "pallas2"):
+    for fr in frames_list:
         t[fr] = run(f"full step, frames={fr}", fr, False)
-    for fr in ("matmul", "soa"):
-        run(f"catalog bulk, frames={fr}", fr, True)
+    if args.frames is None:
+        for fr in ("matmul", "soa"):
+            run(f"catalog bulk, frames={fr}", fr, True)
     best = min(t, key=t.get)
+    ref = "matmul" if "matmul" in t else frames_list[0]
     B.log(f"fastest full step: {best} "
-          f"({t['matmul'] / t[best]:.2f}x over matmul)")
+          f"({t[ref] / t[best]:.2f}x over {ref})")
 
 
 if __name__ == "__main__":

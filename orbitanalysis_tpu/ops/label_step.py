@@ -672,7 +672,7 @@ def make_label_orbit_step(
 
     if frames not in ("auto", "matmul", "matmul_bf16x3", "soa",
                       "soa_bf16x3", "twolevel", "select", "pallas",
-                      "pallas2"):
+                      "pallas2", "fused", "split"):
         raise ValueError(f"unknown frames impl {frames!r}")
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -727,7 +727,7 @@ def make_label_orbit_step(
             if h >= _TWOLEVEL_MIN_H:
                 impl = "twolevel"
             elif not default_interpret():
-                impl = "pallas2"
+                impl = "split"
             else:
                 impl = "matmul"
 
@@ -744,7 +744,7 @@ def make_label_orbit_step(
                     None if mass is None else jnp.reshape(mass, (n,)),
                     n_halos=h,
                 )
-            elif impl == "pallas2":
+            elif impl in ("pallas2", "fused", "split"):
                 from orbitanalysis_tpu.ops.pallas_frames import (
                     segment_moments_bf16x3,
                 )
@@ -787,6 +787,66 @@ def make_label_orbit_step(
         # combined [H, 6] table
         table = jnp.concatenate([centers.astype(jnp.float32), bulk],
                                 axis=-1)
+        if impl in ("fused", "split"):
+            if impl == "fused":
+                # single-pass kernel: frame rows + geometry +
+                # detection + carry update + payload, each plane
+                # touched exactly once
+                from orbitanalysis_tpu.ops.pallas_label import (
+                    fused_label_detect,
+                )
+
+                sv_n, rh_n, pk_n, payload, count = fused_label_detect(
+                    table, lab_m, pos, vel,
+                    carry.lab_sv, carry.rhat, carry.packed,
+                    hubble_drag, pericentric=pericentric,
+                    box_size=box_size, rhat_packed=rhat_packed,
+                )
+            else:
+                # two passes: the blocked one-hot MXU frame-row kernel
+                # then the full-vreg [rb, W]-tiled detect kernel — the
+                # measured-fastest split (the fused kernel's [1, W]
+                # strips idle 7/8 of the VPU, the XLA detect chain
+                # pays f16 relayouts; pallas_label.detect_label_pallas
+                # docstring carries the numbers)
+                from orbitanalysis_tpu.ops.pallas_frames import (
+                    frame_rows_bf16x3,
+                )
+                from orbitanalysis_tpu.ops.pallas_label import (
+                    detect_label_pallas,
+                )
+
+                rows_soa = frame_rows_bf16x3(table, lab_m).reshape(
+                    6, R, W)
+                sv_n, rh_n, pk_n, payload, count = detect_label_pallas(
+                    rows_soa, lab_m, pos, vel,
+                    carry.lab_sv, carry.rhat, carry.packed,
+                    hubble_drag, pericentric=pericentric,
+                    box_size=box_size, rhat_packed=rhat_packed,
+                )
+            k_eff = min(K, W)
+            evpay = compact_payload_blocked(payload, k_eff)
+            ev_pos = (evpay >> 15).astype(jnp.int32) - 1
+            ev_ang = jax.lax.bitcast_convert_type(
+                (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16),
+                jnp.float16,
+            ).astype(jnp.float32)
+            kw = ev_pos.shape[1]
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (R, kw), 1)
+            ev_ok = kiota < count[:, None]
+            new_carry = LabelCarry(
+                lab_sv=sv_n, rhat=rh_n, packed=pk_n,
+            )
+            return new_carry, LabelEvents(
+                count=count,
+                index=jnp.where(
+                    ev_ok,
+                    ev_pos + jnp.arange(R, dtype=jnp.int32)[:, None] * W,
+                    -1,
+                )[:, :K],
+                angle=jnp.where(ev_ok, ev_ang, 0.0)[:, :K],
+                bulk_vel=bulk,
+            )
         if impl == "pallas2":
             from orbitanalysis_tpu.ops.pallas_frames import (
                 frame_rows_bf16x3,

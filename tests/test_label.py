@@ -213,7 +213,7 @@ def test_take_rows_twolevel_exact(rng):
 @pytest.mark.parametrize(
     "frames",
     ["select", "matmul", "matmul_bf16x3", "soa", "soa_bf16x3",
-     "twolevel", "pallas", "pallas2"])
+     "twolevel", "pallas", "pallas2", "fused", "split"])
 def test_label_scan_matches_aligned_engine(rng, frames):
     """Event-stream parity: the label detector over the pool must emit
     exactly the aligned engine's events ((halo, id, f16 angle) sets per
@@ -473,3 +473,104 @@ def test_aligned_rhat_packed_counts_exact(rng):
                 pos_f[s, h, :k][of], pos_p[s, h, :k][op])
             np.testing.assert_allclose(
                 ang_f[s, h, :k][of], ang_p[s, h, :k][op], atol=5e-3)
+
+
+def test_f16_bits_rne(rng):
+    """The fused kernel's integer f32->f16 encoder (Mosaic has no
+    native f16) must match ``astype(float16)`` bit-for-bit for all
+    finite non-negative inputs — normals, f16 subnormals, exact
+    round-to-even halves — with out-of-range values clamping to the
+    max finite f16 instead of inf."""
+    from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
+
+    xs = np.concatenate([
+        np.float32([0.0, 5.96e-8, 6e-8, 6.097e-5, 6.104e-5,
+                    65504.0, 65520.0, 7e4, 1e8, np.pi, 1e-3]),
+        rng.uniform(0, 1e-4, 20000).astype(np.float32),
+        rng.uniform(0, 200.0, 20000).astype(np.float32),
+        # exact f16 values nudged by half an ulp -> ties-to-even
+        (rng.uniform(0, 2**15, 10000).astype(np.float16)
+         .astype(np.float32) * (1 + 2**-12)),
+    ])
+    got = np.asarray(f16_bits_rne(jnp.asarray(xs))).astype(np.uint16)
+    with np.errstate(over="ignore"):  # 1e8 -> f16 inf, intentionally
+        ref = xs.astype(np.float16).view(np.uint16)
+    ref = np.where(ref == 0x7C00, np.uint16(0x7BFF), ref)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("kernel", ["fused", "split"])
+def test_fused_label_step_bit_parity(rng, kernel):
+    """The fused single-pass kernel (and the split full-vreg detect
+    kernel) must reproduce the unfused XLA path's carries and events
+    BIT-exactly (same geometry expressions, gather-exact one-hot,
+    IEEE-exact f16 payload encoding)."""
+    H, R, W, S = 7, 4, 512, 6
+    N = R * W
+    pos = rng.uniform(0, 100, (S, 3, N)).astype(np.float32)
+    vel = rng.normal(size=(S, 3, N)).astype(np.float32)
+    lab = rng.integers(-1, H, (S, N)).astype(np.int32)
+    cen = rng.uniform(20, 80, (S, H, 3)).astype(np.float32)
+    for s in range(1, S):
+        keep = rng.random(N) < 0.9
+        lab[s] = np.where(keep, lab[s - 1], lab[s])
+
+    outs = {}
+    for impl in ("matmul", kernel):
+        step = make_label_orbit_step(
+            128, box_size=100.0, row_width=W, frames=impl)
+        c = init_label_carry(N, row_width=W)
+        evs = []
+        for s in range(S):
+            c, ev = jax.jit(step)(c, (
+                pos[s].reshape(3, R, W), vel[s].reshape(3, R, W),
+                lab[s].reshape(R, W), cen[s], None, None,
+                jnp.float32(0.01)))
+            evs.append(jax.tree.map(np.asarray, ev))
+        outs[impl] = (jax.tree.map(np.asarray, c), evs)
+
+    ca, cb = outs["matmul"][0], outs[kernel][0]
+    np.testing.assert_array_equal(ca.lab_sv, cb.lab_sv)
+    np.testing.assert_array_equal(ca.packed, cb.packed)
+    np.testing.assert_array_equal(ca.rhat, cb.rhat)
+    for s in range(S):
+        ea, eb = outs["matmul"][1][s], outs[kernel][1][s]
+        np.testing.assert_array_equal(ea.count, eb.count)
+        np.testing.assert_array_equal(ea.index, eb.index)
+        np.testing.assert_array_equal(ea.angle, eb.angle)
+        np.testing.assert_allclose(ea.bulk_vel, eb.bulk_vel, atol=2e-5)
+
+
+def test_fused_label_rhat_packed_counts_exact(rng):
+    """The fused kernel's in-kernel octahedral pack/unpack: counts
+    exact, angles within the quantization tolerance (same contract as
+    the XLA rhat_packed path)."""
+    box = 80.0
+    pos, vel, label, cen_seq = _churn_pool(rng)
+    N = label.shape[1]
+    S = label.shape[0]
+    kw = dict(event_capacity=128, box_size=box, row_width=256,
+              bulk_vel_seq=np.zeros((S, 3, 3), np.float32),
+              frames="fused")
+    _, ev_f = scan_label_events(
+        init_label_carry(N, row_width=256), jnp.asarray(pos),
+        jnp.asarray(vel), jnp.asarray(label), jnp.asarray(cen_seq),
+        **kw)
+    _, ev_p = scan_label_events(
+        init_label_carry(N, rhat_packed=True, row_width=256),
+        jnp.asarray(pos),
+        jnp.asarray(vel), jnp.asarray(label), jnp.asarray(cen_seq),
+        rhat_packed=True, **kw)
+    ev_f, ev_p = jax.tree.map(np.asarray, (ev_f, ev_p))
+    np.testing.assert_array_equal(ev_f.count, ev_p.count)
+    for s in range(S):
+        for r in range(ev_f.count.shape[1]):
+            k = ev_f.count[s, r]
+            of = np.argsort(ev_f.index[s, r, :k])
+            op = np.argsort(ev_p.index[s, r, :k])
+            np.testing.assert_array_equal(
+                ev_f.index[s, r, :k][of], ev_p.index[s, r, :k][op])
+            np.testing.assert_allclose(
+                ev_f.angle[s, r, :k][of], ev_p.angle[s, r, :k][op],
+                atol=5e-3,
+            )
