@@ -327,15 +327,128 @@ def pm_forces_grid(rho, grid, box_size, G=1.0, deconvolve=False,
     return jnp.stack(forces)
 
 
-def _use_rows(assignment: str) -> bool:
+#: particles per lax.map chunk in cic_interpolate_cells: the gathered
+#: [chunk, 3*(B+1)^3] f32 transient is ~0.4 GB at the default
+_CELLS_CHUNK = 1 << 18
+
+
+def cic_interpolate_cells(field3, pos, grid, box_size, block=4,
+                          table_dtype="auto"):
+    """CIC interpolation via a supercell-halo corner table — the
+    memory diet for the 512^3 full-box anchor (round-3 review item 5).
+
+    :func:`cic_interpolate_rows`'s 24-channel table stores every force
+    value 8 times (once per neighbor whose stencil touches it): 6.4 GB
+    bf16 at 512^3 — the allocation that pushes the 33.5M-particle
+    config-4 run past a single v5e (``benchmarks/config4_memprobe.py``:
+    17.5 GiB compiled).  This form packs ``block^3`` cells per table
+    row with a one-cell halo — ``[grid^3/block^3, 3*(block+1)^3]``,
+    redundancy ``((B+1)/B)^3`` ~ 1.95x instead of 8x, **1.6 GB** at the
+    default ``block=4`` — for the same ONE gathered row per particle
+    (index count is what gathers cost; both tables gather a ~768 B
+    row).  The particle then selects its 24 stencil values from the
+    halo'd row with three separable exact one-hot contractions (~1000
+    VPU flops/particle — noise against the gather).
+
+    Selection is exact, so with an f32 table the result is bit-identical
+    to :func:`cic_interpolate`; ``table_dtype='auto'`` drops the table
+    to bf16 above ``_TABLE_BF16_BYTES`` (same policy + error class as
+    the rows form: values quantized, products/sums f32).
+    """
+    b = block
+    while grid % b:
+        b //= 2
+    bb = b + 1
+    s = grid // b
+    g3 = grid * grid * grid
+    if table_dtype == "auto":
+        table_dtype = (
+            jnp.bfloat16 if g3 * 3 * bb ** 3 // b ** 3 * 4
+            > _TABLE_BF16_BYTES else jnp.float32
+        )
+    table_dtype = jnp.dtype(table_dtype)
+
+    # table[(sx*S + sy)*S + sz, comp*bb^3 + (i*bb + j)*bb + k]
+    #   = field3[comp][(b*sx + i) % g, (b*sy + j) % g, (b*sz + k) % g]
+    # built channel by channel from strided plane-takes (reads S planes
+    # per take, never a full rolled grid)
+    ar = jnp.arange(s, dtype=jnp.int32) * b
+    table = jnp.zeros((s * s * s, 3 * bb ** 3), table_dtype)
+    for comp in range(3):
+        fx = field3[comp]
+        for i in range(bb):
+            fxi = jnp.take(fx, (ar + i) % grid, axis=0)     # [S, g, g]
+            for j in range(bb):
+                fxj = jnp.take(fxi, (ar + j) % grid, axis=1)
+                for k in range(bb):
+                    col = jnp.take(
+                        fxj, (ar + k) % grid, axis=2
+                    ).reshape(s * s * s, 1).astype(table_dtype)
+                    table = jax.lax.dynamic_update_slice(
+                        table, col,
+                        (0, comp * bb ** 3 + (i * bb + j) * bb + k),
+                    )
+
+    i0, f = _cic_base(pos, grid, box_size)
+    w8 = _corner_weights(f)                                   # [N, 8]
+    sc = i0 // b
+    row = (sc[:, 0] * s + sc[:, 1]) * s + sc[:, 2]            # [N]
+    cin = (i0 - sc * b).astype(jnp.int32)                     # [N, 3]
+
+    n = row.shape[0]
+    chunk = min(_CELLS_CHUNK, n)
+    n_pad = -n % chunk
+    if n_pad:
+        row = jnp.concatenate([row, jnp.zeros(n_pad, row.dtype)])
+        cin = jnp.concatenate(
+            [cin, jnp.zeros((n_pad, 3), cin.dtype)])
+        w8 = jnp.concatenate([w8, jnp.zeros((n_pad, 8), w8.dtype)])
+
+    def one_chunk(args):
+        rc, cc, wc = args
+        c = rc.shape[0]
+        vals = table[rc].reshape(c, 3, bb, bb, bb).astype(jnp.float32)
+        iot = jax.lax.broadcasted_iota(jnp.int32, (c, bb), 1)
+
+        def oh(coord, d):
+            return (iot == (coord + d)[:, None]).astype(jnp.float32)
+
+        # separable exact selection: contract z, then y, then x
+        az = [jnp.sum(vals * oh(cc[:, 2], dz)[:, None, None, None, :],
+                      axis=-1) for dz in (0, 1)]     # [c, 3, bb, bb]
+        ay = [[jnp.sum(az[dz] * oh(cc[:, 1], dy)[:, None, None, :],
+                       axis=-1) for dz in (0, 1)]
+              for dy in (0, 1)]                      # [c, 3, bb]
+        corners = [
+            jnp.sum(ay[dy][dz] * oh(cc[:, 0], dx)[:, None, :], axis=-1)
+            for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+        ]                                            # 8 x [c, 3]
+        vals8 = jnp.stack(corners, axis=-1)          # [c, 3, 8]
+        return jnp.sum(vals8 * wc[:, None, :], axis=-1)
+
+    out = jax.lax.map(
+        one_chunk,
+        (row.reshape(-1, chunk), cin.reshape(-1, chunk, 3),
+         w8.reshape(-1, chunk, 8)),
+    ).reshape(-1, 3)
+    return out[:n]
+
+
+def _interp_choice(assignment: str, grid: int) -> str:
     if assignment == "auto":
-        return jax.default_backend() == "tpu"
-    if assignment not in ("rows", "scalar"):
+        if jax.default_backend() != "tpu":
+            return "scalar"
+        # at grids where even the bf16 24-channel table dominates HBM
+        # (the 512^3 anchor) the supercell-halo form is the only one
+        # that fits alongside the particle state
+        g3 = grid * grid * grid
+        return "cells" if g3 * 24 * 4 > _TABLE_BF16_BYTES else "rows"
+    if assignment not in ("rows", "scalar", "cells"):
         raise ValueError(
-            f"assignment must be 'auto', 'rows' or 'scalar', "
+            f"assignment must be 'auto', 'rows', 'cells' or 'scalar', "
             f"got {assignment!r}"
         )
-    return assignment == "rows"
+    return assignment
 
 
 def select_depositor(deposit: str, grid: int):
@@ -374,11 +487,27 @@ def select_depositor(deposit: str, grid: int):
     return cic_deposit_sorted if use_sorted else cic_deposit
 
 
-def select_interpolator(assignment: str):
-    """The one place the ``assignment`` policy lives: returns
-    :func:`cic_interpolate_rows` or :func:`cic_interpolate` (validating
-    the string eagerly, at construction time)."""
-    return cic_interpolate_rows if _use_rows(assignment) else cic_interpolate
+def _use_rows(assignment: str) -> bool:
+    """Binary rows-vs-scalar form of the policy, kept for the sharded
+    PM (its per-slab tables never reach the 24-channel blowup that
+    motivates the supercell form)."""
+    return _interp_choice(
+        assignment if assignment != "cells" else "rows", 0
+    ) != "scalar"
+
+
+def select_interpolator(assignment: str, grid: int = 0):
+    """The one place the ``assignment`` policy lives (validating the
+    string eagerly, at construction time).  ``grid`` informs the
+    ``'auto'`` choice — at the 24-channel-table blowup grids (512^3)
+    it picks the supercell-halo form; callers that interpolate
+    slab-sized sub-grids may omit it."""
+    choice = _interp_choice(assignment, grid)
+    return {
+        "rows": cic_interpolate_rows,
+        "cells": cic_interpolate_cells,
+        "scalar": cic_interpolate,
+    }[choice]
 
 
 def pm_forces(
@@ -399,13 +528,16 @@ def pm_forces(
     ``assignment`` selects the interpolation kernel: ``'rows'`` = the
     index-cost-minimizing folded row gather
     (:func:`cic_interpolate_rows`, 10x the scalar form at 16.7M
-    particles), ``'scalar'`` = the classic 24-gather form, ``'auto'`` =
-    rows on TPU, scalar elsewhere.  ``deposit`` selects the mass
-    assignment (:func:`select_depositor`): the sorted-stream Pallas
-    assembly replaces the per-element scatter floor on TPU for grids
-    whose virtual mesh fits VMEM.
+    particles), ``'cells'`` = the supercell-halo table
+    (:func:`cic_interpolate_cells`, 4x less table HBM — the 512^3
+    fit), ``'scalar'`` = the classic 24-gather form, ``'auto'`` = rows
+    on TPU (cells once the 24-channel table would blow past
+    ``_TABLE_BF16_BYTES``), scalar elsewhere.  ``deposit`` selects the
+    mass assignment (:func:`select_depositor`): the sorted-stream
+    Pallas assembly replaces the per-element scatter floor on TPU for
+    grids whose virtual mesh fits VMEM.
     """
-    interp = select_interpolator(assignment)
+    interp = select_interpolator(assignment, grid)
     depositor = select_depositor(deposit, grid)
     rho = depositor(pos, mass, grid, box_size)
     field = pm_forces_grid(

@@ -9,6 +9,7 @@ from orbitanalysis_tpu.models.pm import (
     cic_deposit,
     cic_deposit_rows,
     cic_interpolate,
+    cic_interpolate_cells,
     cic_interpolate_rows,
     make_pm_force_fn,
     pm_forces,
@@ -55,6 +56,50 @@ def test_cic_rows_forms_match_scalar_forms(rng):
     f_rows = np.asarray(pm_forces(pos, mass, grid, box, assignment="rows"))
     scale = np.abs(f_scalar).max()
     np.testing.assert_allclose(f_rows, f_scalar, atol=1e-4 * scale)
+
+
+def test_cic_cells_matches_scalar_exactly(rng):
+    """The supercell-halo interpolation (the 512^3 table diet,
+    assignment='cells') is an EXACT re-selection: with an f32 table it
+    must reproduce the classic 24-gather form bit-for-bit, for every
+    block size including non-divisor fallbacks, at cell boundaries and
+    the wrap seam."""
+    n, grid, box = 4096, 16, 10.0
+    pos = rng.uniform(0, box, size=(n, 3)).astype(np.float32)
+    h = box / grid
+    pos[:8] = np.array([
+        [0.0, 0.0, 0.0],
+        [box - 1e-4, box - 1e-4, box - 1e-4],
+        [h / 2, h / 2, h / 2],
+        [h, h, h],
+        [box - h / 2, 5.0, 5.0],
+        [5.0, box - h / 2, 5.0],
+        [5.0, 5.0, box - h / 2],
+        [2 * h, 3 * h, 4 * h],
+    ], np.float32)
+    pos = jnp.asarray(pos)
+    field = jnp.asarray(rng.normal(size=(3, grid, grid, grid))
+                        .astype(np.float32))
+    a_scalar = np.asarray(cic_interpolate(field, pos, grid, box))
+    for block in (4, 2, 1, 3):   # 3 does not divide 16 -> falls to 1
+        a_cells = np.asarray(cic_interpolate_cells(
+            field, pos, grid, box, block=block,
+            table_dtype=jnp.float32))
+        np.testing.assert_allclose(
+            a_cells, a_scalar, rtol=2e-6, atol=2e-6)
+    # bf16 table: stored-value precision only
+    a16 = np.asarray(cic_interpolate_cells(
+        field, pos, grid, box, table_dtype=jnp.bfloat16))
+    scale = np.abs(a_scalar).max()
+    np.testing.assert_allclose(a16, a_scalar, atol=8e-3 * scale)
+    # the pm_forces policy string routes here
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    f_scalar = np.asarray(pm_forces(pos, mass, grid, box,
+                                    assignment="scalar"))
+    f_cells = np.asarray(pm_forces(pos, mass, grid, box,
+                                   assignment="cells"))
+    np.testing.assert_allclose(
+        f_cells, f_scalar, atol=1e-4 * np.abs(f_scalar).max())
 
 
 def test_cic_rows_bf16_table_close(rng):
