@@ -181,82 +181,87 @@ def _detect_core(pericentric, box_size, rhat_packed,
     return osv, orh, opk, payload, apsis
 
 
-def _fused_label_kernel(pericentric, box_size, h, rhat_packed, w,
+def _fused_label_kernel(pericentric, box_size, h, rhat_packed, w, rb,
                         tab_ref, lab_ref, pos_ref, vel_ref,
                         sv_ref, rh_ref, pk_ref, hub_ref,
                         osv_ref, orh_ref, opk_ref, opay_ref, ocnt_ref):
-    lab = lab_ref[:]                                    # [1, W] i32
-    # frame rows: exact bf16x3 one-hot MXU dot (label -1 -> zero row)
-    onehot = (
-        jnp.broadcast_to(lab, (h, w))
-        == jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    )
-    out3 = jax.lax.dot_general(
-        tab_ref[:], onehot.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # [18, W]
+    lab = lab_ref[:]                                    # [rb, W] i32
+    # frame rows: one exact bf16x3 one-hot MXU dot PER SUBLANE ROW
+    # (the dot needs particles on its lane axis, so an [rb, W] block
+    # takes rb narrow dots — same total MXU work as one wide dot —
+    # and the outputs re-stack on sublanes so every elementwise op
+    # downstream runs on full (8, 128) vregs)
+    rows = []                                           # rb x [6, W]
+    for r in range(rb):
+        onehot = (
+            jnp.broadcast_to(lab[r:r + 1], (h, w))
+            == jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        )
+        out3 = jax.lax.dot_general(
+            tab_ref[:], onehot.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [18, W]
+        rows.append((out3[:6] + out3[6:12]) + out3[12:])
 
-    def row(c):                                         # [1, W] f32
-        return out3[c:c + 1] + out3[6 + c:7 + c] + out3[12 + c:13 + c]
+    def row(c):                                         # [rb, W] f32
+        return jnp.concatenate(
+            [rows[r][c:c + 1] for r in range(rb)], axis=0
+        )
 
-    p3 = pos_ref[:]                                     # [3, W]
+    p3 = pos_ref[:]                                     # [3, rb, W]
     v3 = vel_ref[:]
     if rhat_packed:
-        rh = rh_ref[:]
+        rh = rh_ref[:]                                  # [rb, W]
     else:
-        prh = rh_ref[:]                                 # [3, W]
-        rh = (prh[0:1], prh[1:2], prh[2:3])
+        prh = rh_ref[:]                                 # [3, rb, W]
+        rh = (prh[0], prh[1], prh[2])
     osv, orh, opk, payload, apsis = _detect_core(
         pericentric, box_size, rhat_packed, lab,
-        tuple(p3[d:d + 1] for d in range(3)),
-        tuple(v3[d:d + 1] for d in range(3)),
+        tuple(p3[d] for d in range(3)),
+        tuple(v3[d] for d in range(3)),
         tuple(row(d) for d in range(3)),
         tuple(row(3 + d) for d in range(3)),
         sv_ref[:], rh, pk_ref[:], hub_ref[0, 0],
     )
     opk_ref[:] = opk
     opay_ref[:] = payload
-    ocnt_ref[:] = jnp.sum(apsis.astype(jnp.int32)).reshape(1, 1, 1)
+    ocnt_ref[:] = jnp.sum(apsis.astype(jnp.int32), axis=1,
+                          keepdims=True)
     osv_ref[:] = osv
     if rhat_packed:
         orh_ref[:] = orh
     else:
-        orh_ref[:] = jnp.concatenate(orh, axis=0)
+        orh_ref[:] = jnp.stack(orh, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pericentric", "box_size", "rhat_packed", "interpret", "w"))
-def _fused_label_call(pericentric, box_size, rhat_packed, interpret, w,
-                      tab_cat, lab, pos, vel, sv, rh, pk, hub):
-    # planes ride as flat [1, N] / [3, N] with [*, W] lane-aligned
-    # blocks — [R, W] arrays with (1, W) blocks violate Mosaic's
-    # sublane-divisibility rule, the flat form doesn't (and the
-    # reshape outside is a free row-major bitcast)
+    "pericentric", "box_size", "rhat_packed", "interpret", "rb"))
+def _fused_label_call(pericentric, box_size, rhat_packed, interpret,
+                      rb, tab_cat, lab, pos, vel, sv, rh, pk, hub):
     h = tab_cat.shape[1]
-    n = lab.shape[1]
-    r = n // w
-    spec1 = pl.BlockSpec((1, w), lambda i: (0, i),
+    r, w = lab.shape
+    spec1 = pl.BlockSpec((rb, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    spec3 = pl.BlockSpec((3, w), lambda i: (0, i),
+    spec3 = pl.BlockSpec((3, rb, w), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     spec_rh = spec1 if rhat_packed else spec3
     rh_shape = (
-        jax.ShapeDtypeStruct((1, n), jnp.uint32) if rhat_packed
-        else jax.ShapeDtypeStruct((3, n), jnp.float32)
+        jax.ShapeDtypeStruct((r, w), jnp.uint32) if rhat_packed
+        else jax.ShapeDtypeStruct((3, r, w), jnp.float32)
     )
     return pl.pallas_call(
         functools.partial(
             _fused_label_kernel, pericentric, box_size, h,
-            rhat_packed, w,
+            rhat_packed, w, rb,
         ),
-        grid=(r,),
+        grid=(r // rb,),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n), jnp.int32),    # sv'
+            jax.ShapeDtypeStruct((r, w), jnp.int32),    # sv'
             rh_shape,                                   # rhat'
-            jax.ShapeDtypeStruct((1, n), jnp.uint32),   # packed'
-            jax.ShapeDtypeStruct((1, n), jnp.uint32),   # payload
-            jax.ShapeDtypeStruct((r, 1, 1), jnp.int32),  # count
+            jax.ShapeDtypeStruct((r, w), jnp.uint32),   # packed'
+            jax.ShapeDtypeStruct((r, w), jnp.uint32),   # payload
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),    # count
         ),
         in_specs=[
             pl.BlockSpec((18, h), lambda i: (0, 0),
@@ -272,8 +277,8 @@ def _fused_label_call(pericentric, box_size, rhat_packed, interpret, w,
         ],
         out_specs=(
             spec1, spec_rh, spec1, spec1,
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),      # count
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -281,6 +286,11 @@ def _fused_label_call(pericentric, box_size, rhat_packed, interpret, w,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(tab_cat, lab, pos, vel, sv, rh, pk, hub)
+
+
+#: sublane rows per fused grid step (full-vreg elementwise work; the
+#: frame dots run one narrow MXU pass per row)
+_FUSED_RB = 8
 
 
 def fused_label_detect(table, lab, pos, vel, sv, rhat, packed,
@@ -305,25 +315,18 @@ def fused_label_detect(table, lab, pos, vel, sv, rhat, packed,
             f"one-hot block [{h}, {w}] exceeds the fused kernel's VMEM "
             "budget; use frames='twolevel'"
         )
+    rb = _FUSED_RB
+    while r % rb:
+        rb //= 2
     tab_cat = jnp.concatenate(
         _split3(jnp.asarray(table, jnp.float32).T), axis=0
     )                                                    # [18, H]
     hub = jnp.asarray(hubble_drag, jnp.float32).reshape(1, 1)
-    n = r * w
     sv_n, rh_n, pk_n, payload, count = _fused_label_call(
-        pericentric, box_size, rhat_packed, interpret, w,
-        tab_cat, lab.reshape(1, n), pos.reshape(3, n),
-        vel.reshape(3, n), sv.reshape(1, n),
-        rhat.reshape(1, n) if rhat_packed else rhat.reshape(3, n),
-        packed.reshape(1, n), hub,
+        pericentric, box_size, rhat_packed, interpret, rb,
+        tab_cat, lab, pos, vel, sv, rhat, packed, hub,
     )
-    return (
-        sv_n.reshape(r, w),
-        rh_n.reshape(r, w) if rhat_packed else rh_n.reshape(3, r, w),
-        pk_n.reshape(r, w),
-        payload.reshape(r, w),
-        count.reshape(r),
-    )
+    return sv_n, rh_n, pk_n, payload, count.reshape(r)
 
 
 def _detect_label_kernel(pericentric, box_size, rhat_packed,
