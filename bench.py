@@ -377,7 +377,11 @@ def device_label_updates_per_s(label_seq, pos_l, vel_l, centers_seq,
     d_pos = put_chunked(pos_l)
     d_vel = put_chunked(vel_l)
     d_cen = jnp.asarray(centers_seq)
-    carry0 = init_label_carry(n)
+    # octahedral-packed rhat carry: the 12 B/particle config-5 diet
+    # (counts invariant by construction — vr signs never read the
+    # carried rhat; measured 1.038 -> 0.967 ms/snap at the bench
+    # shape, benchmarks/label_phase_probe.py)
+    carry0 = init_label_carry(n, rhat_packed=True)
 
     def build(R):
         @jax.jit
@@ -388,7 +392,7 @@ def device_label_updates_per_s(label_seq, pos_l, vel_l, centers_seq,
                 c, tot, mx, sink = st
                 c, ev = scan_label_events(
                     c, pos, vel, lab, cen, K, box_size=box,
-                    row_width=row_width,
+                    row_width=row_width, rhat_packed=True,
                 )
                 tot = tot + jnp.sum(ev.count)
                 mx = jnp.maximum(mx, jnp.max(ev.count))
@@ -469,7 +473,8 @@ def sustained_device_resident_updates_per_s(
     home = (jnp.arange(N, dtype=jnp.int32) // P)
     cen_pp = centers.T[:, home]  # [3, N] static home-halo center
 
-    step = make_label_orbit_step(K, box_size=box, row_width=row_width)
+    step = make_label_orbit_step(K, box_size=box, row_width=row_width,
+                                 rhat_packed=True)
 
     def synth(s):
         t = s.astype(jnp.float32) * dt
@@ -519,7 +524,7 @@ def sustained_device_resident_updates_per_s(
             return tot, upd, mx, sink
         return fn
 
-    carry0 = init_label_carry(N)
+    carry0 = init_label_carry(N, rhat_packed=True)
     fn = build(scans)
     out = fn(carry0, None)  # compile + warm
     events = int(np.asarray(out[0]))

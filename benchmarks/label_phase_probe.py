@@ -62,8 +62,13 @@ def main():
     box = 100.0
     B.log("device arrays staged")
 
+    data = (d_label, d_pos, d_vel, d_cen)
+
     def time_phase(name, build):
-        best, t1 = B.time_marginal(build, None, None)
+        # device arrays ride the `snaps` argument (NOT closures: the
+        # axon remote-compile inlines closed-over arrays as constants
+        # and rejects the multi-hundred-MB request bodies, HTTP 413)
+        best, t1 = B.time_marginal(build, carry0, data)
         B.log(f"{name:28s} {best*1e3/S:8.3f} ms/snap "
               f"({best*1e3:7.2f} ms/scan)  [t1 {t1*1e3:.1f} ms]")
         return best
@@ -77,7 +82,9 @@ def main():
 
         def build(R):
             @jax.jit
-            def fn(_c, _a):
+            def fn(_c, a):
+                dl, dp, dv, dc = a
+
                 def body(i, acc):
                     def sbody(acc, xs):
                         vel, lab = xs
@@ -89,7 +96,7 @@ def main():
                             vals, lab.reshape(N), n_halos=H)
                         return acc + jnp.sum(m), None
                     acc, _ = jax.lax.scan(
-                        sbody, acc, (d_vel, d_label))
+                        sbody, acc, (dv, dl))
                     return acc
                 return jax.lax.fori_loop(0, R, body, jnp.float32(0))
             return fn
@@ -102,7 +109,9 @@ def main():
 
         def build(R):
             @jax.jit
-            def fn(_c, _a):
+            def fn(c0, a):
+                dl, dp, dv, dc = a
+
                 def body(i, st):
                     c, acc = st
 
@@ -120,7 +129,7 @@ def main():
                             lab_sv=sv, rhat=rh, packed=pk
                         ), (jnp.sum(cnt), jnp.sum(pay))
                     c, (cnt, pay) = jax.lax.scan(
-                        sbody, c, (d_pos, d_vel, d_label, d_cen))
+                        sbody, c, (dp, dv, dl, dc))
                     acc = acc + jnp.sum(cnt) + jnp.sum(
                         pay.astype(jnp.float32))
                     c = c._replace(
@@ -128,7 +137,7 @@ def main():
                         .astype(jnp.uint32))
                     return (c, acc)
                 _, acc = jax.lax.fori_loop(
-                    0, R, body, (carry0, jnp.float32(0)))
+                    0, R, body, (c0, jnp.float32(0)))
                 return acc
             return fn
         return build
@@ -140,7 +149,9 @@ def main():
 
         def build(R):
             @jax.jit
-            def fn(_c, _a):
+            def fn(_c, a):
+                dl, dp, dv, dc = a
+
                 def body(i, acc):
                     def sbody(acc, xs):
                         lab, cen = xs
@@ -151,7 +162,7 @@ def main():
                             table, lab.reshape(N))
                         return acc + jnp.sum(rows), None
                     acc, _ = jax.lax.scan(
-                        sbody, acc, (d_label, d_cen))
+                        sbody, acc, (dl, dc))
                     return acc
                 return jax.lax.fori_loop(0, R, body, jnp.float32(0))
             return fn
@@ -161,12 +172,14 @@ def main():
         from orbitanalysis_tpu.ops.pallas_compact import (
             compact_payload_blocked,
         )
-        pay0 = (d_label[0] >= 62).astype(jnp.uint32) * jnp.uint32(
-            0x8001)
 
         def build(R):
             @jax.jit
-            def fn(_c, _a):
+            def fn(_c, a):
+                dl = a[0]
+                pay0 = (dl[0] >= 62).astype(jnp.uint32) * jnp.uint32(
+                    0x8001)
+
                 def body(i, acc):
                     out = compact_payload_blocked(
                         pay0 ^ acc.astype(jnp.uint32), rw // 16)
@@ -177,11 +190,50 @@ def main():
             return fn
         return build
 
+    def phase_step(frames, rhat_packed):
+        from orbitanalysis_tpu.ops.label_step import (
+            make_label_orbit_step,
+        )
+
+        step = make_label_orbit_step(
+            rw // 16, box_size=box, row_width=rw, frames=frames,
+            rhat_packed=rhat_packed)
+        c0 = init_label_carry(N, rhat_packed=rhat_packed, row_width=rw)
+
+        def build(R):
+            @jax.jit
+            def fn(_c, a):
+                dl, dp, dv, dc = a
+
+                def body(i, st):
+                    c, acc = st
+
+                    def sbody(c, xs):
+                        pos, vel, lab, cen = xs
+                        c, ev = step(
+                            c, (pos, vel, lab, cen, None, None,
+                                jnp.float32(0.0)))
+                        return c, jnp.sum(ev.count)
+                    c, cnt = jax.lax.scan(
+                        sbody, c, (dp, dv, dl, dc))
+                    acc = acc + jnp.sum(cnt).astype(jnp.float32)
+                    c = c._replace(
+                        packed=c.packed ^ (acc == jnp.float32(-1.0))
+                        .astype(jnp.uint32))
+                    return (c, acc)
+                _, acc = jax.lax.fori_loop(
+                    0, R, body, (c0, jnp.float32(0)))
+                return acc
+            return fn
+        return build
+
     phases = {
         "moments": phase_moments,
         "fused": phase_fused,
         "frames_pallas2": phase_frames_pallas2,
         "compact": phase_compact,
+        "step_split": lambda: phase_step("split", False),
+        "step_split_packed": lambda: phase_step("split", True),
     }
     sel = (args.phases.split(",") if args.phases
            else list(phases))

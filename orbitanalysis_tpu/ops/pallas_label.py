@@ -90,19 +90,25 @@ def _oct_encode_kernel(rx, ry, rz):
     fy = (1.0 - jnp.abs(px)) * jnp.where(py >= 0, 1.0, -1.0)
     px = jnp.where(rz < 0, fx, px)
     py = jnp.where(rz < 0, fy, py)
+    # f32 <-> u32 casts are unsupported in Mosaic on this target; the
+    # quantized values fit i32, so route through it (bit pattern for
+    # 0..65535 is identical)
     qx = jnp.clip(
         jnp.round((px * 0.5 + 0.5) * 65535.0), 0, 65535
-    ).astype(jnp.uint32)
+    ).astype(jnp.int32).astype(jnp.uint32)
     qy = jnp.clip(
         jnp.round((py * 0.5 + 0.5) * 65535.0), 0, 65535
-    ).astype(jnp.uint32)
+    ).astype(jnp.int32).astype(jnp.uint32)
     return qx | (qy << 16)
 
 
 def _oct_decode_kernel(packed):
     """Inverse of :func:`_oct_encode_kernel` -> (rx, ry, rz) planes."""
-    qx = (packed & jnp.uint32(0xFFFF)).astype(jnp.float32)
-    qy = (packed >> 16).astype(jnp.float32)
+    # u32 -> f32 is unsupported in Mosaic; both fields are <= 0xFFFF
+    # so the i32 detour is exact
+    qx = (packed & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(
+        jnp.float32)
+    qy = (packed >> 16).astype(jnp.int32).astype(jnp.float32)
     px = qx * (2.0 / 65535.0) - 1.0
     py = qy * (2.0 / 65535.0) - 1.0
     z = 1.0 - jnp.abs(px) - jnp.abs(py)
