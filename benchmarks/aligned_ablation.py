@@ -97,7 +97,7 @@ def main():
         K, mode="pericentric", box_size=100.0, soa_batch=True
     )
 
-    def measure(name, pass_fn, extra=""):
+    def measure(name, pass_fn, extra="", c0=None):
         """pass_fn(carry, acc, snaps) -> (carry, scalar); R-fold
         marginal.  ``acc`` is the running accumulator — stages whose
         real carry does not chain (stream/frame) must derive an input
@@ -118,7 +118,8 @@ def main():
                 return acc
             return fn
 
-        t, _ = time_marginal(build, carry0, dev)
+        t, _ = time_marginal(build, c0 if c0 is not None else carry0,
+                             dev)
         log(f"{name:9s}: {t*1e3:7.1f} ms/scan  "
             f"({updates/t/1e9:.2f}e9 upd/s{extra})")
         return t
@@ -225,6 +226,31 @@ def main():
     _, ev_full = jax.jit(full)(carry0, jnp.float32(0), dev)
     assert n_events_detect[0] == int(np.asarray(ev_full)), \
         "ablation event mismatch"
+
+    # ---- full step, octahedral-packed rhat carry (16 B/particle):
+    # counts invariant by construction (vr signs never read the
+    # carried rhat), carry traffic drops 16 B/particle-step
+    step_p = make_aligned_native_step(
+        K, mode="pericentric", box_size=100.0, soa_batch=True,
+        rhat_packed=True,
+    )
+    carry0p = init_aligned_carry(H, P, rhat_packed=True)
+
+    def full_packed(c, a, s):
+        del a
+
+        def body(carry, snap):
+            carry, ev = step_p(carry, snap)
+            sink = (jnp.sum(ev.ids.astype(jnp.float32))
+                    + jnp.sum(ev.angles))
+            return carry, (ev.count, sink)
+        fc, (cnt, sink) = jax.lax.scan(body, c, s)
+        return fc, jnp.sum(cnt).astype(jnp.float32) + 0.0 * jnp.sum(sink)
+
+    measure("full(pkd)", full_packed, c0=carry0p)
+    _, ev_p = jax.jit(full_packed)(carry0p, jnp.float32(0), dev)
+    assert n_events_detect[0] == int(np.asarray(ev_p)), \
+        "packed-carry event mismatch"
     log(f"events   : {n_events_detect[0]}")
 
 

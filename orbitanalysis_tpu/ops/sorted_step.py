@@ -904,9 +904,14 @@ def make_aligned_native_step(
             # At the 131072-row fused ceiling the LAST position's
             # pos + 1 = 2**17 would wrap the word to zero and drop the
             # event, so such rows take the two-stream pair kernel.
-            ang15 = jax.lax.bitcast_convert_type(
-                angle_acc.astype(jnp.float16), jnp.uint16
-            ).astype(jnp.uint32)
+            # integer RNE f32->f16 bits (pallas_label.f16_bits_rne,
+            # bit-identical to astype(float16) for the non-negative
+            # finite angles here): no [H, P] f16/u16 arrays means no
+            # 16-bit relayout passes in the extract phase (measured
+            # part of the aligned step's extract cost, BASELINE.md r4)
+            from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
+
+            ang15 = f16_bits_rne(angle_acc)
             count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
             if p <= PAYLOAD_MAX_ROW:
                 payload = jnp.where(
