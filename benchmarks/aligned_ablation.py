@@ -208,6 +208,75 @@ def main():
     _, ev = jax.jit(detect_only)(carry0, jnp.float32(0), dev)
     n_events_detect[0] = int(np.asarray(ev))
 
+    # ---- detect + payload word + blocked compaction, no event
+    # postprocessing: isolates where the extract phase's cost sits
+    # (payload gen is a few elementwise ops; the standalone compact
+    # kernel is ~0.075 ms/call — anything beyond that in `full` is
+    # XLA glue around the cond/compact boundary or the [H, K] event
+    # where/slice postprocessing)
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        compact_payload_blocked,
+    )
+    from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
+
+    def make_detect_extract(with_compact):
+        def fn(c, a, s):
+            del a
+
+            def body(carry, snap):
+                valid_cur = snap.ids != np.iinfo(np.int32).max
+                fr = region_frame(
+                    snap.pos, snap.vel, valid_cur, snap.center,
+                    box_size=100.0, hubble_drag=snap.hubble_drag,
+                    soa=True,
+                )
+                cur_vrb = _vr_bits(fr.vrad)
+                cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
+                cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
+                fresh = (snap.slot & (1 << 27)) != 0
+                vrb_p = carry.sv >> 24
+                pang = jax.lax.bitcast_convert_type(
+                    carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+                )
+                cosang = jnp.clip(
+                    carry.rhat[0] * fr.rhat[0]
+                    + carry.rhat[1] * fr.rhat[1]
+                    + carry.rhat[2] * fr.rhat[2], -1.0, 1.0,
+                )
+                dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
+                flip = ((vrb_p & 1) > 0) & ((cur_vrb & 2) > 0)
+                apsis = valid_cur & flip & ~fresh
+                angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
+                packed = jax.lax.bitcast_convert_type(
+                    jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
+                    jnp.uint32,
+                ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
+                count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+                pos_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, apsis.shape, 1)
+                ang15 = f16_bits_rne(angle_acc)
+                payload = jnp.where(
+                    apsis,
+                    ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
+                    jnp.uint32(0),
+                )
+                if with_compact:
+                    evpay = compact_payload_blocked(
+                        payload, max(128, P // 16))
+                    sink = jnp.sum(evpay.astype(jnp.float32))
+                else:
+                    sink = jnp.sum(payload.astype(jnp.float32))
+                nc = AlignedCarry(key=cur_key, sv=cur_sv, rhat=fr.rhat,
+                                  packed=packed)
+                return nc, (count, sink)
+            fc, (counts, sinks) = jax.lax.scan(body, c, s)
+            return fc, (jnp.sum(counts).astype(jnp.float32)
+                        + 0.0 * jnp.sum(sinks))
+        return fn
+
+    measure("det+pay", make_detect_extract(False))
+    measure("det+cmp", make_detect_extract(True))
+
     # ---- full step (shipping path)
     def full(c, a, s):
         del a
