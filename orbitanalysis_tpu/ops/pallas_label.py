@@ -59,7 +59,12 @@ def f16_bits_rne(x):
     15-bit angle field never aliases the position bits."""
     # int32 arithmetic throughout: x >= 0 finite keeps every
     # intermediate below 2**31, and Mosaic has no unsigned vector
-    # min/compare (arith.minui is unsupported)
+    # min/compare (arith.minui is unsupported).  CONSTANT shifts only:
+    # the original subnormal path shifted by a per-element amount
+    # (m2 >> (126 - e)), and TPU variable-amount vector shifts lower
+    # so poorly that payload generation alone cost ~5.8 ms/scan at the
+    # bench shape (benchmarks/aligned_ablation.py det+pay row) — ~40x
+    # the cost of this formulation.
     u = jax.lax.bitcast_convert_type(x, jnp.int32)
     e = u >> 23  # biased f32 exponent (sign bit 0)
     # normal f16 (e >= 113): fold RNE into one add — carries propagate
@@ -67,18 +72,16 @@ def f16_bits_rne(x):
     rn = u + 0x0FFF + ((u >> 13) & 1)
     h_norm = (rn - 0x38000000) >> 13
     h_norm = jnp.minimum(h_norm, 0x7BFF)
-    # subnormal f16 (102 <= e <= 112): h = RNE(m2 >> (126 - e)) with
-    # the implicit bit restored; e < 102 underflows to zero through
-    # the same shift (t = 0, rem < half for every shift >= 25)
-    m2 = (u & 0x7FFFFF) | 0x800000
-    s = jnp.clip(126 - e, 14, 30)
-    t = m2 >> s
-    rem = m2 & ((1 << s) - 1)
-    half = 1 << (s - 1)
-    t = t + ((rem > half) | ((rem == half) & ((t & 1) == 1))).astype(
-        jnp.int32
-    )
-    h = jnp.where(e >= 113, h_norm, jnp.where(u == 0, 0, t))
+    # subnormal f16 (e < 113, i.e. x < 2**-14): the f16 subnormal
+    # lattice is m * 2**-24, m in [0, 1024), so the bit pattern is
+    # simply RNE(x * 2**24) — a constant power-of-two scale (exact)
+    # plus the hardware round-half-even.  x = 2**-14 itself scales to
+    # exactly 1024 = 0x400, the first NORMAL encoding, so the lattice
+    # is seamless at the boundary (values just under it that round up
+    # also produce the correct normal bits).  e < 102 underflows to 0
+    # through the same round.
+    h_sub = jnp.round(x * jnp.float32(16777216.0)).astype(jnp.int32)
+    h = jnp.where(e >= 113, h_norm, h_sub)
     return h.astype(jnp.uint32)
 
 
