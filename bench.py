@@ -235,6 +235,71 @@ def make_churn_sequence(orbits, churn, return_members=False):
     return ids_seq, pos_c, vel_c, centers_seq, n_valid
 
 
+def make_churn_workload(n_halos, capacity, n_snaps, seed=0, churn=0.07,
+                        cache=True):
+    """Cached :func:`make_orbits` + :func:`make_churn_sequence` (the
+    round-4 review's item 6: host sequence generation cost 54.6 s of
+    every bench run on the 1-core sandbox).  The cache stores the
+    orbit pool planes plus the per-snapshot member/selection indices
+    (~2.8 GB at the bench shape) under ``.bench_cache/`` keyed by the
+    generation parameters; the churned sequence rebuilds from them
+    with vectorized gathers in ~2 s.
+
+    Returns ``(orbits, (ids_seq, pos_c, vel_c, centers_seq, n_valid),
+    member_seq)`` where ``orbits`` is the :func:`make_orbits` tuple
+    (``rng`` slot ``None`` on a cache hit — it is consumed by the
+    sequence generation and never reused by the bench).
+    """
+    cdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"seq_H{n_halos}_P{capacity}_S{n_snaps}_s{seed}_c{churn:g}_v3",
+    )
+    marker = os.path.join(cdir, "complete")
+    if cache and os.path.exists(marker):
+        # raw .npy per array: one straight read each (an .npz would
+        # re-inflate through zipfile CRC at ~400 MB/s: measured 37 s
+        # for this 5.4 GB set vs ~5 s raw / ~1 s warm).  NOT mmap:
+        # lazily-faulted pages made the downstream staging pass 3.5x
+        # slower (285 -> 1011 ms/snapshot) — the one-time eager read
+        # is cheaper than paying page faults inside the timed loops.
+        def mm(name):
+            return np.load(os.path.join(cdir, name + ".npy"))
+
+        ids, pos, vel = mm("ids"), mm("pos"), mm("vel")
+        center = np.load(os.path.join(cdir, "center.npy"))
+        ids_seq, pos_c, vel_c = mm("ids_seq"), mm("pos_c"), mm("vel_c")
+        n_valid = int(np.load(os.path.join(cdir, "n_valid.npy")))
+        member_seq = np.unpackbits(
+            np.load(os.path.join(cdir, "member_bits.npy")),
+            count=n_snaps * n_halos * capacity,
+        ).astype(bool).reshape(n_snaps, n_halos, capacity)
+        centers_seq = np.broadcast_to(center, (n_snaps, n_halos, 3))
+        orbits = (ids, pos, vel, centers_seq, None)
+        return orbits, (ids_seq, pos_c, vel_c, centers_seq, n_valid), (
+            member_seq
+        )
+    orbits = make_orbits(n_halos, capacity, n_snaps, seed=seed)
+    ids_seq, pos_c, vel_c, centers_seq, n_valid, member_seq = (
+        make_churn_sequence(orbits, churn, return_members=True)
+    )
+    if cache:
+        os.makedirs(cdir, exist_ok=True)
+        arrays = dict(
+            ids=orbits[0], pos=orbits[1], vel=orbits[2],
+            center=np.ascontiguousarray(centers_seq[0]),
+            ids_seq=ids_seq, pos_c=pos_c, vel_c=vel_c,
+            member_bits=np.packbits(member_seq),
+            n_valid=np.int64(n_valid),
+        )
+        for name, arr in arrays.items():
+            np.save(os.path.join(cdir, name + ".npy"), arr)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return orbits, (ids_seq, pos_c, vel_c, centers_seq, n_valid), (
+        member_seq
+    )
+
+
 def make_label_sequence(orbits, member_seq):
     """The SAME churn workload, in the device-resident representation:
     the orbit pool as a global particle array (position-stable by
@@ -367,22 +432,39 @@ def device_label_updates_per_s(label_seq, pos_l, vel_l, centers_seq,
 
     from orbitanalysis_tpu.ops.label_step import (
         init_label_carry,
-        scan_label_events,
+        make_label_orbit_step,
     )
 
     n_snaps, n = label_seq.shape
-    row_width = 1 << 15
+    row_width = min(1 << 15, n)
     K = max(128, row_width // 16)
-    d_label = put_chunked(label_seq)
-    d_pos = put_chunked(pos_l)
-    d_vel = put_chunked(vel_l)
+    R0 = n // row_width
+    # pre-reshaped to the carry's [R, W] row planes (what
+    # scan_label_events does once up front)
+    d_label = put_chunked(label_seq.reshape(n_snaps, R0, row_width))
+    d_pos = put_chunked(pos_l.reshape(n_snaps, 3, R0, row_width))
+    d_vel = put_chunked(vel_l.reshape(n_snaps, 3, R0, row_width))
     d_cen = jnp.asarray(centers_seq)
     # octahedral-packed rhat carry: the 12 B/particle config-5 diet
     # (counts invariant by construction — vr signs never read the
-    # carried rhat; measured 1.038 -> 0.967 ms/snap at the bench
-    # shape, benchmarks/label_phase_probe.py)
+    # carried rhat)
     carry0 = init_label_carry(n, rhat_packed=True)
+    step = make_label_orbit_step(
+        K, box_size=box, row_width=row_width, rhat_packed=True,
+    )
 
+    # Events reduce IN-SCAN (sum over count, index, angle — every
+    # event output stays alive, including the compaction kernel) so
+    # the scan stacks three scalars per snapshot instead of the full
+    # LabelEvents [S, R, K] planes.  The round-4 bench stacked them
+    # and measured 1.27 ms/snap vs the phase probe's 0.967; the gap
+    # was HBM round-trips of the stacked event planes plus the fact
+    # that the probe's step consumed only ev.count, letting XLA DCE
+    # the compaction entirely (round-4 review item 2; the probe now
+    # consumes all outputs too).  A deployment consumes events as
+    # they are produced (async D2H of the compacted lists); this
+    # timing is that steady state, same marginal methodology as the
+    # aligned headline.
     def build(R):
         @jax.jit
         def fn(c, args):
@@ -390,14 +472,25 @@ def device_label_updates_per_s(label_seq, pos_l, vel_l, centers_seq,
 
             def body(_, st):
                 c, tot, mx, sink = st
-                c, ev = scan_label_events(
-                    c, pos, vel, lab, cen, K, box_size=box,
-                    row_width=row_width, rhat_packed=True,
+
+                def sbody(cc, xs):
+                    p, v, lb, cn = xs
+                    cc, ev = step(
+                        cc, (p, v, lb, cn, None, None, jnp.float32(0.0))
+                    )
+                    return cc, (
+                        jnp.sum(ev.count),
+                        jnp.max(ev.count),
+                        jnp.sum(ev.angle)
+                        + jnp.sum(ev.index.astype(jnp.float32)),
+                    )
+
+                c, (cnt, cmx, snk) = jax.lax.scan(
+                    sbody, c, (pos, vel, lab, cen)
                 )
-                tot = tot + jnp.sum(ev.count)
-                mx = jnp.maximum(mx, jnp.max(ev.count))
-                sink = (sink + jnp.sum(ev.angle)
-                        + jnp.sum(ev.index.astype(jnp.float32)))
+                tot = tot + jnp.sum(cnt)
+                mx = jnp.maximum(mx, jnp.max(cmx))
+                sink = sink + jnp.sum(snk)
                 return (c, tot, mx, sink)
 
             _, tot, mx, sink = jax.lax.fori_loop(
@@ -450,7 +543,18 @@ def sustained_device_resident_updates_per_s(
     H, P, S = n_halos, capacity, n_snaps
     N = H * P
     row_width = min(1 << 15, N)
-    K = max(128, row_width // 16)
+    # Event capacity: the synthetic workload's per-row-step event
+    # count is ~omega*dt/(2pi) per member ~ 2% -> ~670 events mean at
+    # row_width 32768 with i.i.d. per-particle phases (plus entry
+    # transients), so row_width//8 = 4096 is ~5x headroom.  The
+    # round-4 bench crashed here: each chained scan restarted the
+    # synthetic time at s=0, so the position jump at every scan
+    # boundary flipped vr signs for ~25% of particles in one step
+    # (~8000 events/row >> K); time is now continuous across the
+    # chained scans (see s0 below), which both matches how a real
+    # deployment's sequence behaves and keeps the event rate at the
+    # workload's steady ~2%.
+    K = max(128, row_width // 8)
     delta = jnp.float32(0.035)
     dt = jnp.float32(0.3)
 
@@ -498,8 +602,9 @@ def sustained_device_resident_updates_per_s(
     def build(R):
         @jax.jit
         def fn(carry, _):
-            def body(_, st):
+            def body(r, st):
                 c, tot, upd, mx, sink = st
+                s0 = r * jnp.int32(S)  # continuous time across scans
 
                 def sbody(cc, s):
                     pos, vel, label, member = synth(s)
@@ -511,7 +616,7 @@ def sustained_device_resident_updates_per_s(
                                 jnp.sum(ev.angle))
 
                 c, (cnt, nm, cmx, asum) = jax.lax.scan(
-                    sbody, c, jnp.arange(S, dtype=jnp.int32))
+                    sbody, c, s0 + jnp.arange(S, dtype=jnp.int32))
                 return (c, tot + jnp.sum(cnt), upd + jnp.sum(nm),
                         jnp.maximum(mx, jnp.max(cmx)),
                         sink + jnp.sum(asum))
@@ -882,11 +987,12 @@ def main():
     # particle to a persistent row position so the device runs no join
     # at all and churn proceeds at static-kernel speed
     t_gen = time.perf_counter()
-    orbits = make_orbits(n_halos, capacity, n_snaps)
-    ids_c, pos_c, vel_c, centers_c, n_valid, member_seq = (
-        make_churn_sequence(orbits, churn=0.07, return_members=True)
+    orbits, churn_seq, member_seq = make_churn_workload(
+        n_halos, capacity, n_snaps
     )
-    log(f"  sequence generation: {time.perf_counter() - t_gen:.1f} s")
+    ids_c, pos_c, vel_c, centers_c, n_valid = churn_seq
+    log(f"  sequence generation: {time.perf_counter() - t_gen:.1f} s "
+        "(cached in .bench_cache/ after the first run)")
     churn_ups, churn_events, t_c, churn_stats = device_updates_per_s(
         ids_c, pos_c, vel_c, centers_c, n_valid=n_valid, engine="aligned",
         stats=True,

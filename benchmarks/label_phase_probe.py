@@ -45,9 +45,7 @@ def main():
 
     H, P, S = args.halos, args.cap, args.snaps
     N = H * P
-    orbits = B.make_orbits(H, P, S, seed=0)
-    _, _, _, _, _, member_seq = B.make_churn_sequence(
-        orbits, 0.07, return_members=True)
+    orbits, _churn, member_seq = B.make_churn_workload(H, P, S, seed=0)
     lab_seq, pos_l, vel_l, cen_l, nv_tot = B.make_label_sequence(
         orbits, member_seq)
     B.log(f"data ready: N={N} S={S} nv={nv_tot}")
@@ -64,11 +62,12 @@ def main():
 
     data = (d_label, d_pos, d_vel, d_cen)
 
-    def time_phase(name, build):
+    def time_phase(name, build, c0=None):
         # device arrays ride the `snaps` argument (NOT closures: the
         # axon remote-compile inlines closed-over arrays as constants
         # and rejects the multi-hundred-MB request bodies, HTTP 413)
-        best, t1 = B.time_marginal(build, carry0, data)
+        best, t1 = B.time_marginal(
+            build, carry0 if c0 is None else c0, data)
         B.log(f"{name:28s} {best*1e3/S:8.3f} ms/snap "
               f"({best*1e3:7.2f} ms/scan)  [t1 {t1*1e3:.1f} ms]")
         return best
@@ -191,6 +190,14 @@ def main():
         return build
 
     def phase_step(frames, rhat_packed):
+        # The full step with EVERY event output consumed (count,
+        # index, angle) so nothing is DCE'd — the round-4 version
+        # returned only ev.count from the scan body, which let XLA
+        # drop the payload compaction and event materialization
+        # entirely and over-stated the step by ~10% (round-4 review
+        # item 2).  c0 rides time_marginal's carry argument, not a
+        # closure (the axon remote compile inlines closed-over device
+        # arrays as constants: HTTP 413 at larger shapes).
         from orbitanalysis_tpu.ops.label_step import (
             make_label_orbit_step,
         )
@@ -198,11 +205,10 @@ def main():
         step = make_label_orbit_step(
             rw // 16, box_size=box, row_width=rw, frames=frames,
             rhat_packed=rhat_packed)
-        c0 = init_label_carry(N, rhat_packed=rhat_packed, row_width=rw)
 
         def build(R):
             @jax.jit
-            def fn(_c, a):
+            def fn(c0, a):
                 dl, dp, dv, dc = a
 
                 def body(i, st):
@@ -213,10 +219,15 @@ def main():
                         c, ev = step(
                             c, (pos, vel, lab, cen, None, None,
                                 jnp.float32(0.0)))
-                        return c, jnp.sum(ev.count)
-                    c, cnt = jax.lax.scan(
+                        return c, (
+                            jnp.sum(ev.count),
+                            jnp.sum(ev.angle)
+                            + jnp.sum(ev.index.astype(jnp.float32)),
+                        )
+                    c, (cnt, snk) = jax.lax.scan(
                         sbody, c, (dp, dv, dl, dc))
-                    acc = acc + jnp.sum(cnt).astype(jnp.float32)
+                    acc = (acc + jnp.sum(cnt).astype(jnp.float32)
+                           + jnp.sum(snk) * jnp.float32(1e-30))
                     c = c._replace(
                         packed=c.packed ^ (acc == jnp.float32(-1.0))
                         .astype(jnp.uint32))
@@ -225,7 +236,8 @@ def main():
                     0, R, body, (c0, jnp.float32(0)))
                 return acc
             return fn
-        return build
+        return build, init_label_carry(
+            N, rhat_packed=rhat_packed, row_width=rw)
 
     phases = {
         "moments": phase_moments,
@@ -238,7 +250,11 @@ def main():
     sel = (args.phases.split(",") if args.phases
            else list(phases))
     for name in sel:
-        results[name] = time_phase(name, phases[name]())
+        made = phases[name]()
+        if isinstance(made, tuple):
+            results[name] = time_phase(name, made[0], c0=made[1])
+        else:
+            results[name] = time_phase(name, made)
 
 
 if __name__ == "__main__":

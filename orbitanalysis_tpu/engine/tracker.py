@@ -291,7 +291,8 @@ class _DeviceEngine:
         return shard_tree(tree, self.sharding)
 
     def _step_fn(self, has_mass, has_bulk, static=False):
-        key = (self.capacity, has_mass, has_bulk, static)
+        key = (self.capacity, self.event_capacity, has_mass, has_bulk,
+               static)
         if key not in self._steps:
             if self.join == "sorted":
                 # fused Pallas kernel; event buffer sized to capacity so
@@ -319,23 +320,36 @@ class _DeviceEngine:
                     raw = make_sorted_orbit_step(self.capacity, **kw)
             elif self.join == "aligned":
                 # stable-layout staging: no device-side join at all —
-                # churn runs at the static kernel's speed
+                # churn runs at the static kernel's speed.  The event
+                # buffer is BOUNDED (self.event_capacity, default
+                # capacity//16): small enough that the two-stage
+                # blocked compaction fast path applies (k128 must fit
+                # the block fronts, pallas_compact.py — at full
+                # capacity the kernel falls back to the 15-pass
+                # single-stage network, ~3x the extract cost), and
+                # overflow is lossless anyway: the step also emits the
+                # full pre-compaction payload plane, from which the
+                # writer recovers every event exactly and then grows
+                # the event capacity for subsequent snapshots.
                 kw = dict(
                     mode=self.mode,
                     box_size=self.box_size,
                     id_dtype=self._dev_id_dtype,
                     angle_dtype=self.angle_dtype,
                     events_id_order=True,
+                    emit_payload=True,
                 )
                 if self.sharding is not None:
                     from orbitanalysis_tpu.parallel.sorted_sharded import (
                         make_sharded_aligned_step,
                     )
                     raw = make_sharded_aligned_step(
-                        self.sharding, self.capacity, **kw
+                        self.sharding, self.event_capacity, **kw
                     )
                 else:
-                    raw = make_aligned_native_step(self.capacity, **kw)
+                    raw = make_aligned_native_step(
+                        self.event_capacity, **kw
+                    )
             else:
                 make = make_static_orbit_step if static else make_orbit_step
                 raw = make(
@@ -435,6 +449,23 @@ class _DeviceEngine:
         # jitted executables for the old capacity are unreachable now
         self._steps.clear()
         self.carry = self._place(grown)
+
+    def grow_events(self, needed: int):
+        """Grow the per-halo event-list capacity to the next power of
+        two covering ``needed`` (clamped to the particle capacity) and
+        drop the jitted steps so the next dispatch re-jits at the new
+        width.  The carry is untouched — event capacity is not part of
+        the carry layout — so unlike particle-capacity growth this
+        costs one compile and nothing else.  Called by the writer
+        after it recovers an overflowed snapshot's events from the
+        step's full payload plane (no snapshot is ever reprocessed;
+        the reference has no static event bound at all,
+        ``track_orbits.py:199-217``)."""
+        new_k = min(max(round_up_pow2(int(needed)), 128), self.capacity)
+        if new_k <= self.event_capacity:
+            return
+        self.event_capacity = new_k
+        self._steps.clear()
 
     def to_general(self, new_capacity: int, layout_ids=None):
         """Convert this sorted/aligned engine into a fresh general
@@ -951,8 +982,8 @@ def track_orbits(
         if p["save"]:
           n_events_by_mode = {}
           bulk_vel = None  # mode-independent: fetched once, reused
-          for events, mname, fname in zip(
-              p["events_list"], modes, savefiles
+          for events, ev_engine, mname, fname in zip(
+              p["events_list"], engines, modes, savefiles
           ):
             with phase_timer(phases, "fetch"):
                 ev_count = _fetch_host(
@@ -1019,26 +1050,65 @@ def track_orbits(
                 counts = ev_count[saved_rows]
                 width = events.ids.shape[1]
                 if int(counts.max(initial=0)) > width:
-                    # the compaction kernel truncated events past the
+                    # The compaction kernel truncated events past the
                     # buffer width while the counts (a full-row sum)
-                    # kept them — writing would misalign apsis_offsets
-                    # against the flattened ids/angles.  Fail loud; the
-                    # savefile log + checkpoint make the run resumable
-                    # with a larger capacity.
-                    raise RuntimeError(
-                        "aligned-engine event buffer overflow: a halo "
-                        f"row produced {int(counts.max(initial=0))} "
-                        f"apsides but the event buffer holds {width}; "
-                        "re-run (resume=True) with a larger "
-                        "event_capacity"
+                    # kept them.  Nothing is lost: the step also emits
+                    # the full pre-compaction payload plane
+                    # (emit_payload=True) — decode EVERY event from it
+                    # for this snapshot, then grow the event capacity
+                    # (power of two) so subsequent steps re-jit with
+                    # headroom.  The reference has no static event
+                    # bound at all (track_orbits.py:199-217); an
+                    # unattended run must not die on an event spike.
+                    kf = round_up(int(counts.max()), 256)
+                    with phase_timer(phases, "fetch"):
+                        pay = events.payload
+                        if isinstance(pay, tuple):
+                            posw = np.asarray(
+                                _fetch_host(pay[0]))[saved_rows]
+                            angw = np.asarray(
+                                _fetch_host(pay[1]))[saved_rows]
+                        else:
+                            pw = np.asarray(
+                                _fetch_host(pay))[saved_rows]
+                            posw = pw >> np.uint32(15)
+                            angw = pw & np.uint32(0x7FFF)
+                    nsr = posw.shape[0]
+                    ev_pos = np.zeros((nsr, kf), np.int32)
+                    ang_bits = np.zeros((nsr, kf), np.uint16)
+                    for r in range(nsr):
+                        nz = np.flatnonzero(posw[r])
+                        ev_pos[r, :len(nz)] = (
+                            posw[r, nz].astype(np.int64) - 1
+                        )
+                        ang_bits[r, :len(nz)] = angw[r, nz].astype(
+                            np.uint16
+                        )
+                    ev_angles = ang_bits.view(np.float16).astype(
+                        np.asarray(events.angles).dtype
+                        if hasattr(events.angles, "dtype")
+                        else np.float32
                     )
-                kf = min(round_up(max(int(counts.max(initial=0)), 1), 256),
-                         width)
-                with phase_timer(phases, "fetch"):
-                    ev_pos = _fetch_host(
-                        _slice_cols(events.ids, kf))[saved_rows]
-                    ev_angles = _fetch_host(
-                        _slice_cols(events.angles, kf))[saved_rows]
+                    if verbose:
+                        print(
+                            "Event buffer overflow on snapshot "
+                            f"{'%03d' % p['snapshot_number']} (max "
+                            f"{int(counts.max())} apsides/halo > "
+                            f"{width}): recovered all events from the "
+                            "payload plane; growing event capacity to "
+                            f"{min(max(round_up_pow2(int(counts.max())), 128), ev_engine.capacity)}\n"
+                        )
+                    ev_engine.grow_events(int(counts.max()))
+                else:
+                    kf = min(
+                        round_up(max(int(counts.max(initial=0)), 1), 256),
+                        width,
+                    )
+                    with phase_timer(phases, "fetch"):
+                        ev_pos = _fetch_host(
+                            _slice_cols(events.ids, kf))[saved_rows]
+                        ev_angles = _fetch_host(
+                            _slice_cols(events.angles, kf))[saved_rows]
                 sel = np.arange(kf)[None, :] < counts[:, None]
                 prev_slot = p["prev_packed_slot"][saved_rows]
                 pos_idx = np.clip(
@@ -1135,6 +1205,7 @@ def track_orbits(
                     n_particles=int(p["n_particles"]),
                     n_events=int(sum(n_events_by_mode.values())),
                     capacity=int(engine.capacity),
+                    event_capacity=int(engine.event_capacity),
                     **extra,
                     **phases,
                 )

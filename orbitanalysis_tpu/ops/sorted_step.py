@@ -109,6 +109,13 @@ class CompactEvents(NamedTuple):
     angles: jnp.ndarray    # [H, K] angle at each apsis
     bulk_vel: jnp.ndarray  # [H, 3] region bulk velocity of this snapshot
     slots: jnp.ndarray | None = None  # [H, K] prev load slots (id order)
+    #: full pre-compaction event plane (aligned xla step with
+    #: ``emit_payload=True`` only): ``[H, P]`` uint32
+    #: ``((pos + 1) << 15) | f16_bits(angle)`` — or the ``(posw, angw)``
+    #: pair past PAYLOAD_MAX_ROW.  Lets the host recover EVERY event
+    #: exactly when ``count > K`` truncated the compacted lists (the
+    #: tracker's event-capacity growth path), with no step re-run.
+    payload: jnp.ndarray | tuple | None = None
 
 
 def init_sorted_carry(
@@ -732,6 +739,7 @@ def make_aligned_native_step(
     soa_batch: bool = False,
     detect_impl: str = "xla",
     rhat_packed: bool = False,
+    emit_payload: bool = False,
 ):
     """Carry-native stable-layout step — the flagship tracking path.
 
@@ -788,6 +796,14 @@ def make_aligned_native_step(
     with host-side integer bookkeeping exactly like
     :func:`make_aligned_orbit_step` — see there for the semantics
     citations.
+
+    ``emit_payload=True`` (xla detect only) additionally returns the
+    full pre-compaction event plane in ``CompactEvents.payload`` so a
+    host consumer can recover every event exactly when a row's count
+    exceeds ``event_capacity`` — the tracker's event-capacity growth
+    path (the reference has no static event bound at all,
+    ``track_orbits.py:199-217``; this keeps the bounded fast
+    compaction without making overflow lossy).
     """
     if mode not in ("pericentric", "apocentric"):
         raise ValueError(
@@ -811,6 +827,11 @@ def make_aligned_native_step(
         raise ValueError(
             "rhat_packed requires detect_impl='xla' (the fused pallas "
             "detect kernel streams f32 rhat planes)"
+        )
+    if emit_payload and detect_impl != "xla":
+        raise ValueError(
+            "emit_payload requires detect_impl='xla' (the pallas path "
+            "has no pre-compaction payload plane to expose)"
         )
     from orbitanalysis_tpu.ops.pallas_step import (
         _acos_f32,
@@ -919,6 +940,7 @@ def make_aligned_native_step(
                     ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
                     jnp.uint32(0),
                 )
+                full_payload = payload if emit_payload else None
                 evpay = compact_payload_blocked(payload, k_eff)
                 ev_pos = (evpay >> 15).astype(jnp.int32) - 1
                 ev_ang_bits = evpay & jnp.uint32(0x7FFF)
@@ -926,6 +948,7 @@ def make_aligned_native_step(
                 posw = jnp.where(
                     apsis, (pos_iota + 1).astype(jnp.uint32), jnp.uint32(0)
                 )
+                full_payload = (posw, ang15) if emit_payload else None
                 evposw, ev_ang_bits = compact_payload_pair(
                     posw, ang15, k_eff
                 )
@@ -948,6 +971,7 @@ def make_aligned_native_step(
                 angles=jnp.where(ev_ok, evang, 0.0)[:, :K],
                 bulk_vel=frame.bulk_vel,
                 slots=None,
+                payload=full_payload,
             )
 
         packed, evk, evsv, evang, count = fused_static_detect(

@@ -136,6 +136,78 @@ def test_capacity_growth_mid_run(tmp_path, growing_setup):
                 assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
 
 
+def test_event_capacity_growth_mid_run(tmp_path):
+    """An event spike past the aligned engine's bounded event buffer
+    must not abort the run (round-4 review item 5; the reference has
+    no static event bound at all, track_orbits.py:199-217): the writer
+    recovers every event losslessly from the step's pre-compaction
+    payload plane and grows the event capacity for subsequent steps.
+    """
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box = 100.0
+    n_part, n_snap = 512, 6
+    rng = np.random.default_rng(3)
+    centers = np.array([[50.0, 50, 50], [20.0, 20, 20]], np.float32)
+    u = rng.normal(size=(n_part, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    # halo 0: all particles breathe radially IN PHASE — between
+    # snapshots 2 and 3 every v_r flips inward->outward at once, so
+    # one halo row emits ~n_part pericenters in a single step, far
+    # past event_capacity=128.  halo 1: steady outward drift, no
+    # events (exercises the mixed overflow/normal row decode).
+    radii = [3.0, 2.5, 2.0, 2.5, 3.0, 3.5]
+    vr = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+    snaps = []
+    for s in range(n_snap):
+        snaps.append({
+            0: dict(
+                ids=np.arange(n_part, dtype=np.int64),
+                pos=centers[0] + radii[s] * u,
+                vel=(vr[s] * u).astype(np.float32),
+                center=centers[0],
+            ),
+            1: dict(
+                ids=np.arange(n_part, dtype=np.int64) + 10_000,
+                pos=centers[1] + (2.0 + 0.3 * s) * u,
+                vel=(0.3 * u).astype(np.float32),
+                center=centers[1],
+            ),
+        })
+    regions, loader = make_callbacks(snaps, centers, box_size=box,
+                                     mass=False)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(2), (n_snap, 1))
+
+    save = str(tmp_path / "spike.h5")
+    m = Metrics()
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 join_impl="aligned", event_capacity=128, metrics=m,
+                 verbose=False)
+    ev_caps = [r["event_capacity"] for r in m.records
+               if "event_capacity" in r]
+    assert ev_caps[0] == 128 and ev_caps[-1] >= n_part, ev_caps
+
+    # bit-identical to a run whose event buffer never overflows
+    ref = str(tmp_path / "roomy.h5")
+    track_orbits(snap_nums, branches, regions, loader, ref,
+                 join_impl="aligned", event_capacity=n_part,
+                 verbose=False)
+    with h5py.File(save) as a, h5py.File(ref) as b:
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            for ds in a[k]:
+                assert np.array_equal(a[k][ds][:], b[k][ds][:]), (k, ds)
+
+    # and the spike snapshot really carries the full event burst
+    with h5py.File(save) as hf:
+        g = hf["snapshot_003"]
+        offs = g["region_offsets"][:]
+        assert offs[1] - offs[0] == n_part
+        got = np.sort(g["pericenter_IDs"][offs[0]:offs[1]])
+        assert np.array_equal(got, np.arange(n_part, dtype=np.int64))
+
+
 def test_grow_converts_sorted_to_general(tmp_path, growing_setup):
     """Capacity overflow under grow_impl='general' hands the sorted
     carry to the general engine mid-run with identical output (the
