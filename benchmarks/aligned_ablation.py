@@ -35,8 +35,7 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (  # noqa: E402
-    make_churn_sequence,
-    make_orbits,
+    make_churn_workload,
     time_marginal,
 )
 
@@ -77,9 +76,8 @@ def main():
     log(f"floor    : {best*1e3:7.1f} ms/dispatch (tunnel fixed cost — "
         "subtracted from everything below)")
 
-    orbits = make_orbits(H, P, S)
-    ids_c, pos_c, vel_c, centers_c, n_valid = make_churn_sequence(
-        orbits, churn=0.07
+    _, (ids_c, pos_c, vel_c, centers_c, n_valid), _ = (
+        make_churn_workload(H, P, S)
     )
     snaps = SnapshotBatch(
         ids=np.ascontiguousarray(ids_c), pos=pos_c, vel=vel_c,
@@ -160,43 +158,30 @@ def main():
 
     measure("frame", frame_only)
 
-    # ---- detect without compaction: replicate the step's XLA math,
-    # skip compact_events/_finish_events
-    from orbitanalysis_tpu.ops.pallas_step import _acos_f32
-    from orbitanalysis_tpu.ops.sorted_step import AlignedCarry, _vr_bits
+    # ---- detect without compaction: the SHIPPING detect chain
+    # (ops.sorted_step.aligned_detect_math — shared with the step so
+    # this row cannot drift from it), skipping only the compaction
+    # kernel and event postprocessing
+    from orbitanalysis_tpu.ops.sorted_step import (
+        AlignedCarry,
+        aligned_detect_math,
+    )
 
+    INVALID = np.iinfo(np.int32).max
     n_events_detect = [None]
 
     def detect_only(c, a, s):
         del a  # the carry itself chains — no perturbation needed
 
         def body(carry, snap):
-            valid_cur = snap.ids != np.iinfo(np.int32).max
+            valid_cur = snap.ids != INVALID
             fr = region_frame(
                 snap.pos, snap.vel, valid_cur, snap.center,
                 box_size=100.0, hubble_drag=snap.hubble_drag, soa=True,
             )
-            cur_vrb = _vr_bits(fr.vrad)
-            cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
-            cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
-            fresh = (snap.slot & (1 << 27)) != 0
-            vrb_p = carry.sv >> 24
-            pang = jax.lax.bitcast_convert_type(
-                carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
-            )
-            cosang = jnp.clip(
-                carry.rhat[0] * fr.rhat[0]
-                + carry.rhat[1] * fr.rhat[1]
-                + carry.rhat[2] * fr.rhat[2], -1.0, 1.0,
-            )
-            dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
-            flip = ((vrb_p & 1) > 0) & ((cur_vrb & 2) > 0)
-            apsis = valid_cur & flip & ~fresh
-            angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
-            packed = jax.lax.bitcast_convert_type(
-                jnp.where(apsis | ~valid_cur, 0.0, angle_acc), jnp.uint32
-            ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
-            count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+            (cur_key, cur_sv, _apsis, _angle_acc, packed, _ang15,
+             count, _pos_iota) = aligned_detect_math(
+                carry, valid_cur, snap.slot, fr, True, INVALID)
             nc = AlignedCarry(key=cur_key, sv=cur_sv, rhat=fr.rhat,
                               packed=packed)
             return nc, count
@@ -217,44 +202,21 @@ def main():
     from orbitanalysis_tpu.ops.pallas_compact import (
         compact_payload_blocked,
     )
-    from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
 
     def make_detect_extract(with_compact):
         def fn(c, a, s):
             del a
 
             def body(carry, snap):
-                valid_cur = snap.ids != np.iinfo(np.int32).max
+                valid_cur = snap.ids != INVALID
                 fr = region_frame(
                     snap.pos, snap.vel, valid_cur, snap.center,
                     box_size=100.0, hubble_drag=snap.hubble_drag,
                     soa=True,
                 )
-                cur_vrb = _vr_bits(fr.vrad)
-                cur_key = (snap.ids.astype(jnp.uint32) << 1) | 1
-                cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
-                fresh = (snap.slot & (1 << 27)) != 0
-                vrb_p = carry.sv >> 24
-                pang = jax.lax.bitcast_convert_type(
-                    carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
-                )
-                cosang = jnp.clip(
-                    carry.rhat[0] * fr.rhat[0]
-                    + carry.rhat[1] * fr.rhat[1]
-                    + carry.rhat[2] * fr.rhat[2], -1.0, 1.0,
-                )
-                dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
-                flip = ((vrb_p & 1) > 0) & ((cur_vrb & 2) > 0)
-                apsis = valid_cur & flip & ~fresh
-                angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
-                    jnp.uint32,
-                ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
-                count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
-                pos_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, apsis.shape, 1)
-                ang15 = f16_bits_rne(angle_acc)
+                (cur_key, cur_sv, apsis, _angle_acc, packed, ang15,
+                 count, pos_iota) = aligned_detect_math(
+                    carry, valid_cur, snap.slot, fr, True, INVALID)
                 payload = jnp.where(
                     apsis,
                     ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,

@@ -33,6 +33,12 @@ from orbitanalysis_tpu.progenitors import (
     get_central_particle_ids,
     get_central_particle_ids_device,
 )
+from orbitanalysis_tpu.utils.numerics import (
+    hubble_parameter,
+    myin1d,
+    recenter_coordinates,
+    vector_norm,
+)
 
 __all__ = [
     "track_orbits",
@@ -42,5 +48,11 @@ __all__ = [
     "get_central_particle_ids",
     "get_central_particle_ids_device",
     "find_main_progenitors",
+    # reference utils surface (utils.py:4-39), for user analysis
+    # scripts migrating from `from orbitanalysis.utils import ...`
+    "myin1d",
+    "vector_norm",
+    "recenter_coordinates",
+    "hubble_parameter",
     "__version__",
 ]

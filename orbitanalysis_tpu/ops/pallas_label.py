@@ -80,7 +80,14 @@ def f16_bits_rne(x):
     # is seamless at the boundary (values just under it that round up
     # also produce the correct normal bits).  e < 102 underflows to 0
     # through the same round.
-    h_sub = jnp.round(x * jnp.float32(16777216.0)).astype(jnp.int32)
+    # clamp the product before the int cast: for e >= 113 (incl.
+    # inf/NaN) h_sub is discarded by the where, but x * 2**24 would be
+    # out of int32 range there and out-of-range f32->i32 conversion is
+    # implementation-defined in XLA — keep every lane's conversion
+    # defined (the clamp is a no-op on the e < 113 lanes that are kept)
+    h_sub = jnp.round(
+        jnp.minimum(x * jnp.float32(16777216.0), jnp.float32(2e9))
+    ).astype(jnp.int32)
     h = jnp.where(e >= 113, h_norm, h_sub)
     return h.astype(jnp.uint32)
 

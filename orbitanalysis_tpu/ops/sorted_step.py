@@ -729,6 +729,67 @@ def encode_aligned_carry(c: SortedCarry) -> AlignedCarry:
     )
 
 
+def aligned_detect_math(carry: AlignedCarry, valid_cur, slot, frame,
+                        pericentric: bool, invalid,
+                        rhat_packed: bool = False):
+    """The aligned engine's XLA detect chain as one shared function —
+    positional keys, FRESH gating, sign-flip detection, angle
+    accumulation, packed-carry encode, and the u32 event payload
+    plane.  Factored out so probe/ablation code times EXACTLY the
+    shipping math (`benchmarks/aligned_ablation.py` hand-duplicated it
+    through round 4 and had drifted to id-based keys — round-4
+    advisor item 2).
+
+    Returns ``(cur_key, cur_sv, apsis, angle_acc, packed, ang15,
+    count, pos_iota)`` — everything
+    :func:`make_aligned_native_step`'s xla branch needs around the
+    compaction kernel.
+    """
+    from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
+    from orbitanalysis_tpu.ops.pallas_step import _acos_f32
+    from orbitanalysis_tpu.utils.numerics import oct_decode
+
+    h, p = valid_cur.shape
+    cur_vrb = _vr_bits(frame.vrad)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
+    inv_key = (jnp.uint32(invalid) << 1) | 1
+    cur_key = jnp.where(
+        valid_cur, (pos_iota.astype(jnp.uint32) << 1) | 1, inv_key
+    )
+    cur_sv = slot | (cur_vrb.astype(jnp.int32) << 24)
+    fresh = (slot & (1 << 27)) != 0
+    vrb_p = carry.sv >> 24  # sign bits 0-1 (bit 3 = stale FRESH)
+    pang = jax.lax.bitcast_convert_type(
+        carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+    )
+    prev_rhat = oct_decode(carry.rhat) if rhat_packed else carry.rhat
+    cosang = jnp.clip(
+        prev_rhat[0] * frame.rhat[0]
+        + prev_rhat[1] * frame.rhat[1]
+        + prev_rhat[2] * frame.rhat[2],
+        -1.0, 1.0,
+    )
+    dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
+    if pericentric:
+        flip = ((vrb_p & 1) > 0) & ((cur_vrb & 2) > 0)
+    else:
+        flip = ((vrb_p & 2) > 0) & ((cur_vrb & 1) > 0)
+    apsis = valid_cur & flip & ~fresh
+    angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
+    packed = jax.lax.bitcast_convert_type(
+        jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
+        jnp.uint32,
+    ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
+    # integer RNE f32->f16 bits (pallas_label.f16_bits_rne,
+    # bit-identical to astype(float16) for the non-negative finite
+    # angles here): no [H, P] f16/u16 arrays means no 16-bit relayout
+    # passes in the extract phase
+    ang15 = f16_bits_rne(angle_acc)
+    count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+    return (cur_key, cur_sv, apsis, angle_acc, packed, ang15, count,
+            pos_iota)
+
+
 def make_aligned_native_step(
     event_capacity: int,
     mode: str = "pericentric",
@@ -833,11 +894,8 @@ def make_aligned_native_step(
             "emit_payload requires detect_impl='xla' (the pallas path "
             "has no pre-compaction payload plane to expose)"
         )
-    from orbitanalysis_tpu.ops.pallas_step import (
-        _acos_f32,
-        fused_static_detect,
-    )
-    from orbitanalysis_tpu.utils.numerics import oct_decode, oct_encode
+    from orbitanalysis_tpu.ops.pallas_step import fused_static_detect
+    from orbitanalysis_tpu.utils.numerics import oct_encode
 
     pericentric = mode == "pericentric"
     invalid = invalid_id_for(id_dtype)
@@ -866,23 +924,6 @@ def make_aligned_native_step(
             soa=soa_batch,
         )
 
-        cur_vrb = _vr_bits(frame.vrad)
-        # positional keys: the stable layout makes detection (and hence
-        # the event stream) purely positional — the key channel carries
-        # the row position, never the particle ID, and events come back
-        # as positions the host maps through its staged tables (IDs,
-        # prev load slots).  Invalid positions keep the sentinel-ID key
-        # so validity-by-key consumers (the pallas kernel, the decoded
-        # carry) are unchanged.
-        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
-        inv_key = (jnp.uint32(invalid) << 1) | 1
-        cur_key = jnp.where(
-            valid_cur, (pos_iota.astype(jnp.uint32) << 1) | 1, inv_key
-        )
-        # slot already carries FRESH<<27 from staging; vrb lands in
-        # bits 24-25 (slot proper is < 2^24)
-        cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
-
         k_eff = min(K, p)
         if detect_impl == "xla":
             from orbitanalysis_tpu.ops.pallas_compact import (
@@ -891,49 +932,27 @@ def make_aligned_native_step(
                 compact_payload_pair,
             )
 
-            fresh = (snap.slot & (1 << 27)) != 0
-            vrb_p = carry.sv >> 24  # sign bits 0-1 (bit 3 = stale FRESH)
-            pang = jax.lax.bitcast_convert_type(
-                carry.packed & jnp.uint32(0x7FFFFFFF), jnp.float32
+            # positional keys: the stable layout makes detection (and
+            # hence the event stream) purely positional — the key
+            # channel carries the row position, never the particle ID,
+            # and events come back as positions the host maps through
+            # its staged tables (IDs, prev load slots).  The slot
+            # channel already carries FRESH<<27 from staging; vrb
+            # lands in bits 24-25 (slot proper is < 2^24).  Payload
+            # word: ((pos + 1) << 15) | f16(angle) — angles are
+            # non-negative so their f16 encoding needs only 15 bits
+            # (the savefile stores f16 anyway), and the 17 bits above
+            # hold pos + 1 <= 2**17 - 1; zero = no event.  See
+            # aligned_detect_math for the full chain.
+            (cur_key, cur_sv, apsis, angle_acc, packed, ang15, count,
+             pos_iota) = aligned_detect_math(
+                carry, valid_cur, snap.slot, frame, pericentric,
+                invalid, rhat_packed=rhat_packed,
             )
-            prev_rhat = (
-                oct_decode(carry.rhat) if rhat_packed else carry.rhat
-            )
-            cosang = jnp.clip(
-                prev_rhat[0] * frame.rhat[0]
-                + prev_rhat[1] * frame.rhat[1]
-                + prev_rhat[2] * frame.rhat[2],
-                -1.0, 1.0,
-            )
-            dtheta = jnp.where(valid_cur, _acos_f32(cosang), 0.0)
-            if pericentric:
-                flip = ((vrb_p & 1) > 0) & ((cur_vrb & 2) > 0)
-            else:
-                flip = ((vrb_p & 2) > 0) & ((cur_vrb & 1) > 0)
-            apsis = valid_cur & flip & ~fresh
-            angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
-            packed = jax.lax.bitcast_convert_type(
-                jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
-                jnp.uint32,
-            ) | ((valid_cur & ~fresh).astype(jnp.uint32) << 31)
-            # single-payload event word: ((pos + 1) << 15) | f16(angle)
-            # — angles are non-negative so their f16 encoding needs only
-            # 15 bits (the savefile stores f16 anyway), and the 17 bits
-            # above it hold pos + 1 <= 2**17 - 1 (position 131070);
-            # zero = no event.  One u32 stream through the compaction
-            # network instead of (flags, key, sv) — see compact_payload.
             # At the 131072-row fused ceiling the LAST position's
-            # pos + 1 = 2**17 would wrap the word to zero and drop the
-            # event, so such rows take the two-stream pair kernel.
-            # integer RNE f32->f16 bits (pallas_label.f16_bits_rne,
-            # bit-identical to astype(float16) for the non-negative
-            # finite angles here): no [H, P] f16/u16 arrays means no
-            # 16-bit relayout passes in the extract phase (measured
-            # part of the aligned step's extract cost, BASELINE.md r4)
-            from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
-
-            ang15 = f16_bits_rne(angle_acc)
-            count = jnp.sum(apsis, axis=-1, dtype=jnp.int32)
+            # pos + 1 = 2**17 would wrap the single payload word to
+            # zero and drop the event, so such rows take the
+            # two-stream pair kernel.
             if p <= PAYLOAD_MAX_ROW:
                 payload = jnp.where(
                     apsis,
@@ -974,6 +993,16 @@ def make_aligned_native_step(
                 payload=full_payload,
             )
 
+        # pallas fallback path: same positional key/sv packing as
+        # aligned_detect_math, detection + compaction inside the
+        # 10-stream fused kernel
+        cur_vrb = _vr_bits(frame.vrad)
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (h, p), 1)
+        inv_key = (jnp.uint32(invalid) << 1) | 1
+        cur_key = jnp.where(
+            valid_cur, (pos_iota.astype(jnp.uint32) << 1) | 1, inv_key
+        )
+        cur_sv = snap.slot | (cur_vrb.astype(jnp.int32) << 24)
         packed, evk, evsv, evang, count = fused_static_detect(
             (carry.key, carry.sv, carry.rhat[0], carry.rhat[1],
              carry.rhat[2], carry.packed),

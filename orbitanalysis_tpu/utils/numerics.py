@@ -50,6 +50,26 @@ def hubble_parameter(z, H0, Omega_m, Omega_L, Omega_k=0.0):
     return H0 * np.sqrt(Omega_m * zp1**3 + Omega_k * zp1**2 + Omega_L)
 
 
+def myin1d(a, b, kind=None):
+    """Indices into ``a`` of the values of ``b``, in ``b``'s order —
+    the reference's join helper, re-exported for user analysis scripts
+    that call it directly (``/root/reference/orbitanalysis/utils.py:4-11``;
+    the engines themselves use sort-merge joins and positional events
+    instead).
+
+    Like the reference, every value of ``b`` must be present in ``a``
+    and ``a`` must not contain duplicates of those values.  Runs in
+    NumPy (host-side bookkeeping; it is not a device kernel).  This
+    implementation replaces the reference's ``in1d`` + double-argsort
+    with one ``argsort`` + ``searchsorted`` (O((n+m) log n) and no
+    boolean scan over ``a``), returning identical results.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    sorter = np.argsort(a, kind="stable")
+    return sorter[np.searchsorted(a, b, sorter=sorter)]
+
+
 def oct_encode(rhat):
     """Octahedral-map unit-vector compression: ``[3, ...]`` f32 ->
     ``[...]`` uint32 (16 bits per octahedral coordinate; measured

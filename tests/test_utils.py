@@ -141,3 +141,23 @@ def test_pack_ragged_to_preallocated(rng):
     assert np.array_equal(out[0, :3], vals[:3])
     assert np.array_equal(out[2, :5], vals[3:])
     assert np.all(out[1] == 0.0) and np.all(out[0, 3:] == 0.0)
+
+
+def test_myin1d_matches_reference(rng):
+    """The public re-export must reproduce the reference's myin1d
+    (utils.py:4-11) exactly on its own contract: b's values present in
+    a, no duplicates among them, result in b's order."""
+    from orbitanalysis_tpu import myin1d
+
+    def reference_myin1d(a, b, kind=None):
+        loc = np.in1d(a, b, kind=kind)
+        order = a[loc].argsort()[b.argsort().argsort()]
+        return np.where(loc)[0][order]
+
+    for n, m in [(50, 10), (1000, 1000), (257, 1)]:
+        a = rng.permutation(n * 3)[:n]
+        b = rng.permutation(a)[:m]
+        got = myin1d(a, b)
+        exp = reference_myin1d(a, b)
+        assert np.array_equal(got, exp)
+        assert np.array_equal(a[got], b)
