@@ -1064,15 +1064,30 @@ def track_orbits(
                     with phase_timer(phases, "fetch"):
                         pay = events.payload
                         if isinstance(pay, tuple):
+                            # wide-row pair format: pos + 1 where an
+                            # event fired, f16 bits alongside
                             posw = np.asarray(
                                 _fetch_host(pay[0]))[saved_rows]
                             angw = np.asarray(
                                 _fetch_host(pay[1]))[saved_rows]
                         else:
+                            # angle-word format: apsis flag in bit 31,
+                            # f32 angle bits below (position = column)
                             pw = np.asarray(
                                 _fetch_host(pay))[saved_rows]
-                            posw = pw >> np.uint32(15)
-                            angw = pw & np.uint32(0x7FFF)
+                            posw = np.where(
+                                pw >> np.uint32(31),
+                                np.arange(
+                                    pw.shape[1], dtype=np.uint32
+                                )[None, :] + 1,
+                                np.uint32(0),
+                            )
+                            angw = (
+                                (pw & np.uint32(0x7FFFFFFF))
+                                .view(np.float32)
+                                .astype(np.float16)
+                                .view(np.uint16)
+                            )
                     nsr = posw.shape[0]
                     ev_pos = np.zeros((nsr, kf), np.int32)
                     ang_bits = np.zeros((nsr, kf), np.uint16)

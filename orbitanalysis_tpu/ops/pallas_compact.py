@@ -254,7 +254,72 @@ def _compact_payload_call(k128, interpret, payload):
     )(payload)
 
 
-def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
+#: Per-128-lane-block event capacity of the blocked kernels' fast path.
+#: Events land on stable-layout row positions (hole reuse is
+#: order-free), so block occupancy is near-Poisson: at the contract's
+#: own worst sustained density (K/P = 6.25% -> lambda = 8 per block)
+#: P(block > 16) ~ 3e-3 — and an overflowing step just takes the exact
+#: full-range network via the built-in fallback, so this is a
+#: performance knob, not a correctness bound.
+BLOCK_CAP = 16
+
+
+def _aw_to_payload(aw):
+    """In-kernel payload construction from the angle-word plane
+    ``aw = f32_bits(angle) | (apsis << 31)`` (angles are non-negative,
+    so bit 31 is free): derive the selection from bit 31, f16-encode
+    the angle (``pallas_label.f16_bits_rne`` — integer RNE, identical
+    bits to ``astype(float16)``), and build the positional payload
+    word ``((pos + 1) << 15) | ang15`` from in-kernel iotas.  Moving
+    this into the compaction kernel removes the XLA-side encode, which
+    measured ~5 ms/scan at the bench shape as its own half-fused
+    passes over the [H, P] planes (benchmarks/extract_decomp_probe.py
+    d+ang15 vs detect) — in here the same ALU work rides the kernel's
+    DMA shadow.  Returns ``(payload [r, 128] u32, sel [r, 128] i32)``.
+    """
+    from orbitanalysis_tpu.ops.pallas_label import f16_bits_rne
+
+    r = aw.shape[0]
+    sel = (aw >> 31).astype(jnp.int32)
+    angf = pltpu.bitcast(aw & jnp.uint32(0x7FFFFFFF), jnp.float32)
+    ang15 = f16_bits_rne(angf) & jnp.uint32(0x7FFF)
+    pos1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1) + 1
+    ).astype(jnp.uint32)
+    payload = jnp.where(sel == 1, (pos1 << 15) | ang15, jnp.uint32(0))
+    return payload, sel
+
+
+def _compact_angle_kernel(n, aw_ref, out_ref):
+    payload, sel = _aw_to_payload(aw_ref[0])
+    (out,) = _compact_group(sel, [payload], n)
+    out_ref[0] = out[:out_ref.shape[1]]
+
+
+@functools.partial(jax.jit, static_argnames=("k128", "interpret"))
+def _compact_angle_call(k128, interpret, aw):
+    h, r, _ = aw.shape
+    n = r * _LANES
+    kr = k128 // _LANES
+    return pl.pallas_call(
+        functools.partial(_compact_angle_kernel, n),
+        grid=(h,),
+        out_shape=jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(aw)
+
+
+def _blocked_compact_body(pay, sel, b, kr, out_ref, ov_ref):
     """Two-stage blocked compaction of one payload row (see
     :func:`compact_payload_blocked`): per-128-lane-block compaction
     (7 lane-local roll passes — ~1.7% typical event occupancy means
@@ -269,9 +334,7 @@ def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
     ("infer-vector-layout: unsupported shape cast"), while the
     vreg-shaped ``[r, 128] -> [r/8, 8, 128]`` split, static middle-dim
     indexing, and static lane rolls all lower cleanly."""
-    pay = pay_ref[0]                                   # [r, 128] u32
     r = pay.shape[0]
-    sel = (pay >= jnp.uint32(1 << 15)).astype(jnp.int32)
     # in-block inclusive ranks in ONE MXU pass: dot with the 0/1
     # upper-triangular matrix (counts <= 128 are bf16-exact, and the
     # f32-accumulated 0/1 products are exact)
@@ -337,6 +400,93 @@ def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
     out_ref[0] = out[:kr]
 
 
+def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):
+    pay = pay_ref[0]                                   # [r, 128] u32
+    sel = (pay >= jnp.uint32(1 << 15)).astype(jnp.int32)
+    _blocked_compact_body(pay, sel, b, kr, out_ref, ov_ref)
+
+
+def _compact_angle_blocked_kernel(n, b, kr, aw_ref, out_ref, ov_ref):
+    payload, sel = _aw_to_payload(aw_ref[0])
+    _blocked_compact_body(payload, sel, b, kr, out_ref, ov_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "k128", "interpret"))
+def _compact_angle_blocked_call(b, k128, interpret, aw):
+    h, r, _ = aw.shape
+    n = r * _LANES
+    kr = k128 // _LANES
+    return pl.pallas_call(
+        functools.partial(_compact_angle_blocked_kernel, n, b, kr),
+        grid=(h,),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, kr, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((h, 1, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, kr, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(aw)
+
+
+def compact_angle_blocked(aw, event_capacity: int,
+                          block_cap: int = BLOCK_CAP):
+    """:func:`compact_payload_blocked` with the payload word built
+    IN-KERNEL from the angle-word plane ``aw = f32_bits(angle_acc) |
+    (apsis << 31)`` — the aligned engine's whole extract phase as one
+    kernel input stream.  The XLA side contributes only the 2-op
+    ``aw`` build (which fuses into the detect chain); the f16 encode,
+    iota, and payload select all run in the kernel's DMA shadow
+    (round-5: the XLA-side encode measured ~5 ms/scan of the 12.4
+    ms/scan extract phase at the bench shape).
+
+    Output contract is identical to :func:`compact_payload_blocked`:
+    ``[H, k128]`` uint32 payload words, events front-packed in
+    position order.
+    """
+    h, p = aw.shape
+    if p > PAYLOAD_MAX_ROW:
+        raise ValueError(
+            f"single-word positional payloads address at most "
+            f"{PAYLOAD_MAX_ROW} row positions (got row length {p}); "
+            "use compact_payload_pair"
+        )
+    if p % _LANES:
+        raise ValueError(f"row length must be a multiple of {_LANES}")
+    if (block_cap & (block_cap - 1)) or not (
+            0 < block_cap <= _LANES):
+        raise ValueError("block_cap must be a power of two <= 128")
+    r = p // _LANES
+    k128 = min(
+        ((event_capacity + _LANES - 1) // _LANES) * _LANES, p
+    )
+    interpret = default_interpret()
+    aw3 = aw.reshape(h, r, _LANES)
+    if (r * block_cap) % _LANES or p <= _LANES or k128 > r * block_cap:
+        return _compact_angle_call(k128, interpret, aw3).reshape(
+            h, k128)
+    out, ov = _compact_angle_blocked_call(
+        block_cap, k128, interpret, aw3
+    )
+    out = jax.lax.cond(
+        jnp.max(ov) > block_cap,
+        lambda: _compact_angle_call(k128, interpret, aw3),
+        lambda: out,
+    )
+    return out.reshape(h, k128)
+
+
 @functools.partial(jax.jit, static_argnames=("b", "k128", "interpret"))
 def _compact_payload_blocked_call(b, k128, interpret, payload):
     h, r, _ = payload.shape
@@ -364,16 +514,6 @@ def _compact_payload_blocked_call(b, k128, interpret, payload):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(payload)
-
-
-#: Per-128-lane-block event capacity of the blocked kernel's fast path.
-#: Events land on stable-layout row positions (hole reuse is
-#: order-free), so block occupancy is near-Poisson: at the contract's
-#: own worst sustained density (K/P = 6.25% -> lambda = 8 per block)
-#: P(block > 16) ~ 3e-3 — and an overflowing step just takes the exact
-#: full-range network via the built-in fallback, so this is a
-#: performance knob, not a correctness bound.
-BLOCK_CAP = 16
 
 
 def compact_payload_blocked(payload, event_capacity: int,

@@ -110,11 +110,13 @@ class CompactEvents(NamedTuple):
     bulk_vel: jnp.ndarray  # [H, 3] region bulk velocity of this snapshot
     slots: jnp.ndarray | None = None  # [H, K] prev load slots (id order)
     #: full pre-compaction event plane (aligned xla step with
-    #: ``emit_payload=True`` only): ``[H, P]`` uint32
-    #: ``((pos + 1) << 15) | f16_bits(angle)`` — or the ``(posw, angw)``
-    #: pair past PAYLOAD_MAX_ROW.  Lets the host recover EVERY event
-    #: exactly when ``count > K`` truncated the compacted lists (the
-    #: tracker's event-capacity growth path), with no step re-run.
+    #: ``emit_payload=True`` only): ``[H, P]`` uint32 angle words
+    #: ``f32_bits(angle) | (apsis << 31)`` (position = column index) —
+    #: or the ``(posw, ang15)`` pair past PAYLOAD_MAX_ROW.  Lets the
+    #: host recover EVERY event exactly when ``count > K`` truncated
+    #: the compacted lists (the tracker's event-capacity growth path),
+    #: with no step re-run; decode angles as the f32 bits cast to f16
+    #: (RNE — identical bits to the kernel's in-VMEM encode).
     payload: jnp.ndarray | tuple | None = None
 
 
@@ -731,7 +733,8 @@ def encode_aligned_carry(c: SortedCarry) -> AlignedCarry:
 
 def aligned_detect_math(carry: AlignedCarry, valid_cur, slot, frame,
                         pericentric: bool, invalid,
-                        rhat_packed: bool = False):
+                        rhat_packed: bool = False,
+                        share_angles: bool = False):
     """The aligned engine's XLA detect chain as one shared function —
     positional keys, FRESH gating, sign-flip detection, angle
     accumulation, packed-carry encode, and the u32 event payload
@@ -776,6 +779,16 @@ def aligned_detect_math(carry: AlignedCarry, valid_cur, slot, frame,
         flip = ((vrb_p & 2) > 0) & ((cur_vrb & 1) > 0)
     apsis = valid_cur & flip & ~fresh
     angle_acc = jnp.where(fresh, 0.0, pang + dtheta)
+    if share_angles:
+        # materialize the accumulated angles once: angle_acc feeds TWO
+        # independent consumers (the packed carry and the payload's
+        # f16 encode), and without the barrier XLA places them in
+        # separate fusions that each recompute the full upstream
+        # geometry + arccos chain — measured 5.9 ms/scan of duplicated
+        # work at the bench shape (benchmarks/extract_decomp_probe.py
+        # d+ang15 vs detect) versus one 8.4 MB plane round-trip
+        apsis, angle_acc = jax.lax.optimization_barrier(
+            (apsis, angle_acc))
     packed = jax.lax.bitcast_convert_type(
         jnp.where(apsis | ~valid_cur, 0.0, angle_acc),
         jnp.uint32,
@@ -928,7 +941,7 @@ def make_aligned_native_step(
         if detect_impl == "xla":
             from orbitanalysis_tpu.ops.pallas_compact import (
                 PAYLOAD_MAX_ROW,
-                compact_payload_blocked,
+                compact_angle_blocked,
                 compact_payload_pair,
             )
 
@@ -954,13 +967,17 @@ def make_aligned_native_step(
             # zero and drop the event, so such rows take the
             # two-stream pair kernel.
             if p <= PAYLOAD_MAX_ROW:
-                payload = jnp.where(
-                    apsis,
-                    ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
-                    jnp.uint32(0),
-                )
-                full_payload = payload if emit_payload else None
-                evpay = compact_payload_blocked(payload, k_eff)
+                # angle-word stream: f32 angle bits + apsis flag in
+                # bit 31 (angles are non-negative).  The payload word
+                # (f16 encode, iota, select) is built INSIDE the
+                # compaction kernel — the XLA-side encode measured
+                # ~5 ms/scan of half-fused [H, P] passes at the bench
+                # shape (benchmarks/extract_decomp_probe.py)
+                aw = jax.lax.bitcast_convert_type(
+                    angle_acc, jnp.uint32
+                ) | (apsis.astype(jnp.uint32) << 31)
+                full_payload = aw if emit_payload else None
+                evpay = compact_angle_blocked(aw, k_eff)
                 ev_pos = (evpay >> 15).astype(jnp.int32) - 1
                 ev_ang_bits = evpay & jnp.uint32(0x7FFF)
             else:

@@ -81,6 +81,7 @@ def _check_file_vs_oracle(save, snaps, expected, n_halos, tag="pericenter"):
                 assert np.array_equal(got_h, exp_h), (s, h)
 
 
+@pytest.mark.smoke
 def test_track_orbits_end_to_end(tmp_path, churn_setup):
     box, snaps, regions, loader, snap_nums, branches = churn_setup
     save = str(tmp_path / "orbits.h5")

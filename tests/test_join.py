@@ -1,9 +1,12 @@
 """Unit tier: sorted-join ID matching vs direct NumPy set logic."""
 
 import numpy as np
+import pytest
 
 from orbitanalysis_tpu.ops.join import gather_rows, match_ids, sort_rows
 from orbitanalysis_tpu.utils import INVALID_ID
+
+pytestmark = pytest.mark.smoke  # <60 s core tier
 
 
 def _random_rows(rng, n_rows, cap, fill_frac=0.7):

@@ -334,6 +334,7 @@ def test_label_mode_both_directions(rng):
     np.testing.assert_array_equal(cp, [0, 0, N])
 
 
+@pytest.mark.slow  # 8-device shard_map x interpret-mode kernels: ~150 s
 def test_sharded_label_step_matches_single():
     """Particle-sharded label step (shard_map over 'particles', psum'd
     bulk moments) equals the single-device step: carries exact on the

@@ -11,6 +11,8 @@ from orbitanalysis_tpu.utils import INVALID_ID, pack_ragged, round_up, unpack_ma
 
 from oracle import OracleTracker
 
+pytestmark = pytest.mark.smoke  # <60 s core tier
+
 
 def _pack(snap, n_rows, cap, with_mass=True):
     keys = sorted(snap.keys())

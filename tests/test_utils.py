@@ -13,6 +13,8 @@ from orbitanalysis_tpu.utils import (
     vector_norm,
 )
 
+pytestmark = pytest.mark.smoke  # <60 s core tier
+
 
 def test_round_up():
     assert round_up(1) == 128
