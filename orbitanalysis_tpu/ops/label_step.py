@@ -804,25 +804,83 @@ def make_label_orbit_step(
                 )
             else:
                 # two passes: the blocked one-hot MXU frame-row kernel
-                # then the full-vreg [rb, W]-tiled detect kernel — the
-                # measured-fastest split (the fused kernel's [1, W]
-                # strips idle 7/8 of the VPU, the XLA detect chain
-                # pays f16 relayouts; pallas_label.detect_label_pallas
-                # docstring carries the numbers)
+                # then the lane-major detect+compact kernel — frame
+                # rows come in precomputed, and the event compaction
+                # runs INSIDE the detect kernel (fast path), so the
+                # [R, W] payload round-trip + separate kernel launch
+                # disappear; rows whose per-128-block occupancy
+                # overflows the blocked network reroute through the
+                # exact full-range kernel via lax.cond on the emitted
+                # overflow channel
+                from orbitanalysis_tpu.ops.pallas_compact import (
+                    BLOCK_CAP,
+                    compact_payload,
+                )
                 from orbitanalysis_tpu.ops.pallas_frames import (
                     frame_rows_bf16x3,
                 )
                 from orbitanalysis_tpu.ops.pallas_label import (
+                    detect_label_compact_pallas,
                     detect_label_pallas,
                 )
 
                 rows_soa = frame_rows_bf16x3(table, lab_m).reshape(
                     6, R, W)
-                sv_n, rh_n, pk_n, payload, count = detect_label_pallas(
-                    rows_soa, lab_m, pos, vel,
-                    carry.lab_sv, carry.rhat, carry.packed,
-                    hubble_drag, pericentric=pericentric,
-                    box_size=box_size, rhat_packed=rhat_packed,
+                k_eff = min(K, W)
+                rpb = W // 128
+                k128 = min(((k_eff + 127) // 128) * 128, W)
+                blocked_ok = (
+                    W > 128
+                    and (rpb * BLOCK_CAP) % 128 == 0
+                    and k128 <= rpb * BLOCK_CAP
+                )
+                if blocked_ok:
+                    (sv_n, rh_n, pk_n, payload, evpay, count, ov) = (
+                        detect_label_compact_pallas(
+                            rows_soa, lab_m, pos, vel,
+                            carry.lab_sv, carry.rhat, carry.packed,
+                            hubble_drag, event_capacity=k_eff,
+                            pericentric=pericentric,
+                            box_size=box_size,
+                            rhat_packed=rhat_packed,
+                        )
+                    )
+                    evpay = jax.lax.cond(
+                        jnp.max(ov) > BLOCK_CAP,
+                        lambda: compact_payload(payload, k_eff),
+                        lambda: evpay,
+                    )
+                else:
+                    sv_n, rh_n, pk_n, payload, count = (
+                        detect_label_pallas(
+                            rows_soa, lab_m, pos, vel,
+                            carry.lab_sv, carry.rhat, carry.packed,
+                            hubble_drag, pericentric=pericentric,
+                            box_size=box_size, rhat_packed=rhat_packed,
+                        )
+                    )
+                    evpay = compact_payload_blocked(payload, k_eff)
+                ev_pos = (evpay >> 15).astype(jnp.int32) - 1
+                ev_ang = jax.lax.bitcast_convert_type(
+                    (evpay & jnp.uint32(0x7FFF)).astype(jnp.uint16),
+                    jnp.float16,
+                ).astype(jnp.float32)
+                kw = ev_pos.shape[1]
+                kiota = jax.lax.broadcasted_iota(jnp.int32, (R, kw), 1)
+                ev_ok = kiota < count[:, None]
+                new_carry = LabelCarry(
+                    lab_sv=sv_n, rhat=rh_n, packed=pk_n,
+                )
+                return new_carry, LabelEvents(
+                    count=count,
+                    index=jnp.where(
+                        ev_ok,
+                        ev_pos
+                        + jnp.arange(R, dtype=jnp.int32)[:, None] * W,
+                        -1,
+                    )[:, :K],
+                    angle=jnp.where(ev_ok, ev_ang, 0.0)[:, :K],
+                    bulk_vel=bulk,
                 )
             k_eff = min(K, W)
             evpay = compact_payload_blocked(payload, k_eff)

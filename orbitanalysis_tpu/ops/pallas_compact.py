@@ -319,21 +319,11 @@ def _compact_angle_call(k128, interpret, aw):
     )(aw)
 
 
-def _blocked_compact_body(pay, sel, b, kr, out_ref, ov_ref):
-    """Two-stage blocked compaction of one payload row (see
-    :func:`compact_payload_blocked`): per-128-lane-block compaction
-    (7 lane-local roll passes — ~1.7% typical event occupancy means
-    almost all movement is short-range), then a full-range select-shift
-    over only the ``B``-lane block fronts (1/8 of the elements at
-    ``B = 16``).  Sets ``ov_ref`` when any block holds more than ``B``
-    events — the caller falls back to the exact full-range network.
-
-    The block fronts are packed dense ([r, B] -> [r*B/128, 128]) with a
-    sublane-split reshape plus ``128/B`` static lane-rolls and selects —
-    NOT a flat reshape: Mosaic rejects lane-merging shape casts
-    ("infer-vector-layout: unsupported shape cast"), while the
-    vreg-shaped ``[r, 128] -> [r/8, 8, 128]`` split, static middle-dim
-    indexing, and static lane rolls all lower cleanly."""
+def _blocked_compact_rows(pay, sel, b, kr):
+    """Pure-function core of :func:`_blocked_compact_body` — returns
+    ``(out [kr, 128], ov_max scalar)`` instead of writing refs, so
+    fused kernels (the label detect+compact pass) can call it on
+    in-VMEM payload slices."""
     r = pay.shape[0]
     # in-block inclusive ranks in ONE MXU pass: dot with the 0/1
     # upper-triangular matrix (counts <= 128 are bf16-exact, and the
@@ -363,7 +353,7 @@ def _blocked_compact_body(pay, sel, b, kr, out_ref, ov_ref):
         j, s = j + 1, s * 2
 
     cnt = incl[:, _LANES - 1:]                         # [r, 1]
-    ov_ref[0] = jnp.max(cnt).astype(jnp.int32).reshape(1, 1)
+    ov = jnp.max(cnt).astype(jnp.int32)
     # exclusive cumsum of block counts, lane-broadcast so the axis-0
     # roll-adds run on full-lane vregs
     row = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 0)
@@ -397,7 +387,24 @@ def _blocked_compact_body(pay, sel, b, kr, out_ref, ov_ref):
     (out,) = _compact_group(
         (g2 != 0).astype(jnp.int32), [slab], r * b, g=g2
     )
-    out_ref[0] = out[:kr]
+    return out[:kr], ov
+
+
+def _blocked_compact_body(pay, sel, b, kr, out_ref, ov_ref):
+    """Ref-writing wrapper of :func:`_blocked_compact_rows` (see there
+    for the algorithm; the two dedicated compaction kernels write
+    their output refs here, fused kernels call the pure core
+    directly).
+
+    The block fronts are packed dense ([r, B] -> [r*B/128, 128]) with a
+    sublane-split reshape plus ``128/B`` static lane-rolls and selects —
+    NOT a flat reshape: Mosaic rejects lane-merging shape casts
+    ("infer-vector-layout: unsupported shape cast"), while the
+    vreg-shaped ``[r, 128] -> [r/8, 8, 128]`` split, static middle-dim
+    indexing, and static lane rolls all lower cleanly."""
+    out, ov = _blocked_compact_rows(pay, sel, b, kr)
+    ov_ref[0] = ov.reshape(1, 1)
+    out_ref[0] = out
 
 
 def _compact_payload_blocked_kernel(n, b, kr, pay_ref, out_ref, ov_ref):

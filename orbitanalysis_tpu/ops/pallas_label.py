@@ -130,15 +130,18 @@ def _oct_decode_kernel(packed):
 
 
 def _detect_core(pericentric, box_size, rhat_packed,
-                 lab, pos3, vel3, crow3, brow3, sv, rh, pk, hub):
+                 lab, pos3, vel3, crow3, brow3, sv, rh, pk, hub,
+                 pos_iota=None):
     """Shared elementwise detect math — geometry, apsis flip, angle
     accumulation, carry planes, positional payload — on 2D planes of
     ANY shape (the fused kernel passes [1, W] strips, the split detect
-    kernel full-vreg [rb, W] tiles).  ``pos3``/``vel3``/``crow3``/
-    ``brow3`` are per-axis plane tuples; ``rh`` is the packed uint32
-    plane or a 3-tuple.  Returns ``(osv, orh [packed plane | 3-tuple],
-    opk, payload, apsis)``; callers reduce ``apsis`` to counts with
-    their own output geometry."""
+    kernel full-vreg [rb, W] tiles, the detect+compact kernel
+    lane-major [B2, 128] tiles with an explicit ``pos_iota`` giving
+    each element's position within its compaction row).  ``pos3``/
+    ``vel3``/``crow3``/``brow3`` are per-axis plane tuples; ``rh`` is
+    the packed uint32 plane or a 3-tuple.  Returns ``(osv, orh
+    [packed plane | 3-tuple], opk, payload, apsis)``; callers reduce
+    ``apsis`` to counts with their own output geometry."""
     from .pallas_step import _acos_f32
 
     rel = []
@@ -183,7 +186,8 @@ def _detect_core(pericentric, box_size, rhat_packed,
         jnp.where(apsis | ~valid, 0.0, angle_acc), jnp.uint32
     ) | (valid.astype(jnp.uint32) << 31)
 
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+    if pos_iota is None:
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
     ang15 = f16_bits_rne(angle_acc) & jnp.uint32(0x7FFF)
     payload = jnp.where(
         apsis, ((pos_iota + 1).astype(jnp.uint32) << 15) | ang15,
@@ -460,3 +464,182 @@ def detect_label_pallas(rows, lab, pos, vel, sv, rhat, packed,
         rows, lab, pos, vel, sv, rhat, packed, hub,
     )
     return sv_n, rh_n, pk_n, payload, count.reshape(r)
+
+
+def _detect_label_compact_kernel(pericentric, box_size, rhat_packed,
+                                 rpb, b, kr,
+                                 rows_ref, lab_ref, pos_ref, vel_ref,
+                                 sv_ref, rh_ref, pk_ref, hub_ref,
+                                 osv_ref, orh_ref, opk_ref, opay_ref,
+                                 oev_ref, ocnt_ref, oov_ref):
+    """Detect + per-row blocked compaction in ONE kernel over
+    lane-major ``[B2, 128]`` tiles (``B2 = rb * rpb`` kernel rows =
+    ``rb`` compaction rows of ``rpb = row_width // 128`` blocks).
+    The event payload never leaves VMEM in the fast path — the
+    separate compaction kernel's launch + payload read disappear
+    (round-5: the [R, W] payload round-trip and kernel boundary cost
+    ~0.1-0.2 ms/snapshot of the label step at the bench shape)."""
+    from orbitanalysis_tpu.ops.pallas_compact import (
+        _blocked_compact_rows,
+    )
+
+    lab = lab_ref[:]                                    # [B2, 128]
+    b2 = lab.shape[0]
+    rows = rows_ref[:]                                  # [6, B2, 128]
+    if rhat_packed:
+        rh = rh_ref[:]
+    else:
+        prh = rh_ref[:]
+        rh = (prh[0], prh[1], prh[2])
+    # element position within its compaction row: (kernel row % rpb)
+    # blocks of 128 lanes
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (b2, _TILE_LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b2, _TILE_LANES), 1)
+    pos_iota = (rowi % rpb) * _TILE_LANES + lane
+    osv, orh, opk, payload, apsis = _detect_core(
+        pericentric, box_size, rhat_packed, lab,
+        tuple(pos_ref[d] for d in range(3)),
+        tuple(vel_ref[d] for d in range(3)),
+        tuple(rows[d] for d in range(3)),
+        tuple(rows[3 + d] for d in range(3)),
+        sv_ref[:], rh, pk_ref[:], hub_ref[0, 0],
+        pos_iota=pos_iota,
+    )
+    opk_ref[:] = opk
+    opay_ref[:] = payload
+    osv_ref[:] = osv
+    if rhat_packed:
+        orh_ref[:] = orh
+    else:
+        orh_ref[:] = jnp.stack(orh, axis=0)
+    seli = apsis.astype(jnp.int32)
+    rb = b2 // rpb
+    for j in range(rb):
+        sl = slice(j * rpb, (j + 1) * rpb)
+        out, ov = _blocked_compact_rows(
+            payload[sl], seli[sl], b, kr)
+        oev_ref[j] = out
+        ocnt_ref[j, 0] = jnp.sum(seli[sl])
+        oov_ref[j, 0] = ov
+
+
+_TILE_LANES = 128
+#: compaction rows per grid step of the detect+compact kernel (VMEM:
+#: ~22 MB of blocks at row_width 2**15)
+_DC_RB = 8
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pericentric", "box_size", "rhat_packed", "interpret", "rb",
+    "rpb", "b", "k128"))
+def _detect_label_compact_call(pericentric, box_size, rhat_packed,
+                               interpret, rb, rpb, b, k128,
+                               rows, lab, pos, vel, sv, rh, pk, hub):
+    r2 = lab.shape[0]                   # total kernel rows = R * rpb
+    R = r2 // rpb
+    kr = k128 // _TILE_LANES
+    b2 = rb * rpb
+    spec1 = pl.BlockSpec((b2, _TILE_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec((3, b2, _TILE_LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    spec6 = pl.BlockSpec((6, b2, _TILE_LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    spec_rh = spec1 if rhat_packed else spec3
+    rh_shape = (
+        jax.ShapeDtypeStruct((r2, _TILE_LANES), jnp.uint32)
+        if rhat_packed
+        else jax.ShapeDtypeStruct((3, r2, _TILE_LANES), jnp.float32)
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _detect_label_compact_kernel, pericentric, box_size,
+            rhat_packed, rpb, b, kr,
+        ),
+        grid=(R // rb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((r2, _TILE_LANES), jnp.int32),   # sv'
+            rh_shape,                                             # rhat'
+            jax.ShapeDtypeStruct((r2, _TILE_LANES), jnp.uint32),  # pk'
+            jax.ShapeDtypeStruct((r2, _TILE_LANES), jnp.uint32),  # payload
+            jax.ShapeDtypeStruct((R, kr, _TILE_LANES), jnp.uint32),  # ev
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),              # count
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),              # ov
+        ),
+        in_specs=[
+            spec6,                                      # frame rows
+            spec1,                                      # lab
+            spec3,                                      # pos
+            spec3,                                      # vel
+            spec1,                                      # sv
+            spec_rh,                                    # rhat
+            spec1,                                      # packed
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),      # hubble
+        ],
+        out_specs=(
+            spec1, spec_rh, spec1, spec1,
+            pl.BlockSpec((rb, kr, _TILE_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(rows, lab, pos, vel, sv, rh, pk, hub)
+
+
+def detect_label_compact_pallas(rows, lab, pos, vel, sv, rhat, packed,
+                                hubble_drag, *, event_capacity,
+                                pericentric, box_size,
+                                rhat_packed=False, block_cap=16,
+                                interpret=None):
+    """The label-native detect chain PLUS per-row blocked event
+    compaction as one Pallas pass (see
+    :func:`_detect_label_compact_kernel`).
+
+    Same input contract as :func:`detect_label_pallas` ([R, W]
+    planes; everything is reshaped to lane-major [R*W/128, 128] tiles
+    internally — a layout-free reshape).  Returns ``(sv', rhat',
+    packed', payload [R, W], evpay [R, k128], count [R], ov [R])``;
+    ``ov[r] > block_cap`` means row ``r``'s fast-path compaction
+    overflowed and ``evpay`` must be recomputed from ``payload`` via
+    the exact full-range network (callers wrap in ``lax.cond`` —
+    :func:`orbitanalysis_tpu.ops.label_step.make_label_orbit_step`).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    r, w = lab.shape
+    if w % _TILE_LANES:
+        raise ValueError("row_width must be a multiple of 128")
+    rpb = w // _TILE_LANES
+    k128 = min(
+        ((event_capacity + _TILE_LANES - 1) // _TILE_LANES)
+        * _TILE_LANES, w,
+    )
+    rb = _DC_RB
+    while r % rb:
+        rb //= 2
+    r2 = r * rpb
+
+    def flat(x):
+        return x.reshape(x.shape[:-2] + (r2, _TILE_LANES))
+
+    hub = jnp.asarray(hubble_drag, jnp.float32).reshape(1, 1)
+    osv, orh, opk, opay, oev, ocnt, oov = _detect_label_compact_call(
+        pericentric, box_size, rhat_packed, interpret, rb, rpb,
+        block_cap, k128,
+        flat(rows), flat(lab), flat(pos), flat(vel), flat(sv),
+        flat(rhat), flat(packed), hub,
+    )
+
+    def unflat(x):
+        return x.reshape(x.shape[:-2] + (r, w))
+
+    return (unflat(osv), unflat(orh), unflat(opk), unflat(opay),
+            oev.reshape(r, k128), ocnt.reshape(r), oov.reshape(r))

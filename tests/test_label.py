@@ -575,3 +575,58 @@ def test_fused_label_rhat_packed_counts_exact(rng):
                 ev_f.angle[s, r, :k][of], ev_p.angle[s, r, :k][op],
                 atol=5e-3,
             )
+
+
+def test_label_detect_compact_fused_parity(rng):
+    """The round-5 detect+compact kernel (event compaction inside the
+    detect pass, lane-major tiles) must reproduce the XLA path
+    bit-exactly at a shape where its blocked fast path applies
+    (row_width 1024: 8 blocks/row, k128 = 128 <= 8*BLOCK_CAP), and
+    the in-kernel overflow channel must reroute dense rows through
+    the exact full-range network (lax.cond fallback)."""
+    H, R, W, S = 5, 4, 1024, 6
+    N = R * W
+    pos = rng.uniform(0, 100, (S, 3, N)).astype(np.float32)
+    vel = rng.normal(size=(S, 3, N)).astype(np.float32)
+    lab = rng.integers(-1, H, (S, N)).astype(np.int32)
+    cen = rng.uniform(20, 80, (S, H, 3)).astype(np.float32)
+    for s in range(1, S):
+        keep = rng.random(N) < 0.9
+        lab[s] = np.where(keep, lab[s - 1], lab[s])
+    # snapshot 3: force a dense event burst (every particle of halo 0
+    # flips inward->outward at once) so per-128-block counts blow past
+    # BLOCK_CAP and the overflow cond must fire
+    u = rng.normal(size=(N, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    lab[2] = lab[3] = 0
+    pos[2] = (cen[2, 0] + 3.0 * u).T
+    vel[2] = (-1.0 * u).T
+    pos[3] = (cen[3, 0] + 2.5 * u).T
+    vel[3] = (1.0 * u).T
+
+    outs = {}
+    for impl in ("matmul", "split"):
+        step = make_label_orbit_step(
+            128, box_size=100.0, row_width=W, frames=impl)
+        c = init_label_carry(N, row_width=W)
+        evs = []
+        for s in range(S):
+            c, ev = jax.jit(step)(c, (
+                pos[s].reshape(3, R, W), vel[s].reshape(3, R, W),
+                lab[s].reshape(R, W), cen[s], None, None,
+                jnp.float32(0.01)))
+            evs.append(jax.tree.map(np.asarray, ev))
+        outs[impl] = (jax.tree.map(np.asarray, c), evs)
+
+    ca, cb = outs["matmul"][0], outs["split"][0]
+    np.testing.assert_array_equal(ca.lab_sv, cb.lab_sv)
+    np.testing.assert_array_equal(ca.packed, cb.packed)
+    np.testing.assert_array_equal(ca.rhat, cb.rhat)
+    burst = False
+    for s in range(S):
+        ea, eb = outs["matmul"][1][s], outs["split"][1][s]
+        np.testing.assert_array_equal(ea.count, eb.count)
+        np.testing.assert_array_equal(ea.index, eb.index)
+        np.testing.assert_array_equal(ea.angle, eb.angle)
+        burst = burst or int(ea.count.max()) > 16
+    assert burst, "no dense burst: the overflow fallback was not hit"
