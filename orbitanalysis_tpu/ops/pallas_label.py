@@ -519,8 +519,9 @@ def _detect_label_compact_kernel(pericentric, box_size, rhat_packed,
         out, ov = _blocked_compact_rows(
             payload[sl], seli[sl], b, kr)
         oev_ref[j] = out
-        ocnt_ref[j, 0] = jnp.sum(seli[sl])
-        oov_ref[j, 0] = ov
+        # 2D-shaped stores: Mosaic cannot store scalars to VMEM
+        ocnt_ref[j:j + 1, 0:1] = jnp.sum(seli[sl]).reshape(1, 1)
+        oov_ref[j:j + 1, 0:1] = ov.reshape(1, 1)
 
 
 _TILE_LANES = 128
