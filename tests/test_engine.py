@@ -810,3 +810,51 @@ def test_onthefly_both_mode(tmp_path, churn_setup):
             for k in a:  # flat per-snapshot file: keys are datasets
                 va, vb = a[k][()], b[k][()]
                 assert np.array_equal(va, vb, equal_nan=True), k
+
+
+@pytest.mark.slow  # 131072-wide interpret-mode pair-compaction rows
+def test_event_capacity_growth_wide_rows(tmp_path):
+    """Same lossless overflow recovery as
+    test_event_capacity_growth_mid_run, but on rows past
+    PAYLOAD_MAX_ROW (131071), where the aligned step's payload takes
+    the two-stream (posw, ang15) pair format — exercises the tuple
+    branch of the writer's payload decode."""
+    from orbitanalysis_tpu.utils.metrics import Metrics
+
+    box = 100.0
+    n_part, n_snap = 1 << 17, 5
+    rng = np.random.default_rng(7)
+    centers = np.array([[50.0, 50, 50]], np.float32)
+    u = rng.normal(size=(n_part, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    radii = [3.0, 2.5, 2.0, 2.5, 3.0]
+    vr = [-1.0, -1.0, -1.0, 1.0, 1.0]
+    snaps = []
+    for s in range(n_snap):
+        snaps.append({
+            0: dict(
+                ids=np.arange(n_part, dtype=np.int64),
+                pos=centers[0] + radii[s] * u,
+                vel=(vr[s] * u).astype(np.float32),
+                center=centers[0],
+            ),
+        })
+    regions, loader = make_callbacks(snaps, centers, box_size=box,
+                                     mass=False)
+    snap_nums = np.arange(n_snap)
+    branches = np.tile(np.arange(1), (n_snap, 1))
+
+    save = str(tmp_path / "wide_spike.h5")
+    m = Metrics()
+    track_orbits(snap_nums, branches, regions, loader, save,
+                 join_impl="aligned", capacity=n_part,
+                 event_capacity=128, metrics=m, verbose=False)
+    ev_caps = [r["event_capacity"] for r in m.records
+               if "event_capacity" in r]
+    assert ev_caps[0] == 128 and ev_caps[-1] >= n_part, ev_caps
+    with h5py.File(save) as hf:
+        g = hf["snapshot_003"]
+        offs = g["region_offsets"][:]
+        assert offs[1] - offs[0] == n_part
+        got = np.sort(g["pericenter_IDs"][offs[0]:offs[1]])
+        assert np.array_equal(got, np.arange(n_part, dtype=np.int64))
