@@ -218,16 +218,35 @@ def run_scale(args):
         f"({jax.default_backend()})", flush=True,
     )
 
-    def timed(detect_every, label):
+    # chunked dispatch (--chunk): at 512^3 scales a single 32-step jit
+    # accumulates enough runtime footprint/wall-clock that the axon
+    # worker dies mid-program ("TPU worker process crashed") even when
+    # the AOT memory analysis fits — round-5 finding; 4-step chunks
+    # chained device-resident via track/step_offset run the identical
+    # physics with no host round trips and no re-traces
+    chunk = args.chunk if args.chunk else n_steps
+    assert n_steps % chunk == 0
+    n_chunks = n_steps // chunk
+
+    def run_once(detect_every):
         cfg = OrbitNBodyConfig(
-            n_steps=n_steps, detect_every=detect_every, **base
+            n_steps=chunk, detect_every=detect_every, **base
         )
+        st, tr, ev = simulate_with_tracking(state0, members, cfg, force)
+        for c in range(1, n_chunks):
+            st, tr, ev = simulate_with_tracking(
+                st, members, cfg, force, track=tr,
+                step_offset=c * chunk,
+            )
+        return st, tr, ev
+
+    def timed(detect_every, label):
         # first call compiles the scan (the persistent cache makes
         # reruns cheap); the second, identically-shaped call is timed
-        st, tr, ev = simulate_with_tracking(state0, members, cfg, force)
+        st, tr, ev = run_once(detect_every)
         float(tr.counts[0, 0])  # a scalar fetch forces a real device sync
         t0 = time.perf_counter()
-        st, tr, ev = simulate_with_tracking(state0, members, cfg, force)
+        st, tr, ev = run_once(detect_every)
         float(tr.counts[0, 0])
         wall = time.perf_counter() - t0
         print(
@@ -296,6 +315,12 @@ def main():
                     help="scale-section PM mesh")
     ap.add_argument("--steps", type=int, default=32,
                     help="scale-section KDK steps")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="steps per dispatch (0 = whole run in one "
+                         "jit).  512^3-scale runs need small chunks "
+                         "(e.g. 4): one monolithic 32-step program "
+                         "kills the axon worker even when the AOT "
+                         "memory analysis fits")
     args = ap.parse_args()
     if args.scale:
         run_scale(args)
